@@ -1,0 +1,238 @@
+"""LZ4 frame decompression — header parsing, block chain, checksum verify.
+
+Executable spec of ``/root/reference/src/framed/decompress.rs``:
+``LZ4FrameReader::new`` header parse + verification (``decompress.rs:101-161``),
+``decode_block`` with EndMark / stored-block / block-checksum / carry-over
+window semantics (``decompress.rs:197-279``), the ``Read``-style adapter
+(``decompress.rs:46-77``), and the one-shot ``decompress_frame``
+(``decompress.rs:283-288``).
+
+Like compression, the raw-block decode is engine-pluggable (spec / native /
+TPU), all bit-exact.
+"""
+
+from __future__ import annotations
+
+import io
+
+from ..spec.block import DecodeError
+from ..spec.xxhash32 import XXHash32, xxh32
+from .errors import (
+    BlockChecksumFail,
+    BlockSizeOverflow,
+    CodecError,
+    FrameChecksumFail,
+    HeaderChecksumFail,
+    InputTruncated,
+    WrongMagic,
+)
+from .header import INCOMPRESSIBLE, MAGIC, WINDOW_SIZE, BlockDescriptor, Flags
+
+
+def _resolve_engine(name):
+    if callable(name):
+        return name
+    if name in ("auto", "native"):
+        try:
+            from ..native import decompress_block as native_decompress_block
+
+            return native_decompress_block
+        except Exception:
+            if name == "native":
+                raise
+    if name == "tpu":
+        from ..kernels.decompress import decompress_block_tpu
+
+        return decompress_block_tpu
+    from ..spec.block import decompress_block as spec_decompress_block
+
+    return spec_decompress_block
+
+
+def _read_exact(reader, n: int) -> bytes:
+    buf = reader.read(n)
+    if buf is None or len(buf) < n:
+        raise InputTruncated(f"needed {n} bytes, got {0 if buf is None else len(buf)}")
+    return buf
+
+
+class LZ4FrameReader:
+    """Reads the blocks inside one LZ4 frame, one ``decode_block`` at a time.
+
+    A typical LZ4 file consists of exactly one frame; reading stops at the
+    EndMark so trailing data (e.g. back-to-back frames) is left in the
+    underlying stream.
+    """
+
+    def __init__(self, reader, engine="auto"):
+        reader = _as_reader(reader)
+        self._decompress_block = _resolve_engine(engine)
+
+        magic = int.from_bytes(_read_exact(reader, 4), "little")
+        if magic != MAGIC:
+            raise WrongMagic(f"wrong magic number in file header: {magic:08x}")
+
+        flags_byte = _read_exact(reader, 1)[0]
+        self.flags = Flags.parse(flags_byte)
+        bd_byte = _read_exact(reader, 1)[0]
+        bd = BlockDescriptor.parse(bd_byte)
+
+        hashed = bytearray([flags_byte, bd_byte])
+
+        self.content_size = None
+        if self.flags.content_size:
+            raw = _read_exact(reader, 8)
+            self.content_size = int.from_bytes(raw, "little")
+            hashed.extend(raw)
+
+        self.dictionary_id = None
+        if self.flags.dictionary_id:
+            raw = _read_exact(reader, 4)
+            self.dictionary_id = int.from_bytes(raw, "little")
+            hashed.extend(raw)
+
+        checksum_desired = _read_exact(reader, 1)[0]
+        checksum_actual = (xxh32(hashed) >> 8) & 0xFF
+        if checksum_desired != checksum_actual:
+            raise HeaderChecksumFail("the header checksum was invalid")
+
+        self.reader = reader
+        self.block_maxsize = bd.block_maxsize()
+        self._content_hasher = XXHash32(0) if self.flags.content_checksum else None
+        # carry-over window only exists in linked-block mode (decompress.rs:144-148)
+        self._carryover_window = None if self.flags.independent_blocks else bytearray()
+        self._finished = False
+
+    # reference accessors (decompress.rs:163-175)
+    def block_size(self) -> int:
+        return self.block_maxsize
+
+    def frame_size(self):
+        return self.content_size
+
+    def decode_block(self, dictionary: bytes = b"") -> bytes | None:
+        """Decode the next block; returns ``None`` at the EndMark
+        (``decompress.rs:197-279``)."""
+        if self._finished:
+            return None
+
+        block_length = int.from_bytes(_read_exact(self.reader, 4), "little")
+        if block_length == 0:
+            if self._content_hasher is not None:
+                checksum = int.from_bytes(_read_exact(self.reader, 4), "little")
+                if self._content_hasher.digest() != checksum:
+                    raise FrameChecksumFail("the frame checksum was invalid")
+            self._finished = True
+            return None
+
+        is_compressed = (block_length & INCOMPRESSIBLE) == 0
+        block_length &= ~INCOMPRESSIBLE & 0xFFFFFFFF
+
+        if block_length > self.block_maxsize:
+            raise BlockSizeOverflow("a block is larger than the frame's block maxsize")
+
+        buf = _read_exact(self.reader, block_length)
+
+        if self.flags.block_checksums:
+            checksum = int.from_bytes(_read_exact(self.reader, 4), "little")
+            if xxh32(buf) != checksum:
+                raise BlockChecksumFail("a block checksum was invalid")
+
+        # prefix: carry-over window (seeded with the dictionary on first
+        # use) in linked mode, else the dictionary directly
+        if self._carryover_window is not None:
+            if not self._carryover_window:
+                self._carryover_window.extend(dictionary)
+            prefix = bytes(self._carryover_window)
+        else:
+            prefix = bytes(dictionary)
+
+        if is_compressed:
+            try:
+                output = bytes(
+                    self._decompress_block(buf, prefix=prefix, output_limit=self.block_maxsize)
+                )
+            except DecodeError as e:
+                raise CodecError(e.kind) from e
+        else:
+            output = buf
+
+        # push data back into the window (decompress.rs:252-269)
+        if self._carryover_window is not None:
+            window = self._carryover_window
+            outlen = len(output)
+            if outlen < WINDOW_SIZE:
+                surplus = len(window) + outlen - WINDOW_SIZE
+                if surplus > 0:
+                    del window[:surplus]
+                window.extend(output)
+            else:
+                window[:] = output[outlen - WINDOW_SIZE :]
+
+        if len(output) > self.block_maxsize:
+            raise BlockSizeOverflow("a block decompressed to more data than allowed")
+
+        if self._content_hasher is not None:
+            self._content_hasher.update(output)
+        return output
+
+    def read_all(self, dictionary: bytes = b"") -> bytes:
+        """Decode every block and concatenate (``into_read`` + ``read_to_end``)."""
+        parts = []
+        while True:
+            block = self.decode_block(dictionary)
+            if block is None:
+                return b"".join(parts)
+            parts.append(block)
+
+    def into_read(self, dictionary: bytes = b""):
+        """An ``io.RawIOBase`` adapter over the block stream
+        (``LZ4FrameIoReader``, ``decompress.rs:46-77``)."""
+        return LZ4FrameIoReader(self, dictionary)
+
+
+class LZ4FrameIoReader(io.RawIOBase):
+    """File-like reader over an ``LZ4FrameReader`` block chain."""
+
+    def __init__(self, frame_reader: LZ4FrameReader, dictionary: bytes = b""):
+        self._frame_reader = frame_reader
+        self._dictionary = dictionary
+        self._buffer = b""
+        self._taken = 0
+        self._eof = False
+
+    def readable(self) -> bool:
+        return True
+
+    def _fill(self) -> bytes:
+        while not self._eof and self._taken == len(self._buffer):
+            block = self._frame_reader.decode_block(self._dictionary)
+            if block is None:
+                self._eof = True
+                break
+            self._buffer = block
+            self._taken = 0
+        return self._buffer[self._taken :]
+
+    def read(self, size: int = -1) -> bytes:
+        if size is None or size < 0:
+            parts = [self._fill()]
+            self._taken = len(self._buffer)
+            parts.append(self._frame_reader.read_all(self._dictionary) if not self._eof else b"")
+            self._eof = True
+            return b"".join(parts)
+        avail = self._fill()
+        take = min(len(avail), size)
+        self._taken += take
+        return avail[:take]
+
+
+def decompress_frame(reader, dictionary: bytes = b"", engine="auto") -> bytes:
+    """One-shot frame decode (``decompress.rs:283-288``)."""
+    return LZ4FrameReader(reader, engine=engine).read_all(dictionary)
+
+
+def _as_reader(obj):
+    if isinstance(obj, (bytes, bytearray, memoryview)):
+        return io.BytesIO(bytes(obj))
+    return obj
