@@ -21,7 +21,8 @@ import io
 
 from ..spec.block import Incompressible
 from ..spec.table import U32Table, prime_u32_table
-from ..spec.xxhash32 import XXHash32, xxh32
+from ..spec.xxhash32 import xxh32
+from ..utils.hashing import make_hasher
 from .errors import InvalidBlockSize
 from .header import INCOMPRESSIBLE, MAGIC, WINDOW_SIZE, BlockDescriptor, Flags
 
@@ -155,7 +156,7 @@ class CompressionSettings:
             content_size=content_size is not None,
             dictionary_id=self._dictionary_id is not None,
         )
-        content_hasher = XXHash32(0) if self._content_checksum else None
+        content_hasher = make_hasher(0) if self._content_checksum else None
 
         bd = BlockDescriptor.for_block_maxsize(self._block_size)
         if bd is None:

@@ -16,7 +16,8 @@ from __future__ import annotations
 import io
 
 from ..spec.block import DecodeError
-from ..spec.xxhash32 import XXHash32, xxh32
+from ..spec.xxhash32 import xxh32
+from ..utils.hashing import make_hasher
 from .errors import (
     BlockChecksumFail,
     BlockSizeOverflow,
@@ -98,7 +99,7 @@ class LZ4FrameReader:
 
         self.reader = reader
         self.block_maxsize = bd.block_maxsize()
-        self._content_hasher = XXHash32(0) if self.flags.content_checksum else None
+        self._content_hasher = make_hasher(0) if self.flags.content_checksum else None
         # carry-over window only exists in linked-block mode (decompress.rs:144-148)
         self._carryover_window = None if self.flags.independent_blocks else bytearray()
         self._finished = False

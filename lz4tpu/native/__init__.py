@@ -1,0 +1,202 @@
+"""C++ native engine: fast host-side block codec + xxHash32 via ctypes.
+
+Drop-in replacements for the spec functions with identical signatures and
+bit-identical output (enforced by tests/test_native.py):
+
+* ``compress_block(data, cursor, table, acceleration, cap)`` — raises
+  ``spec.block.Incompressible`` on cap overflow, mutating the shared
+  NumPy table exactly like the spec does
+* ``decompress_block(data, prefix, output_limit)`` — raises
+  ``spec.block.DecodeError`` with the same kinds
+* ``xxh32(data, seed)`` and streaming ``XXHash32``
+
+This is the task-mandated native equivalent of the reference's Rust core
+(compressor ``/root/reference/src/raw/compress/mod.rs``, decompressor
+``/root/reference/src/raw/decompress.rs``, checksums via twox-hash): the
+frame layer's default engine on host, the oracle for TPU-kernel
+differential tests, and the per-block worker for the multi-core host path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from ..spec.block import DecodeError, Incompressible
+from ..spec.table import U16Table, U32Table
+from .build import build
+
+_lib = ctypes.CDLL(str(build()))
+
+_lib.lz4tpu_xxh32.restype = ctypes.c_uint32
+_lib.lz4tpu_xxh32.argtypes = [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint32]
+_lib.lz4tpu_xxh32_init.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+_lib.lz4tpu_xxh32_update.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64]
+_lib.lz4tpu_xxh32_digest.restype = ctypes.c_uint32
+_lib.lz4tpu_xxh32_digest.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+
+for _name in ("lz4tpu_compress_block_u32", "lz4tpu_compress_block_u16"):
+    fn = getattr(_lib, _name)
+    fn.restype = ctypes.c_int64
+    fn.argtypes = [
+        ctypes.c_char_p,  # in
+        ctypes.c_uint64,  # n
+        ctypes.c_uint64,  # cursor
+        ctypes.c_void_p,  # table slots
+        ctypes.c_uint64,  # table offset
+        ctypes.c_int64,  # cap (-1 = none)
+        ctypes.c_uint64,  # acceleration
+        ctypes.c_void_p,  # out
+        ctypes.c_uint64,  # out capacity
+    ]
+
+_lib.lz4tpu_decompress_block.restype = ctypes.c_int64
+_lib.lz4tpu_decompress_block.argtypes = [
+    ctypes.c_char_p,  # in
+    ctypes.c_uint64,  # n
+    ctypes.c_char_p,  # prefix
+    ctypes.c_uint64,  # prefix len
+    ctypes.c_void_p,  # out
+    ctypes.c_uint64,  # out capacity
+    ctypes.c_uint64,  # output limit
+]
+
+_DECODE_ERRORS = {
+    -1: DecodeError.KIND_UNEXPECTED_END,
+    -2: DecodeError.KIND_MEMORY_LIMIT,
+    -3: DecodeError.KIND_ZERO_OFFSET,
+    -4: DecodeError.KIND_INVALID_OFFSET,
+}
+
+
+def xxh32(data, seed: int = 0) -> int:
+    data = bytes(data)
+    return int(_lib.lz4tpu_xxh32(data, len(data), seed))
+
+
+class XXHash32:
+    """Streaming xxHash32 backed by the C++ state machine."""
+
+    def __init__(self, seed: int = 0):
+        self._state = ctypes.create_string_buffer(64)
+        self._seed = seed
+        _lib.lz4tpu_xxh32_init(self._state, seed)
+
+    def update(self, data) -> "XXHash32":
+        data = bytes(data)
+        _lib.lz4tpu_xxh32_update(self._state, data, len(data))
+        return self
+
+    def digest(self) -> int:
+        return int(_lib.lz4tpu_xxh32_digest(self._state, self._seed))
+
+
+def compress_bound(n: int) -> int:
+    """Worst-case raw block size: all literals + LSIC overhead."""
+    return n + n // 255 + 16
+
+
+class _BufferPool:
+    """Reusable scratch buffers — avoids per-call page-fault churn on the
+    hot host path (a fresh np.empty per 4 MiB block costs more in soft
+    faults than the codec itself)."""
+
+    def __init__(self):
+        self._buf = np.empty(1 << 20, dtype=np.uint8)
+
+    def get(self, capacity: int) -> np.ndarray:
+        if self._buf.size < capacity:
+            self._buf = np.empty(max(capacity, self._buf.size * 2), dtype=np.uint8)
+        return self._buf
+
+
+_compress_pool = _BufferPool()
+_decompress_pool = _BufferPool()
+
+
+def compress_block(
+    data,
+    cursor: int = 0,
+    table=None,
+    out=None,
+    acceleration: int = 1,
+    cap: int | None = None,
+) -> bytes:
+    """Native greedy parse; same contract as ``spec.block.compress_block``."""
+    data = bytes(data)
+    if table is None:
+        table = U16Table() if len(data) <= 0xFFFF else U32Table()
+    if len(data) > table.payload_size_limit:
+        from ..spec.block import BlockTooBig
+
+        raise BlockTooBig(
+            f"input of {len(data)} bytes exceeds table limit {table.payload_size_limit}"
+        )
+    capacity = compress_bound(len(data)) if cap is None else min(cap, compress_bound(len(data)))
+    buf = _compress_pool.get(max(capacity, 1))
+    slots = np.ascontiguousarray(table.dict)
+    fn = (
+        _lib.lz4tpu_compress_block_u32
+        if slots.dtype == np.uint32
+        else _lib.lz4tpu_compress_block_u16
+    )
+    rc = fn(
+        data,
+        len(data),
+        cursor,
+        slots.ctypes.data,
+        table.offset,
+        -1 if cap is None else cap,
+        max(int(acceleration), 1),
+        buf.ctypes.data,
+        capacity,
+    )
+    if slots is not table.dict:
+        table.dict[:] = slots  # keep caller's table state in sync
+    if rc < 0:
+        raise Incompressible()
+    result = buf[:rc].tobytes()
+    if out is not None:
+        out.extend(result)
+        return out
+    return result
+
+
+def decompress_block(
+    data,
+    prefix=b"",
+    out=None,
+    output_limit: int | None = None,
+) -> bytes:
+    """Native block decode; same contract as ``spec.block.decompress_block``."""
+    data = bytes(data)
+    prefix = bytes(prefix)
+    soft_limit = (1 << 62) if output_limit is None else output_limit
+    if output_limit is not None:
+        # matches are limit-checked; trailing literals add <= len(data)
+        capacity = output_limit + len(data)
+        retries = 0
+    else:
+        # no limit: start from the format's practical expansion bound and
+        # grow geometrically if a pathological stream exceeds it
+        capacity = 256 * len(data) + 64
+        retries = 3
+    while True:
+        buf = _decompress_pool.get(max(capacity, 1))
+        rc = _lib.lz4tpu_decompress_block(
+            data, len(data), prefix, len(prefix), buf.ctypes.data, capacity, soft_limit
+        )
+        if rc != -5:
+            break
+        if retries == 0:
+            raise DecodeError(DecodeError.KIND_MEMORY_LIMIT)
+        retries -= 1
+        capacity *= 16
+    if rc < 0:
+        raise DecodeError(_DECODE_ERRORS.get(int(rc), DecodeError.KIND_UNEXPECTED_END))
+    result = buf[:rc].tobytes()
+    if out is not None:
+        out.extend(result)
+        return out
+    return result

@@ -1,0 +1,379 @@
+// lz4tpu native engine: fast host-side LZ4 block codec + xxHash32.
+//
+// C++ implementation of the exact same semantics as the executable spec in
+// lz4tpu/spec/block.py — which in turn states the algorithm of the reference
+// (greedy parse: /root/reference/src/raw/compress/mod.rs:147-260, decoder:
+// /root/reference/src/raw/decompress.rs:28-138).  Bit-exact output parity
+// with the spec (and hence the C reference implementation) is enforced by
+// differential tests in tests/test_native.py.
+//
+// Design notes (intentionally different from the Rust reference's shape):
+//  * stateless C ABI — all state (encoder table, xxh32 state) lives in
+//    caller-owned buffers so Python/numpy owns lifetime and the same table
+//    arrays are shared with the spec and TPU engines;
+//  * word-at-a-time match extension via 64-bit XOR + count-trailing-zeros;
+//  * overlap copies use a doubling-span memcpy instead of per-byte loops.
+//
+// Built by lz4tpu/native/build.py; loaded via ctypes in
+// lz4tpu/native/__init__.py.
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+
+using u8 = uint8_t;
+using u16 = uint16_t;
+using u32 = uint32_t;
+using u64 = uint64_t;
+using i64 = int64_t;
+
+// ---------------------------------------------------------------------------
+// xxHash32
+// ---------------------------------------------------------------------------
+
+static const u32 P1 = 2654435761u, P2 = 2246822519u, P3 = 3266489917u,
+                 P4 = 668265263u, P5 = 374761393u;
+
+static inline u32 rotl32(u32 x, int r) { return (x << r) | (x >> (32 - r)); }
+
+static inline u32 read32(const u8* p) {
+    u32 v;
+    std::memcpy(&v, p, 4);
+    return v;  // little-endian hosts only (TPU hosts are x86-64/aarch64)
+}
+static inline u64 read64(const u8* p) {
+    u64 v;
+    std::memcpy(&v, p, 8);
+    return v;
+}
+
+struct XXH32State {
+    u32 v[4];
+    u64 total;
+    u32 buflen;
+    u8 buf[16];
+};
+
+extern "C" void lz4tpu_xxh32_init(XXH32State* s, u32 seed) {
+    s->v[0] = seed + P1 + P2;
+    s->v[1] = seed + P2;
+    s->v[2] = seed;
+    s->v[3] = seed - P1;
+    s->total = 0;
+    s->buflen = 0;
+}
+
+static inline u32 xxh_round(u32 acc, u32 lane) {
+    return rotl32(acc + lane * P2, 13) * P1;
+}
+
+extern "C" void lz4tpu_xxh32_update(XXH32State* s, const u8* data, u64 len) {
+    s->total += len;
+    if (s->buflen) {
+        u64 need = 16 - s->buflen;
+        u64 take = std::min(need, len);
+        std::memcpy(s->buf + s->buflen, data, take);
+        s->buflen += (u32)take;
+        data += take;
+        len -= take;
+        if (s->buflen < 16) return;
+        for (int i = 0; i < 4; i++) s->v[i] = xxh_round(s->v[i], read32(s->buf + 4 * i));
+        s->buflen = 0;
+    }
+    u32 v0 = s->v[0], v1 = s->v[1], v2 = s->v[2], v3 = s->v[3];
+    while (len >= 16) {
+        v0 = xxh_round(v0, read32(data));
+        v1 = xxh_round(v1, read32(data + 4));
+        v2 = xxh_round(v2, read32(data + 8));
+        v3 = xxh_round(v3, read32(data + 12));
+        data += 16;
+        len -= 16;
+    }
+    s->v[0] = v0; s->v[1] = v1; s->v[2] = v2; s->v[3] = v3;
+    if (len) {
+        std::memcpy(s->buf, data, len);
+        s->buflen = (u32)len;
+    }
+}
+
+extern "C" u32 lz4tpu_xxh32_digest(const XXH32State* s, u32 seed) {
+    u32 h;
+    if (s->total >= 16) {
+        h = rotl32(s->v[0], 1) + rotl32(s->v[1], 7) + rotl32(s->v[2], 12) +
+            rotl32(s->v[3], 18);
+    } else {
+        h = seed + P5;
+    }
+    h += (u32)s->total;
+    const u8* p = s->buf;
+    u32 rem = s->buflen;
+    while (rem >= 4) {
+        h = rotl32(h + read32(p) * P3, 17) * P4;
+        p += 4;
+        rem -= 4;
+    }
+    while (rem) {
+        h = rotl32(h + (*p) * P5, 11) * P1;
+        p++;
+        rem--;
+    }
+    h ^= h >> 15;
+    h *= P2;
+    h ^= h >> 13;
+    h *= P3;
+    h ^= h >> 16;
+    return h;
+}
+
+extern "C" u32 lz4tpu_xxh32(const u8* data, u64 len, u32 seed) {
+    XXH32State s;
+    lz4tpu_xxh32_init(&s, seed);
+    lz4tpu_xxh32_update(&s, data, len);
+    return lz4tpu_xxh32_digest(&s, seed);
+}
+
+// ---------------------------------------------------------------------------
+// Raw block compressor
+// ---------------------------------------------------------------------------
+
+static const int HASHLOG = 12;
+static const u64 MINMATCH = 4;
+static const int SKIP_TRIGGER = 6;
+
+// 5-byte hash of an LE u64 (spec/table.py hash_u32_table; positions with
+// fewer than 8 readable bytes hash 0, as in the reference).
+static inline u64 hash_u32t(const u8* in, u64 n, u64 off) {
+    u64 v = (off + 8 <= n) ? read64(in + off) : 0;
+    return ((v << 24) * 889523592379ULL) >> (64 - HASHLOG);
+}
+static inline u64 hash_u16t(const u8* in, u64 off) {
+    return ((u64)(read32(in + off) * 2654435761u)) >> (32 - HASHLOG - 1);
+}
+
+struct U32TableRef {
+    u32* slots;
+    u64 offset;
+    static const u64 kSlots = 1ull << HASHLOG;
+    inline u64 replace(const u8* in, u64 n, u64 pos) {
+        u64 h = hash_u32t(in, n, pos);
+        u64 prev = slots[h];
+        slots[h] = (u32)(pos + offset);
+        return prev > offset ? prev - offset : 0;  // saturating
+    }
+};
+struct U16TableRef {
+    u16* slots;
+    u64 offset;
+    static const u64 kSlots = 2ull << HASHLOG;
+    inline u64 replace(const u8* in, u64 /*n*/, u64 pos) {
+        u64 h = hash_u16t(in, pos);
+        u64 prev = slots[h];
+        slots[h] = (u16)(pos + offset);
+        return prev > offset ? prev - offset : 0;
+    }
+};
+
+// Longest common prefix of in[a..a_end) and in[b..n), word-at-a-time.
+static inline u64 count_matching(const u8* in, u64 a, u64 a_end, u64 b, u64 n) {
+    u64 limit = std::min(a_end - a, n - b);
+    u64 m = 0;
+    while (m + 8 <= limit) {
+        u64 x = read64(in + a + m) ^ read64(in + b + m);
+        if (x) return m + (__builtin_ctzll(x) >> 3);
+        m += 8;
+    }
+    while (m < limit && in[a + m] == in[b + m]) m++;
+    return m;
+}
+
+// LSIC continuation bytes; returns bytes written (caller checked capacity).
+static inline u64 lsic_tail(u8* out, u64 value) {
+    if (value < 0xF) return 0;
+    value -= 0xF;
+    u64 k = value / 0xFF;
+    std::memset(out, 0xFF, k);
+    out[k] = (u8)(value % 0xFF);
+    return k + 1;
+}
+
+// Greedy LZ4 parse (spec/block.py compress_block).  Returns compressed
+// length, or -1 when `cap` (>=0) would be exceeded — in which case the
+// encoder table keeps all mutations up to the abort point (linked-mode
+// bit-exactness; see spec/block.py Incompressible docstring).
+template <typename Table>
+static i64 compress_impl(const u8* in, u64 n, u64 cursor, Table table_ref,
+                         i64 cap, u64 acceleration,
+                         u8* out, u64 out_capacity) {
+    u64 out_pos = 0;
+    const u64 init_cursor = cursor;
+    u64 capu = cap < 0 ? ~0ull : (u64)cap;
+
+    while (cursor < n) {
+        const u64 literal_start = cursor;
+        u64 step_counter = acceleration << SKIP_TRIGGER;
+        u64 step = 1;
+        u64 match_offset = 0, extra = 0;
+
+        for (;;) {
+            if (n - cursor < 12 || cursor >= n) {  // end: literal-only tail
+                u64 literal_len = n - literal_start;
+                u64 group_len = 1 + (literal_len < 0xF ? 0 : (literal_len - 0xF) / 0xFF + 1) + literal_len;
+                if (out_pos + group_len > capu || out_pos + group_len > out_capacity)
+                    return -1;
+                out[out_pos++] = (u8)(std::min<u64>(literal_len, 0xF) << 4);
+                out_pos += lsic_tail(out + out_pos, literal_len);
+                std::memcpy(out + out_pos, in + literal_start, literal_len);
+                out_pos += literal_len;
+                return (i64)out_pos;
+            }
+
+            u64 candidate = table_ref.replace(in, n, cursor);
+
+            if (cursor != init_cursor && cursor - candidate <= 0xFFFF) {
+                u64 matching = count_matching(in, cursor, n - 5, candidate, n);
+                if (matching >= MINMATCH) {
+                    extra = matching - MINMATCH;
+                    match_offset = cursor - candidate;
+                    // backtrack the match start into pending literals
+                    u64 max_backtrack = cursor - literal_start;
+                    u64 bt = 0;
+                    while (bt < max_backtrack && candidate - bt > 0 &&
+                           in[cursor - bt - 1] == in[candidate - bt - 1])
+                        bt++;
+                    extra += bt;
+                    cursor += matching;
+                    table_ref.replace(in, n, cursor - 2);
+                    break;
+                }
+            }
+
+            cursor += step;
+            step = step_counter >> SKIP_TRIGGER;
+            if (literal_start + 1 != cursor) step_counter++;
+        }
+
+        const u64 literal_end = cursor - extra - MINMATCH;
+        const u64 literal_len = literal_end - literal_start;
+        const u64 group_len = 1 + (literal_len < 0xF ? 0 : (literal_len - 0xF) / 0xFF + 1) +
+                              literal_len + 2 +
+                              (extra < 0xF ? 0 : (extra - 0xF) / 0xFF + 1);
+        if (out_pos + group_len > capu || out_pos + group_len > out_capacity) return -1;
+
+        out[out_pos++] = (u8)((std::min<u64>(literal_len, 0xF) << 4) | std::min<u64>(extra, 0xF));
+        out_pos += lsic_tail(out + out_pos, literal_len);
+        std::memcpy(out + out_pos, in + literal_start, literal_len);
+        out_pos += literal_len;
+        out[out_pos++] = (u8)(match_offset & 0xFF);
+        out[out_pos++] = (u8)(match_offset >> 8);
+        out_pos += lsic_tail(out + out_pos, extra);
+    }
+    return (i64)out_pos;
+}
+
+extern "C" i64 lz4tpu_compress_block_u32(const u8* in, u64 n, u64 cursor, u32* table,
+                              u64 table_offset, i64 cap, u64 acceleration,
+                              u8* out, u64 out_capacity) {
+    U32TableRef t{table, table_offset};
+    return compress_impl(in, n, cursor, t, cap, acceleration, out, out_capacity);
+}
+
+extern "C" i64 lz4tpu_compress_block_u16(const u8* in, u64 n, u64 cursor, u16* table,
+                              u64 table_offset, i64 cap, u64 acceleration,
+                              u8* out, u64 out_capacity) {
+    U16TableRef t{table, table_offset};
+    return compress_impl(in, n, cursor, t, cap, acceleration, out, out_capacity);
+}
+
+// ---------------------------------------------------------------------------
+// Raw block decompressor
+// ---------------------------------------------------------------------------
+
+// error codes mirror spec/block.py DecodeError kinds
+static const i64 ERR_UNEXPECTED_END = -1;
+static const i64 ERR_MEMORY_LIMIT = -2;
+static const i64 ERR_ZERO_OFFSET = -3;
+static const i64 ERR_INVALID_OFFSET = -4;
+static const i64 ERR_CAPACITY = -5;  // out buffer too small (caller bug)
+
+// Overlap-aware backward copy: out[dst..dst+len) = out[dst-offset..), where
+// the source may overlap the destination (pattern replication).  Uses a
+// doubling span so even offset==1 runs in O(log len) memcpys.
+static inline void copy_within(u8* out, u64 dst, u64 offset, u64 len) {
+    if (offset >= len) {
+        std::memcpy(out + dst, out + dst - offset, len);
+        return;
+    }
+    u64 src = dst - offset;
+    u64 avail = offset;
+    u64 copied = 0;
+    while (copied < len) {
+        u64 chunk = std::min(avail, len - copied);
+        std::memcpy(out + dst + copied, out + src, chunk);
+        copied += chunk;
+        avail += chunk;  // the pattern region just grew
+    }
+}
+
+extern "C" i64 lz4tpu_decompress_block(const u8* in, u64 n, const u8* prefix, u64 prefix_len,
+                            u8* out, u64 out_capacity, u64 output_limit) {
+    u64 pos = 0, out_len = 0;
+    while (pos < n) {
+        u32 token = in[pos++];
+
+        // literal length
+        u64 literal_len = token >> 4;
+        if (literal_len == 0xF) {
+            for (;;) {
+                if (pos >= n) return ERR_UNEXPECTED_END;
+                u8 more = in[pos++];
+                literal_len += more;
+                if (more != 0xFF) break;
+            }
+        }
+        if (pos + literal_len > n) return ERR_UNEXPECTED_END;
+        if (out_len + literal_len > out_capacity) return ERR_CAPACITY;
+        std::memcpy(out + out_len, in + pos, literal_len);
+        out_len += literal_len;
+        pos += literal_len;
+
+        // a failed 2-byte offset read consumes nothing: with 1 byte left the
+        // next iteration re-reads it as a token (spec/block.py)
+        if (n - pos < 2) continue;
+        u64 offset = in[pos] | ((u64)in[pos + 1] << 8);
+        pos += 2;
+        u64 match_len = token & 0xF;
+        if (match_len == 0xF) {
+            for (;;) {
+                if (pos >= n) return ERR_UNEXPECTED_END;
+                u8 more = in[pos++];
+                match_len += more;
+                if (more != 0xFF) break;
+            }
+        }
+        match_len += MINMATCH;
+        if (out_len + match_len > output_limit) return ERR_MEMORY_LIMIT;
+        if (out_len + match_len > out_capacity) return ERR_CAPACITY;
+
+        if (offset == 0) return ERR_ZERO_OFFSET;
+        if (offset > out_len) {
+            // serve the head of the match from the prefix (dictionary /
+            // linked-block carry-over window)
+            u64 prefix_needed = offset - out_len;
+            if (prefix_needed > prefix_len) return ERR_INVALID_OFFSET;
+            u64 take = std::min(prefix_needed, match_len);
+            std::memcpy(out + out_len, prefix + prefix_len - prefix_needed, take);
+            out_len += take;
+            u64 remaining = match_len - take;
+            if (remaining) {
+                if (offset > out_len) return ERR_INVALID_OFFSET;
+                copy_within(out, out_len, offset, remaining);
+                out_len += remaining;
+            }
+        } else {
+            copy_within(out, out_len, offset, match_len);
+            out_len += match_len;
+        }
+    }
+    return (i64)out_len;
+}
+

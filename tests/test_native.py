@@ -1,0 +1,200 @@
+"""Differential tests: C++ native engine ↔ NumPy executable spec.
+
+The native engine must be bit-identical to the spec for every byte of
+compressed output, every decode result, every error kind, and every
+post-call encoder-table state (linked-mode parity depends on it).
+"""
+
+import pathlib
+import random
+
+import numpy as np
+import pytest
+
+from lz4tpu import native
+from lz4tpu.spec import block as spec_block
+from lz4tpu.spec.block import DecodeError, Incompressible
+from lz4tpu.spec.table import U16Table, U32Table
+
+CORPUS = pathlib.Path("/root/reference/fuzz/corpus")
+
+
+def sample_inputs(corpus_sample):
+    r = random.Random(7)
+    cases = [
+        b"",
+        b"a",
+        b"aaaaaaaaaaaaaaaaaaaaaaaaaaa",
+        b"to live or not to live",
+        bytes(r.getrandbits(8) for _ in range(10_000)),  # incompressible
+        bytes(range(256)) * 100,
+    ]
+    for seed in range(8):
+        cases.append(corpus_sample(seed, 5_000 + 2_777 * seed))
+    return cases
+
+
+def test_xxh32_matches_spec(corpus_sample):
+    from lz4tpu.spec.xxhash32 import XXHash32 as SpecHash
+
+    for data in sample_inputs(corpus_sample):
+        assert native.xxh32(data) == SpecHash(0).update(data).digest()
+    # streaming with odd split points
+    data = corpus_sample(3, 100_000)
+    h = native.XXHash32(0)
+    sh = SpecHash(0)
+    pos = 0
+    for step in [1, 15, 16, 17, 333, 4096, 99999]:
+        h.update(data[pos : pos + step])
+        sh.update(data[pos : pos + step])
+        pos += step
+        assert h.digest() == sh.digest()
+
+
+@pytest.mark.parametrize("table_cls", [U16Table, U32Table])
+def test_compress_bit_exact(corpus_sample, table_cls):
+    for data in sample_inputs(corpus_sample):
+        if table_cls is U16Table and len(data) > 0xFFFF:
+            continue
+        t_spec, t_nat = table_cls(), table_cls()
+        ref = bytes(spec_block.compress_block(data, 0, t_spec))
+        got = native.compress_block(data, 0, t_nat)
+        assert got == ref, f"compressed bytes differ for len={len(data)}"
+        assert np.array_equal(t_spec.dict, t_nat.dict), "table state diverged"
+
+
+def test_compress_acceleration_bit_exact(corpus_sample):
+    data = corpus_sample(5, 50_000)
+    for acc in (1, 2, 9, 33):
+        ref = bytes(spec_block.compress_block(data, 0, U32Table(), acceleration=acc))
+        got = native.compress_block(data, 0, U32Table(), acceleration=acc)
+        assert got == ref, acc
+
+
+def test_compress_cap_and_table_state_bit_exact(rng):
+    """Incompressible abort must leave identical table state (linked mode)."""
+    # half compressible, half random -> cap abort mid-stream
+    data = (b"pattern" * 400) + bytes(rng.getrandbits(8) for _ in range(8000))
+    cap = 3000
+    t_spec, t_nat = U32Table(), U32Table()
+    with pytest.raises(Incompressible):
+        spec_block.compress_block(data, 0, t_spec, cap=cap)
+    with pytest.raises(Incompressible):
+        native.compress_block(data, 0, t_nat, cap=cap)
+    assert np.array_equal(t_spec.dict, t_nat.dict)
+
+
+def test_compress_with_cursor_and_slide(corpus_sample):
+    """Linked-block usage: nonzero cursor, table slide between blocks."""
+    data = corpus_sample(9, 120_000)
+    for impl in (spec_block.compress_block, native.compress_block):
+        table = U32Table()
+        outs = []
+        buf = bytearray()
+        pos = 0
+        while pos < len(data):
+            chunk = data[pos : pos + 65536]
+            pos += len(chunk)
+            cursor = len(buf)
+            buf.extend(chunk)
+            outs.append(bytes(impl(bytes(buf), cursor, table)))
+            if len(buf) > 65536:
+                forget = len(buf) - 65536
+                table.slide(forget)
+                del buf[:forget]
+        if impl is spec_block.compress_block:
+            ref_outs = outs
+    assert outs == ref_outs
+
+
+def test_decompress_bit_exact(corpus_sample):
+    for data in sample_inputs(corpus_sample):
+        compressed = native.compress_block(data, 0, U32Table())
+        assert native.decompress_block(compressed) == data
+        assert bytes(spec_block.decompress_block(compressed)) == data
+
+
+def test_decompress_prefix_paths():
+    # entirely from prefix / spanning prefix boundary / overlap after prefix
+    cases = [
+        (bytes([0x00, 4, 0]), b"wxyz", b"wxyz"),
+        (bytes([0x12, ord("Q"), 2, 0]), b"ab", b"QbQbQbQ"),
+        (bytes([0x1F, ord("z"), 1, 0, 0x30]), b"", b"z" * 68),
+    ]
+    for compressed, prefix, expected in cases:
+        assert native.decompress_block(compressed, prefix=prefix) == expected
+        assert bytes(spec_block.decompress_block(compressed, prefix=prefix)) == expected
+
+
+def test_decompress_error_kinds_match():
+    vectors = [
+        bytes([0x10, ord("a"), 2, 0]),  # invalid offset
+        bytes([0x10, ord("a"), 0, 0]),  # zero offset
+        bytes([0x50, ord("a")]),  # truncated literals
+        bytes([0x1F, ord("a"), 1, 0]),  # truncated match varint... actually valid
+        bytes([0xFF, 0xFF]),  # truncated literal varint
+    ]
+    for v in vectors:
+        try:
+            ref = bytes(spec_block.decompress_block(v))
+            ref_err = None
+        except DecodeError as e:
+            ref, ref_err = None, e.kind
+        try:
+            got = native.decompress_block(v)
+            got_err = None
+        except DecodeError as e:
+            got, got_err = None, e.kind
+        assert (ref, ref_err) == (got, got_err), v
+
+
+def test_decompress_output_limit_matches():
+    data = bytes([0x1F, ord("a"), 1, 0, 0xFF, 0xFF, 0xFF, 0x10])
+    for limit in (5, 500, 800, 801, 10_000):
+        try:
+            ref = (bytes(spec_block.decompress_block(data, output_limit=limit)), None)
+        except DecodeError as e:
+            ref = (None, e.kind)
+        try:
+            got = (native.decompress_block(data, output_limit=limit), None)
+        except DecodeError as e:
+            got = (None, e.kind)
+        assert ref == got, limit
+
+
+def test_decode_corpus_differential():
+    """Every fuzz-corpus file: spec and native agree on output or error kind."""
+    if not CORPUS.exists():
+        pytest.skip("corpus not mounted")
+    for path in sorted((CORPUS / "decode").iterdir())[::5]:
+        raw = path.read_bytes()
+        try:
+            ref = (bytes(spec_block.decompress_block(raw, output_limit=4 << 20)), None)
+        except DecodeError as e:
+            ref = (None, e.kind)
+        try:
+            got = (native.decompress_block(raw, output_limit=4 << 20), None)
+        except DecodeError as e:
+            got = (None, e.kind)
+        assert ref == got, path.name
+
+
+def test_frame_engine_native_equals_spec(corpus_sample):
+    from lz4tpu import CompressionSettings, decompress_frame
+
+    data = corpus_sample(21, 300_000)
+    for independent in (True, False):
+        for dict_bytes in (None, corpus_sample(21, 20_000)):
+            s_spec = CompressionSettings().engine("spec").independent_blocks(independent)
+            s_nat = CompressionSettings().engine("native").independent_blocks(independent)
+            if dict_bytes is not None:
+                s_spec.dictionary(5, dict_bytes)
+                s_nat.dictionary(5, dict_bytes)
+            s_spec.block_size(1 << 16)
+            s_nat.block_size(1 << 16)
+            f_spec = s_spec.compress_bytes(data)
+            f_nat = s_nat.compress_bytes(data)
+            assert f_spec == f_nat
+            assert decompress_frame(
+                f_nat, dictionary=dict_bytes or b"", engine="native"
+            ) == data
