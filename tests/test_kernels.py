@@ -1,0 +1,101 @@
+"""Pallas kernel tests.
+
+On CPU these run the kernels in interpret mode on small inputs (interpret
+mode is slow — the real differential suite runs on TPU; set
+LZ4TPU_TEST_PLATFORM=tpu to run the full matrix on hardware).
+"""
+
+import os
+
+import pytest
+
+from lz4tpu.spec.block import DecodeError, compress_block, decompress_block
+from lz4tpu.spec.table import U16Table, U32Table
+
+ON_TPU = os.environ.get("LZ4TPU_TEST_PLATFORM") == "tpu"
+
+
+@pytest.fixture(scope="module")
+def decomp():
+    from lz4tpu.kernels.decompress import decompress_blocks
+
+    return decompress_blocks
+
+
+def test_decode_reference_vectors(decomp):
+    """The reference's own decode vectors (raw/decompress.rs:154-175)."""
+    assert decomp([bytes([0x11, ord("a"), 1, 0])], block_maxsize=4096) == [b"aaaaaa"]
+    assert decomp(
+        [bytes([0x11, ord("a"), 1, 0, 0x22, ord("b"), ord("c"), 2, 0])],
+        block_maxsize=4096,
+    ) == [b"aaaaaabcbcbcbc"]
+    assert decomp([b"\x30a49"], block_maxsize=4096) == [b"a49"]
+
+
+def test_decode_batch_roundtrip(decomp):
+    payloads = [
+        b"to live or not to live, to live or not to live! " * 8,
+        b"\x00" * 300,
+        bytes(range(256)),
+        b"ab" * 150,
+        b"",
+    ]
+    comp = [bytes(compress_block(p, 0, U16Table())) for p in payloads]
+    out = decomp(comp, block_maxsize=4096)
+    assert out == payloads
+
+
+def test_decode_prefix(decomp):
+    out = decomp([bytes([0x12, ord("Q"), 2, 0])], [b"ab"], block_maxsize=4096)
+    assert out == [b"QbQbQbQ"]
+    # dictionary-resolved match
+    dictionary = b"hello world, this dictionary has words in it" * 3
+    data = b"this dictionary has words: hello world!"
+    table = U32Table()
+    from lz4tpu.spec.table import prime_u32_table
+
+    prime_u32_table(table, dictionary)
+    comp = bytes(compress_block(dictionary + data, len(dictionary), table))
+    out = decomp([comp], [dictionary], block_maxsize=4096)
+    assert out == [data]
+
+
+def test_decode_errors(decomp):
+    for bad, kind in [
+        (bytes([0x10, ord("a"), 2, 0]), DecodeError.KIND_INVALID_OFFSET),
+        (bytes([0x10, ord("a"), 0, 0]), DecodeError.KIND_ZERO_OFFSET),
+        (bytes([0x50, ord("a")]), DecodeError.KIND_UNEXPECTED_END),
+    ]:
+        with pytest.raises(DecodeError) as e:
+            decomp([bad], block_maxsize=4096)
+        assert e.value.kind == kind
+
+
+def test_decode_memory_limit(decomp):
+    data = bytes([0x1F, ord("a"), 1, 0, 0xFF, 0xFF, 0xFF, 0x10])
+    with pytest.raises(DecodeError) as e:
+        decomp([data], block_maxsize=500)
+    assert e.value.kind == DecodeError.KIND_MEMORY_LIMIT
+
+
+def test_decode_overlap_offsets(decomp):
+    """All the small-offset pattern-replication paths."""
+    base = b"XYZW" * 64
+    payloads = []
+    for off in (1, 2, 3, 4, 5, 7, 8, 16, 31, 64, 127, 128, 200):
+        seed = bytes((i * 17 + off) & 0xFF for i in range(off))
+        payloads.append(seed + (seed * (400 // off + 2))[: 400 - off] + base[:37])
+    comp = [bytes(compress_block(p, 0, U16Table())) for p in payloads]
+    # ensure the compressor actually produced small-offset matches
+    out = decomp(comp, block_maxsize=4096)
+    assert out == payloads
+
+
+@pytest.mark.skipif(not ON_TPU, reason="full differential matrix runs on TPU")
+def test_decode_differential_corpus(decomp, corpus_sample):
+    from lz4tpu.native import compress_block as ncompress
+
+    payloads = [corpus_sample(s, 60_000 + 997 * s) for s in range(16)]
+    comp = [ncompress(p, 0, U32Table()) for p in payloads]
+    out = decomp(comp, block_maxsize=1 << 16)
+    assert out == payloads
