@@ -1,0 +1,581 @@
+"""Pallas TPU raw-block compressor — bit-exact greedy LZ4 parse.
+
+TPU-native implementation of the reference's match finder and sequence
+emitter (``/root/reference/src/raw/compress/mod.rs:147-260``).  The greedy
+parse is a strictly sequential dependent loop (the hash table mutates as
+the cursor moves), so one block's parse runs on the TPU's scalar core with
+all state in SMEM:
+
+* input block as packed little-endian words,
+* the 4096-slot encoder table as scratch,
+* compressed output emitted through a word-packing byte pusher.
+
+Throughput comes from the grid (many blocks per call per chip) and from
+the mesh (blocks data-parallel across chips, ``lz4tpu.parallel``), not
+from vectorising a single parse — reordering anything would break
+byte-for-byte parity with the C implementation.
+
+The reference hash ``((v << 24) * 889523592379) >> 52`` is 64-bit; Mosaic
+scalars are 32-bit, so the kernel computes the exact top-12 bits with
+32-bit limb arithmetic (see ``_hash_u32t``): only byte0 and bytes1..4 of
+the little-endian u64 read survive the ``<< 24``, giving
+
+    hi32 = (b0*(m0>>8) + (b0*(m0&0xFF))>>8 + ((b0*m1)&0xFF)<<24 + w1*m0) mod 2^32
+    hash = hi32 >> 20
+
+with m0/m1 the low/high limbs of the multiplier — proven equal to the
+64-bit form over all inputs in tests/test_kernels_compress.py.
+
+Cap/abort semantics mirror ``NoPartialWrites`` (``framed/compress.rs:285``):
+the group-granular overflow check leaves the encoder table mutated exactly
+as the reference does, which is what makes linked-block mode bit-exact.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..spec.block import Incompressible
+from ..spec.table import HASH64_MUL, U16Table, U32Table
+
+LANES = 128
+HASHLOG = 12
+MINMATCH = 4
+SKIP_TRIGGER = 6
+
+# 32-bit limbs of the 64-bit hash multiplier
+_M0 = HASH64_MUL & 0xFFFFFFFF  # low limb
+_M1 = HASH64_MUL >> 32  # high limb (= 207)
+
+STATUS_OK = 0
+STATUS_INCOMPRESSIBLE = 1
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _srl(x, n):
+    """Logical right shift on int32 scalars (>> would sign-extend)."""
+    return jax.lax.shift_right_logical(x, n)
+
+
+def _compress_kernel(
+    in_words_ref,  # SMEM (1, 1, Wi) int32 — packed LE words of data (window+block)
+    n_ref,  # SMEM (1,1,1) int32 — total data length
+    cursor_ref,  # SMEM (1,1,1) int32 — parse start (window offset)
+    cap_ref,  # SMEM (1,1,1) int32 — output byte cap (<0: none)
+    accel_ref,  # SMEM (1,1,1) int32 — acceleration
+    toff_ref,  # SMEM (1,1,1) int32 — table offset (linked-mode slide)
+    prime_ref,  # SMEM (1,1,1) int32 — 1: prime table from data[:cursor] (dict semantics)
+    table_in_ref,  # SMEM (1, 1, S) int32 — encoder table in
+    out_words_ref,  # SMEM (1, 1, Wo) int32 — packed compressed output
+    out_len_ref,  # SMEM (1,1,1) int32
+    status_ref,  # SMEM (1,1,1) int32
+    table_out_ref,  # SMEM (1, 1, S) int32 — encoder table out
+    table_ref,  # SMEM scratch (S,) int32
+    *,
+    wi: int,
+    wo: int,
+    table_slots: int,
+    u16_table: bool,
+):
+    n = n_ref[0, 0, 0]
+    init_cursor = cursor_ref[0, 0, 0]
+    cap_in = cap_ref[0, 0, 0]
+    cap = jnp.where(cap_in < 0, jnp.int32(0x7FFFFFF0), cap_in)
+    acceleration = accel_ref[0, 0, 0]
+    toff = toff_ref[0, 0, 0]
+    do_prime = prime_ref[0, 0, 0]
+
+    # copy the (possibly dictionary-primed) table into scratch
+    def copy_in(i, _):
+        table_ref[i] = table_in_ref[0, 0, i]
+        return 0
+
+    jax.lax.fori_loop(0, table_slots, copy_in, 0)
+
+    max_wi = wi - 1
+
+    def read_byte(p):
+        idx = jnp.minimum(_srl(p, 2), max_wi)
+        w = in_words_ref[0, 0, idx]
+        return _srl(w, (p & 3) * 8) & 0xFF
+
+    def read_u32(p):
+        """Unaligned LE u32 at byte p (two word reads + funnel shift)."""
+        idx = jnp.minimum(_srl(p, 2), max_wi - 1)
+        w0 = in_words_ref[0, 0, idx]
+        w1 = in_words_ref[0, 0, idx + 1]
+        sh = (p & 3) * 8
+        lo = _srl(w0, sh)
+        hi = jnp.where(sh == 0, 0, w1 << ((32 - sh) & 31))
+        return lo | hi
+
+    def hash_at(p):
+        """Exact reference hash at position p (see module docstring)."""
+        if u16_table:
+            v = read_u32(p)
+            # (v * 2654435761) >> (32 - HASHLOG - 1), all mod 2^32
+            prod = (v * jnp.int32(np.int32(np.uint32(2654435761)))).astype(jnp.int32)
+            return _srl(prod, 32 - HASHLOG - 1)
+        valid = p + 8 <= n
+        b0 = jnp.where(valid, read_byte(p), 0)
+        w1 = jnp.where(valid, read_u32(p + 1), 0)
+        m0 = jnp.int32(np.int32(np.uint32(_M0)))
+        hi32 = (
+            b0 * _srl(m0, 8)
+            + _srl(b0 * (m0 & 0xFF), 8)
+            + ((b0 * jnp.int32(_M1) & 0xFF) << 24)
+            + (w1 * m0).astype(jnp.int32)
+        ).astype(jnp.int32)
+        return _srl(hi32, 32 - HASHLOG)
+
+    def table_replace(p):
+        h = hash_at(p)
+        prev = table_ref[h]
+        table_ref[h] = p + toff
+        # saturating_sub in buffer coordinates
+        return jnp.maximum(prev - toff, 0)
+
+    # ---- in-kernel prefix priming (framed/compress.rs:202-214 semantics:
+    #      insert positions 0, 3, 6, ... <= cursor-8 of the window/dictionary
+    #      prefix, later inserts overwriting earlier) ----
+    def prime_body(i, _):
+        p = i * 3
+        table_ref[hash_at(p)] = p + toff
+        return 0
+
+    n_prime = jnp.where(
+        (do_prime != 0) & (init_cursor >= 8), (init_cursor - 8) // 3 + 1, 0
+    )
+    jax.lax.fori_loop(0, n_prime, prime_body, 0)
+
+    # ---- output byte pusher (packed words, RMW) ----
+    max_wo = wo - 1
+
+    def push_byte(out_pos, b):
+        idx = jnp.minimum(_srl(out_pos, 2), max_wo)
+        sh = (out_pos & 3) * 8
+        w = out_words_ref[0, 0, idx]
+        w = (w & ~(0xFF << sh)) | ((b & 0xFF) << sh)
+        out_words_ref[0, 0, idx] = w
+        return out_pos + 1
+
+    def push_lsic_tail(out_pos, value):
+        def cond(c):
+            return c[1] >= 0xFF
+
+        def body(c):
+            op, v = c
+            return push_byte(op, 0xFF), v - 0xFF
+
+        def emit(out_pos):
+            v = value - 0xF
+            out_pos, v = jax.lax.while_loop(cond, body, (out_pos, v))
+            return push_byte(out_pos, v)
+
+        return jax.lax.cond(value >= 0xF, emit, lambda op: op, out_pos)
+
+    def copy_literals(out_pos, start, length):
+        def body(i, op):
+            return push_byte(op, read_byte(start + i))
+
+        return jax.lax.fori_loop(0, length, body, out_pos)
+
+    def lsic_len(v):
+        return jnp.where(v < 0xF, 0, _srl(v - 0xF, 0) // 0xFF + 1)
+
+    # ---- match extension (word-at-a-time LCP) ----
+    def count_matching(a, a_end, b):
+        """LCP of data[a:a_end] and data[b:n] (equivalent to
+        compress/mod.rs:117-145; see spec/block.py for the proof)."""
+        limit = jnp.minimum(a_end - a, n - b)
+
+        def wcond(c):
+            m, go = c
+            return go
+
+        def wbody(c):
+            m, _ = c
+            can = m + 4 <= limit
+            ok = can & (read_u32(a + m) == read_u32(b + m))
+            return jnp.where(ok, m + 4, m), ok
+
+        m, _ = jax.lax.while_loop(wcond, wbody, (jnp.int32(0), jnp.bool_(True)))
+
+        def bcond(c):
+            m, go = c
+            return go
+
+        def bbody(c):
+            m, _ = c
+            can = m < limit
+            ok = can & (read_byte(a + m) == read_byte(b + m))
+            return jnp.where(ok, m + 1, m), ok
+
+        m, _ = jax.lax.while_loop(bcond, bbody, (m, jnp.bool_(True)))
+        return m
+
+    # ---- the greedy parse (compress/mod.rs:166-238) ----
+    # carry: cursor, out_pos, status, done
+    def outer_cond(c):
+        cursor, _, status, done = c
+        return (cursor < n) & (status == STATUS_OK) & (~done)
+
+    def outer_body(c):
+        cursor, out_pos, status, done = c
+        literal_start = cursor
+
+        # --- find a duplicate ---
+        # inner carry: cursor, step, step_counter, found, offset, extra, tail
+        def find_cond(fc):
+            cursor, _, _, found, _, _, tail = fc
+            return (~found) & (~tail)
+
+        def find_body(fc):
+            cursor, step, step_counter, found, offset, extra, tail = fc
+
+            is_tail = n - cursor < 12
+            # the tail path must NOT probe the table (compress/mod.rs:178
+            # returns before the replace at :196) — and table_replace has a
+            # side effect, so it needs a real branch, not jnp.where
+            candidate = jax.lax.cond(
+                is_tail,
+                lambda: jnp.int32(0),
+                lambda: table_replace(cursor),
+            )
+            usable = (
+                (~is_tail)
+                & (cursor != init_cursor)
+                & (cursor - candidate <= 0xFFFF)
+            )
+            matching = jnp.where(
+                usable, count_matching(cursor, n - 5, candidate), 0
+            )
+            is_match = usable & (matching >= MINMATCH)
+
+            # backtrack (compress/mod.rs:211-214)
+            def bt_cond(c2):
+                bt, go = c2
+                return go
+
+            def bt_body(c2):
+                bt, _ = c2
+                can = (
+                    (bt < cursor - literal_start)
+                    & (candidate - bt > 0)
+                    & (read_byte(cursor - bt - 1) == read_byte(candidate - bt - 1))
+                )
+                return jnp.where(can, bt + 1, bt), can
+
+            bt = jnp.where(
+                is_match,
+                jax.lax.while_loop(bt_cond, bt_body, (jnp.int32(0), is_match))[0],
+                0,
+            )
+
+            new_cursor = jnp.where(is_match, cursor + matching, cursor)
+            # cursor-2 re-insert (compress/mod.rs:218) — side effect, so cond
+            jax.lax.cond(
+                is_match,
+                lambda: table_replace(new_cursor - 2),
+                lambda: jnp.int32(0),
+            )
+
+            new_offset = jnp.where(is_match, cursor - candidate, offset)
+            new_extra = jnp.where(is_match, matching - MINMATCH + bt, extra)
+
+            # miss: skip-acceleration stride (compress/mod.rs:225-231)
+            miss = (~is_tail) & (~is_match)
+            stepped = jnp.where(miss, cursor + step, new_cursor)
+            new_step = jnp.where(miss, _srl(step_counter, SKIP_TRIGGER), step)
+            new_counter = jnp.where(
+                miss & (literal_start + 1 != stepped), step_counter + 1, step_counter
+            )
+
+            return (
+                stepped,
+                new_step,
+                new_counter,
+                is_match,
+                new_offset,
+                new_extra,
+                is_tail,
+            )
+
+        cursor2, _, _, found, offset, extra, tail = jax.lax.while_loop(
+            find_cond,
+            find_body,
+            (
+                cursor,
+                jnp.int32(1),
+                acceleration << SKIP_TRIGGER,
+                jnp.bool_(False),
+                jnp.int32(0),
+                jnp.int32(0),
+                jnp.bool_(False),
+            ),
+        )
+
+        def emit_tail(args):
+            out_pos, status = args
+            literal_len = n - literal_start
+            group_len = 1 + lsic_len(literal_len) + literal_len
+            over = out_pos + group_len > cap
+            status = jnp.where(over, STATUS_INCOMPRESSIBLE, status)
+
+            def do_emit(op):
+                op = push_byte(op, jnp.minimum(literal_len, 0xF) << 4)
+                op = push_lsic_tail(op, literal_len)
+                return copy_literals(op, literal_start, literal_len)
+
+            out_pos = jax.lax.cond(over, lambda op: op, do_emit, out_pos)
+            return out_pos, status
+
+        def emit_group(args):
+            out_pos, status = args
+            literal_end = cursor2 - extra - MINMATCH
+            literal_len = literal_end - literal_start
+            group_len = (
+                1 + lsic_len(literal_len) + literal_len + 2 + lsic_len(extra)
+            )
+            over = out_pos + group_len > cap
+            status = jnp.where(over, STATUS_INCOMPRESSIBLE, status)
+
+            def do_emit(op):
+                token = (jnp.minimum(literal_len, 0xF) << 4) | jnp.minimum(extra, 0xF)
+                op = push_byte(op, token)
+                op = push_lsic_tail(op, literal_len)
+                op = copy_literals(op, literal_start, literal_len)
+                op = push_byte(op, offset & 0xFF)
+                op = push_byte(op, _srl(offset, 8))
+                return push_lsic_tail(op, extra)
+
+            out_pos = jax.lax.cond(over, lambda op: op, do_emit, out_pos)
+            return out_pos, status
+
+        out_pos, status = jax.lax.cond(
+            tail, emit_tail, emit_group, (out_pos, status)
+        )
+        return cursor2, out_pos, status, tail | (status != STATUS_OK)
+
+    cursor0 = jnp.minimum(init_cursor, n)
+    _, out_pos, status, _ = jax.lax.while_loop(
+        outer_cond, outer_body, (cursor0, jnp.int32(0), jnp.int32(STATUS_OK), jnp.bool_(False))
+    )
+
+    out_len_ref[0, 0, 0] = out_pos
+    status_ref[0, 0, 0] = status
+
+    def copy_out(i, _):
+        table_out_ref[0, 0, i] = table_ref[i]
+        return 0
+
+    jax.lax.fori_loop(0, table_slots, copy_out, 0)
+
+
+# ---------------------------------------------------------------------------
+# XLA wrapper
+# ---------------------------------------------------------------------------
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("data_capacity", "out_capacity", "u16_table")
+)
+def _compress_batch_jit(
+    data_u8,  # uint8 [N, C]
+    n_arr,  # int32 [N]
+    cursor_arr,  # int32 [N]
+    cap_arr,  # int32 [N]
+    accel_arr,  # int32 [N]
+    toff_arr,  # int32 [N]
+    prime_arr,  # int32 [N]
+    tables,  # uint32/uint16 [N, S]
+    *,
+    data_capacity: int,
+    out_capacity: int,
+    u16_table: bool,
+):
+    n_blocks = data_u8.shape[0]
+    wi = _round_up(data_capacity, 4) // 4 + 4
+    wo = _round_up(out_capacity, 4) // 4 + 4
+    s = tables.shape[1]
+
+    d = jnp.zeros((n_blocks, wi * 4), jnp.uint8).at[:, :data_capacity].set(data_u8)
+    dw = d.reshape(n_blocks, wi, 4).astype(jnp.uint32)
+    in_words = (
+        dw[:, :, 0] | (dw[:, :, 1] << 8) | (dw[:, :, 2] << 16) | (dw[:, :, 3] << 24)
+    ).astype(jnp.int32)
+
+    kernel = functools.partial(
+        _compress_kernel, wi=wi, wo=wo, table_slots=s, u16_table=u16_table
+    )
+
+    smem11 = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
+    out_words, out_len, status, table_out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 1, wi), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            smem11,
+            smem11,
+            smem11,
+            smem11,
+            smem11,
+            smem11,
+            pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, wo), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            smem11,
+            smem11,
+            pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks, 1, wo), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, 1, s), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.SMEM((s,), jnp.int32)],
+        interpret=_interpret(),
+    )(
+        in_words.reshape(n_blocks, 1, wi),
+        n_arr.reshape(n_blocks, 1, 1),
+        cursor_arr.reshape(n_blocks, 1, 1),
+        cap_arr.reshape(n_blocks, 1, 1),
+        accel_arr.reshape(n_blocks, 1, 1),
+        toff_arr.reshape(n_blocks, 1, 1),
+        prime_arr.reshape(n_blocks, 1, 1),
+        tables.astype(jnp.int32).reshape(n_blocks, 1, s),
+    )
+
+    w = out_words.reshape(n_blocks, wo, 1)
+    out_u8 = jnp.concatenate(
+        [
+            (w & 0xFF),
+            (jax.lax.shift_right_logical(w, 8) & 0xFF),
+            (jax.lax.shift_right_logical(w, 16) & 0xFF),
+            (jax.lax.shift_right_logical(w, 24) & 0xFF),
+        ],
+        axis=2,
+    ).reshape(n_blocks, wo * 4).astype(jnp.uint8)
+    return (
+        out_u8,
+        out_len.reshape(n_blocks),
+        status.reshape(n_blocks),
+        table_out.reshape(n_blocks, s),
+    )
+
+
+def compress_blocks(
+    datas,
+    cursors=None,
+    tables=None,
+    acceleration: int = 1,
+    caps=None,
+    prime_prefix=False,
+):
+    """Compress a batch of raw blocks on the TPU (independent blocks; each
+    entry may carry its own window prefix via ``cursors`` and a primed
+    ``tables`` entry).
+
+    Returns ``(outputs, tables)`` where ``outputs[i]`` is the compressed
+    bytes or ``None`` if block ``i`` exceeded its cap (incompressible),
+    and ``tables`` are the post-parse encoder tables (for linked chains).
+    """
+    n_blocks = len(datas)
+    if n_blocks == 0:
+        return [], []
+    datas = [bytes(d) for d in datas]
+    if cursors is None:
+        cursors = [0] * n_blocks
+    if caps is None:
+        caps = [None] * n_blocks
+    if tables is None:
+        tables = [U32Table() for _ in range(n_blocks)]
+    u16 = isinstance(tables[0], U16Table)
+
+    data_capacity = _round_up(max(max(len(d) for d in datas), 4), LANES)
+    out_capacity = _round_up(data_capacity + data_capacity // 255 + 16, 4)
+
+    arr = np.zeros((n_blocks, data_capacity), np.uint8)
+    n_arr = np.zeros(n_blocks, np.int32)
+    cursor_arr = np.zeros(n_blocks, np.int32)
+    cap_arr = np.full(n_blocks, -1, np.int32)
+    toff_arr = np.zeros(n_blocks, np.int32)
+    tbl = np.zeros((n_blocks, tables[0].dict.size), np.uint32)
+    for i, d in enumerate(datas):
+        arr[i, : len(d)] = np.frombuffer(d, np.uint8)
+        n_arr[i] = len(d)
+        cursor_arr[i] = cursors[i]
+        if caps[i] is not None:
+            cap_arr[i] = caps[i]
+        toff_arr[i] = tables[i].offset
+        tbl[i] = tables[i].dict
+    accel_arr = np.full(n_blocks, max(int(acceleration), 1), np.int32)
+    prime_arr = np.full(n_blocks, 1 if prime_prefix else 0, np.int32)
+
+    out_u8, out_len, status, table_out = _compress_batch_jit(
+        jnp.asarray(arr),
+        jnp.asarray(n_arr),
+        jnp.asarray(cursor_arr),
+        jnp.asarray(cap_arr),
+        jnp.asarray(accel_arr),
+        jnp.asarray(toff_arr),
+        jnp.asarray(prime_arr),
+        jnp.asarray(tbl),
+        data_capacity=data_capacity,
+        out_capacity=out_capacity,
+        u16_table=u16,
+    )
+    out_u8 = np.asarray(out_u8)
+    out_len = np.asarray(out_len)
+    status = np.asarray(status)
+    table_out = np.asarray(table_out)
+
+    outputs = []
+    for i in range(n_blocks):
+        # write post-parse table state back (abort keeps mutations, like
+        # NoPartialWrites)
+        tables[i].dict[:] = table_out[i].astype(tables[i].dict.dtype)
+        if status[i] == STATUS_INCOMPRESSIBLE:
+            outputs.append(None)
+        else:
+            outputs.append(out_u8[i, : out_len[i]].tobytes())
+    return outputs, tables
+
+
+def compress_block_tpu(
+    data,
+    cursor: int = 0,
+    table=None,
+    out=None,
+    acceleration: int = 1,
+    cap: int | None = None,
+):
+    """Single-block engine adapter (``engine='tpu'``); same contract as
+    ``spec.block.compress_block``."""
+    data = bytes(data)
+    if table is None:
+        table = U16Table() if len(data) <= 0xFFFF else U32Table()
+    outputs, _ = compress_blocks(
+        [data], [cursor], [table], acceleration=acceleration, caps=[cap]
+    )
+    if outputs[0] is None:
+        raise Incompressible()
+    if out is not None:
+        out.extend(outputs[0])
+        return out
+    return outputs[0]

@@ -1,0 +1,389 @@
+"""Sharded frame pipelines: whole-frame codec over a device mesh.
+
+This is the TPU-native scaling layer that has no counterpart in the
+single-threaded reference (SURVEY.md §2): blocks shard data-parallel
+across chips; linked-block windows travel as a ring halo
+(``jax.lax.ppermute`` over ICI, ring order = frame order); compressed
+payloads come back as fixed-capacity buffers + true lengths (the frame
+format's incompressible fallback guarantees output ≤ block size,
+``framed/compress.rs:239-255``, which makes TPU buffer sizing static);
+the host concatenates blocks in frame order and adds headers/checksums.
+
+Two frame modes:
+
+* independent blocks — embarrassingly parallel, bit-exact with the
+  reference frame writer (same parse, same bytes);
+* ``parallel_linked`` — each block's 64 KiB window is the *raw* tail of
+  the previous block, primed into the encoder table with dictionary
+  semantics.  This decodes with any standard LZ4 frame reader as a
+  linked-block frame, but is NOT byte-identical to the reference's
+  serial linked mode (whose table state flows through the whole frame —
+  inherently sequential).  Serial bit-exact linked mode remains available
+  through the streaming API with any engine.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..frame.errors import InvalidBlockSize
+from ..frame.header import INCOMPRESSIBLE, MAGIC, WINDOW_SIZE, BlockDescriptor, Flags
+from ..spec.block import DecodeError
+from ..utils.hashing import make_hasher
+from .mesh import BLOCK_AXIS, make_mesh
+
+from ..kernels import compress as kcompress
+from ..kernels import decompress as kdecompress
+
+
+def _pad_blocks(data: bytes, block_size: int):
+    n = len(data)
+    n_blocks = max(-(-n // block_size), 1)
+    arr = np.zeros((n_blocks, block_size), np.uint8)
+    flat = np.frombuffer(data, np.uint8)
+    lens = np.zeros(n_blocks, np.int32)
+    for i in range(n_blocks):
+        chunk = flat[i * block_size : (i + 1) * block_size]
+        arr[i, : len(chunk)] = chunk
+        lens[i] = len(chunk)
+    return arr, lens, n_blocks
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# sharded kernels
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "block_size", "window", "acceleration", "u16_table"),
+)
+def _compress_sharded(
+    blocks,  # uint8 [N, B] (N divisible by mesh size)
+    lens,  # int32 [N]
+    tables,  # int32 [N, S] primed template (usually zeros)
+    *,
+    mesh,
+    block_size: int,
+    window: int,  # 0 = independent, else parallel-linked halo bytes
+    acceleration: int,
+    u16_table: bool,
+):
+    """Mesh-sharded block compression; returns (out_u8, out_len, status).
+
+    Inside each shard: build per-block window prefixes (ring halo via
+    ppermute for the shard-boundary block), then run the Pallas compress
+    grid over the local blocks.
+    """
+    s = tables.shape[1]
+    data_capacity = _round_up(window + block_size, 128)
+    out_capacity = _round_up(data_capacity + data_capacity // 255 + 16, 4)
+
+    def local(blocks_l, lens_l, tables_l):
+        nl, b = blocks_l.shape
+        if window:
+            # halo: previous block's trailing `window` bytes; first local
+            # block receives the previous device's last block tail over ICI
+            tails = blocks_l[:, -window:]  # [nl, W]
+            prev_local = jnp.roll(tails, 1, axis=0)
+            from_prev_dev = jax.lax.ppermute(
+                tails[-1:],
+                BLOCK_AXIS,
+                [(i, (i + 1) % mesh.shape[BLOCK_AXIS]) for i in range(mesh.shape[BLOCK_AXIS])],
+            )
+            windows = prev_local.at[0:1].set(from_prev_dev)
+            # window validity: block 0 of the whole batch has no predecessor;
+            # handled by zero cursor for global block 0 below
+            data = jnp.concatenate([windows, blocks_l], axis=1)
+            my_shard = jax.lax.axis_index(BLOCK_AXIS)
+            global_ids = my_shard * nl + jnp.arange(nl)
+            # window length of previous block: full `window` when the
+            # previous block was full-size; first global block: 0
+            prev_lens = jnp.roll(lens_l, 1)
+            prev_lens = prev_lens.at[0].set(
+                jax.lax.ppermute(
+                    lens_l[-1:],
+                    BLOCK_AXIS,
+                    [(i, (i + 1) % mesh.shape[BLOCK_AXIS]) for i in range(mesh.shape[BLOCK_AXIS])],
+                )[0]
+            )
+            wlen = jnp.minimum(prev_lens, window)
+            wlen = jnp.where(global_ids == 0, 0, wlen)
+            # left-align each window: data currently holds the tail at a
+            # fixed position; shift so the valid window ends at `window`
+            cursors = jnp.full((nl,), window, jnp.int32)
+            # for short windows the gap [0, window-wlen) holds stale bytes;
+            # the parse only references [window-wlen, window) because the
+            # priming loop inserts positions 0.. — to stay correct we only
+            # prime full windows and skip priming otherwise
+            prime = (wlen == window).astype(jnp.int32)
+            ns = window + lens_l
+        else:
+            pad = data_capacity - b
+            data = (
+                jnp.pad(blocks_l, ((0, 0), (0, pad))) if pad else blocks_l
+            )
+            cursors = jnp.zeros((nl,), jnp.int32)
+            prime = jnp.zeros((nl,), jnp.int32)
+            ns = lens_l
+
+        if window:
+            pad = data_capacity - data.shape[1]
+            if pad:
+                data = jnp.pad(data, ((0, 0), (0, pad)))
+
+        caps = lens_l  # output capped at input size (incompressible fallback)
+        accel = jnp.full((nl,), acceleration, jnp.int32)
+        toff = jnp.zeros((nl,), jnp.int32)
+        out_u8, out_len, status, _ = kcompress._compress_batch_jit(
+            data,
+            ns.astype(jnp.int32),
+            cursors,
+            caps.astype(jnp.int32),
+            accel,
+            toff,
+            prime,
+            tables_l,
+            data_capacity=data_capacity,
+            out_capacity=out_capacity,
+            u16_table=u16_table,
+        )
+        return out_u8, out_len, status
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        check_rep=False,
+    )(blocks, lens, tables)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "block_maxsize", "comp_capacity"))
+def _decompress_sharded(
+    comp,  # uint8 [N, C]
+    comp_len,  # int32 [N]
+    *,
+    mesh,
+    block_maxsize: int,
+    comp_capacity: int,
+):
+    """Mesh-sharded independent-block decompression."""
+
+    def local(comp_l, lens_l):
+        nl = comp_l.shape[0]
+        prefix = jnp.zeros((nl, 128), jnp.uint8)
+        plen = jnp.zeros((nl,), jnp.int32)
+        return kdecompress._decompress_batch_jit(
+            comp_l,
+            lens_l,
+            prefix,
+            plen,
+            block_maxsize=block_maxsize,
+            comp_capacity=comp_capacity,
+            prefix_capacity=128,
+        )
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        check_rep=False,
+    )(comp, comp_len)
+
+
+# ---------------------------------------------------------------------------
+# whole-frame operations
+# ---------------------------------------------------------------------------
+
+
+def compress_frame_parallel(
+    data,
+    block_size: int = 1 << 16,
+    mesh=None,
+    content_checksum: bool = True,
+    block_checksums: bool = False,
+    with_content_size: bool = True,
+    acceleration: int = 1,
+    parallel_linked: bool = False,
+) -> bytes:
+    """Compress one LZ4 frame with all blocks in parallel on the mesh.
+
+    Independent mode is byte-identical to the streaming writer
+    (``frame.compress.CompressionSettings``) with the same settings;
+    ``parallel_linked`` emits a valid linked-block frame (see module
+    docstring).
+    """
+    data = bytes(data)
+    if BlockDescriptor.for_block_maxsize(block_size) is None:
+        raise InvalidBlockSize(str(block_size))
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.shape[BLOCK_AXIS]
+
+    arr, lens, n_blocks = _pad_blocks(data, block_size)
+    # pad block count to a multiple of the mesh size with empty blocks
+    n_padded = _round_up(n_blocks, n_dev)
+    if n_padded != n_blocks:
+        arr = np.concatenate([arr, np.zeros((n_padded - n_blocks, block_size), np.uint8)])
+        lens = np.concatenate([lens, np.zeros(n_padded - n_blocks, np.int32)])
+
+    tables = np.zeros((n_padded, 4096), np.int32)
+    window = WINDOW_SIZE if parallel_linked else 0
+
+    out_u8, out_len, status = _compress_sharded(
+        jnp.asarray(arr),
+        jnp.asarray(lens),
+        jnp.asarray(tables),
+        mesh=mesh,
+        block_size=block_size,
+        window=window,
+        acceleration=acceleration,
+        u16_table=False,
+    )
+    out_u8 = np.asarray(out_u8)
+    out_len = np.asarray(out_len)
+    status = np.asarray(status)
+
+    # host-side ordered assembly (frame order)
+    flags = Flags(
+        independent_blocks=not parallel_linked,
+        block_checksums=block_checksums,
+        content_checksum=content_checksum,
+        content_size=with_content_size,
+        dictionary_id=False,
+    )
+    bd = BlockDescriptor.for_block_maxsize(block_size)
+    header = bytearray()
+    header.extend(MAGIC.to_bytes(4, "little"))
+    header.append(flags.encode())
+    header.append(bd.byte)
+    if with_content_size:
+        header.extend(len(data).to_bytes(8, "little"))
+    from ..spec.xxhash32 import xxh32
+
+    header.append((xxh32(header[4:]) >> 8) & 0xFF)
+
+    parts = [bytes(header)]
+    for i in range(n_blocks):
+        if lens[i] == 0:
+            continue  # no zero-length blocks: 0 is the EndMark
+        raw = data[i * block_size : i * block_size + int(lens[i])]
+        if status[i] == kcompress.STATUS_INCOMPRESSIBLE:
+            payload = raw
+            parts.append((int(lens[i]) | INCOMPRESSIBLE).to_bytes(4, "little"))
+        else:
+            payload = out_u8[i, : out_len[i]].tobytes()
+            parts.append(len(payload).to_bytes(4, "little"))
+        parts.append(payload)
+        if block_checksums:
+            parts.append(xxh32(payload).to_bytes(4, "little"))
+    parts.append((0).to_bytes(4, "little"))
+    if content_checksum:
+        parts.append((make_hasher(0).update(data).digest()).to_bytes(4, "little"))
+    return b"".join(parts)
+
+
+def decompress_frame_parallel(frame, mesh=None, verify_checksums: bool = True) -> bytes:
+    """Decompress one LZ4 frame with all independent blocks in parallel.
+
+    Linked-block frames fall back to the (serial-by-nature) streaming
+    reader with the native engine.
+    """
+    from ..frame.decompress import LZ4FrameReader
+
+    frame = bytes(frame)
+    reader = LZ4FrameReader(frame, engine="native")
+    if not reader.flags.independent_blocks:
+        rest = LZ4FrameReader(frame, engine="native")
+        return rest.read_all()
+
+    # scan block boundaries without decoding
+    blocks = []
+    stream = reader.reader
+    while True:
+        len_raw = stream.read(4)
+        if len(len_raw) < 4:
+            raise DecodeError(DecodeError.KIND_UNEXPECTED_END)
+        block_length = int.from_bytes(len_raw, "little")
+        if block_length == 0:
+            if reader.flags.content_checksum:
+                expected_sum = int.from_bytes(stream.read(4), "little")
+            else:
+                expected_sum = None
+            break
+        compressed = (block_length & INCOMPRESSIBLE) == 0
+        block_length &= ~INCOMPRESSIBLE & 0xFFFFFFFF
+        payload = stream.read(block_length)
+        checksum = (
+            int.from_bytes(stream.read(4), "little")
+            if reader.flags.block_checksums
+            else None
+        )
+        blocks.append((compressed, payload, checksum))
+
+    if verify_checksums and reader.flags.block_checksums:
+        from ..frame.errors import BlockChecksumFail
+        from ..spec.xxhash32 import xxh32
+
+        for compressed, payload, checksum in blocks:
+            if checksum is not None and xxh32(payload) != checksum:
+                raise BlockChecksumFail("a block checksum was invalid")
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.shape[BLOCK_AXIS]
+
+    to_decode = [p for c, p, _ in blocks if c]
+    outputs = {}
+    if to_decode:
+        comp_capacity = _round_up(max(len(p) for p in to_decode), 128)
+        n = len(to_decode)
+        n_padded = _round_up(n, n_dev)
+        comp = np.zeros((n_padded, comp_capacity), np.uint8)
+        clens = np.zeros(n_padded, np.int32)
+        for i, p in enumerate(to_decode):
+            comp[i, : len(p)] = np.frombuffer(p, np.uint8)
+            clens[i] = len(p)
+        out_u8, out_len, statuses = _decompress_sharded(
+            jnp.asarray(comp),
+            jnp.asarray(clens),
+            mesh=mesh,
+            block_maxsize=reader.block_maxsize,
+            comp_capacity=comp_capacity,
+        )
+        out_u8 = np.asarray(out_u8)
+        out_len = np.asarray(out_len)
+        statuses = np.asarray(statuses)
+        for i in range(n):
+            if statuses[i] != kdecompress.OK:
+                raise DecodeError(kdecompress.STATUS_TO_KIND[int(statuses[i])])
+            outputs[i] = out_u8[i, : out_len[i]].tobytes()
+
+    parts = []
+    k = 0
+    for compressed, payload, _ in blocks:
+        if compressed:
+            parts.append(outputs[k])
+            k += 1
+        else:
+            parts.append(payload)
+    result = b"".join(parts)
+
+    if verify_checksums and reader.flags.content_checksum and expected_sum is not None:
+        from ..frame.errors import FrameChecksumFail
+
+        if make_hasher(0).update(result).digest() != expected_sum:
+            raise FrameChecksumFail("the frame checksum was invalid")
+    return result

@@ -9,12 +9,19 @@ LZ4TPU_TEST_PLATFORM=tpu to run the kernel tests on a real chip instead.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", os.environ.get("LZ4TPU_TEST_PLATFORM", "cpu"))
+_platform = os.environ.get("LZ4TPU_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# the axon TPU plugin overrides JAX_PLATFORMS from the environment, so pin
+# the platform through the config API as well
+import jax
+
+jax.config.update("jax_platforms", _platform)
 
 import random
 
