@@ -340,7 +340,15 @@ def _decompress_batch_jit(
     return out_u8, out_len.reshape(n_blocks), status.reshape(n_blocks)
 
 
-def decompress_blocks(
+def decompress_blocks(blocks, prefixes=None, block_maxsize: int = 1 << 16):
+    """Decode a batch of raw LZ4 blocks on the TPU (v2 interleaved kernel;
+    see decompress_v2.py).  v1 remains below as decompress_blocks_v1."""
+    from .decompress_v2 import decompress_blocks_v2
+
+    return decompress_blocks_v2(blocks, prefixes, block_maxsize=block_maxsize)
+
+
+def decompress_blocks_v1(
     blocks,
     prefixes=None,
     block_maxsize: int = 1 << 16,
