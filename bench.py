@@ -69,7 +69,7 @@ def bench_tpu(blocks, comp):
 
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     from lz4tpu.kernels.compress import _compress_batch_jit
-    from lz4tpu.kernels.decompress_v2 import _decompress_batch_v2_jit
+    from lz4tpu.kernels.decompress_v3 import _decompress_batch_v3_jit
 
     nb = len(blocks)
     total = sum(len(b) for b in blocks)
@@ -83,11 +83,11 @@ def bench_tpu(blocks, comp):
     d_lens = jnp.asarray(lens)
     pref = jnp.zeros((nb, 128), jnp.uint8)
     plen = jnp.zeros(nb, jnp.int32)
-    dkw = dict(block_maxsize=BLOCK, comp_capacity=CAP, prefix_rows=0, k_blocks=4)
+    dkw = dict(block_maxsize=BLOCK, comp_capacity=CAP, prefix_rows=0)
 
     @jax.jit
     def dec_chain(a, l):
-        out, ol, st = _decompress_batch_v2_jit(a, l, pref, plen, **dkw)
+        out, ol, st = _decompress_batch_v3_jit(a, l, pref, plen, **dkw)
         return a ^ (st.sum() * 0).astype(jnp.uint8), l, out, ol, st
 
     # correctness first

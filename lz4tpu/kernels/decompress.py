@@ -341,11 +341,11 @@ def _decompress_batch_jit(
 
 
 def decompress_blocks(blocks, prefixes=None, block_maxsize: int = 1 << 16):
-    """Decode a batch of raw LZ4 blocks on the TPU (v2 interleaved kernel;
-    see decompress_v2.py).  v1 remains below as decompress_blocks_v1."""
-    from .decompress_v2 import decompress_blocks_v2
+    """Decode a batch of raw LZ4 blocks on the TPU (v3 register-accumulator
+    kernel; see decompress_v3.py).  v2/v1 remain as baselines."""
+    from .decompress_v3 import decompress_blocks_v3
 
-    return decompress_blocks_v2(blocks, prefixes, block_maxsize=block_maxsize)
+    return decompress_blocks_v3(blocks, prefixes, block_maxsize=block_maxsize)
 
 
 def decompress_blocks_v1(

@@ -180,13 +180,13 @@ def _decompress_sharded(
 ):
     """Mesh-sharded independent-block decompression."""
 
-    from ..kernels.decompress_v2 import _decompress_batch_v2_jit
+    from ..kernels.decompress_v3 import _decompress_batch_v3_jit
 
     def local(comp_l, lens_l):
         nl = comp_l.shape[0]
         prefix = jnp.zeros((nl, 128), jnp.uint8)
         plen = jnp.zeros((nl,), jnp.int32)
-        return _decompress_batch_v2_jit(
+        return _decompress_batch_v3_jit(
             comp_l,
             lens_l,
             prefix,
@@ -194,7 +194,6 @@ def _decompress_sharded(
             block_maxsize=block_maxsize,
             comp_capacity=comp_capacity,
             prefix_rows=0,
-            k_blocks=1,
         )
 
     return shard_map(
