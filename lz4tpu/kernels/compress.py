@@ -94,7 +94,10 @@ def _compress_kernel(
     toff = toff_ref[0, 0, 0]
     do_prime = prime_ref[0, 0, 0]
 
-    # copy the (possibly dictionary-primed) table into scratch
+    # copy the (possibly dictionary-primed) table into scratch; the extra
+    # slot at index table_slots is a write sink for branchless masked
+    # inserts (tail positions / non-matches write there instead of
+    # branching — a lax.cond per position costs more than the insert)
     def copy_in(i, _):
         table_ref[i] = table_in_ref[0, 0, i]
         return 0
@@ -137,8 +140,10 @@ def _compress_kernel(
         ).astype(jnp.int32)
         return _srl(hi32, 32 - HASHLOG)
 
-    def table_replace(p):
+    def table_replace(p, enable=None):
         h = hash_at(p)
+        if enable is not None:
+            h = jnp.where(enable, h, table_slots)  # dummy sink slot
         prev = table_ref[h]
         table_ref[h] = p + toff
         # saturating_sub in buffer coordinates
@@ -244,12 +249,9 @@ def _compress_kernel(
 
             is_tail = n - cursor < 12
             # the tail path must NOT probe the table (compress/mod.rs:178
-            # returns before the replace at :196) — and table_replace has a
-            # side effect, so it needs a real branch, not jnp.where
-            candidate = jax.lax.cond(
-                is_tail,
-                lambda: jnp.int32(0),
-                lambda: table_replace(cursor),
+            # returns before the replace at :196): masked via the dummy slot
+            candidate = jnp.where(
+                is_tail, 0, table_replace(jnp.minimum(cursor, n - 1), ~is_tail)
             )
             usable = (
                 (~is_tail)
@@ -282,12 +284,8 @@ def _compress_kernel(
             )
 
             new_cursor = jnp.where(is_match, cursor + matching, cursor)
-            # cursor-2 re-insert (compress/mod.rs:218) — side effect, so cond
-            jax.lax.cond(
-                is_match,
-                lambda: table_replace(new_cursor - 2),
-                lambda: jnp.int32(0),
-            )
+            # cursor-2 re-insert (compress/mod.rs:218), masked via dummy slot
+            table_replace(jnp.maximum(new_cursor - 2, 0), is_match)
 
             new_offset = jnp.where(is_match, cursor - candidate, offset)
             new_extra = jnp.where(is_match, matching - MINMATCH + bt, extra)
@@ -448,7 +446,7 @@ def _compress_batch_jit(
             jax.ShapeDtypeStruct((n_blocks, 1, 1), jnp.int32),
             jax.ShapeDtypeStruct((n_blocks, 1, s), jnp.int32),
         ],
-        scratch_shapes=[pltpu.SMEM((s,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((s + 1,), jnp.int32)],
         interpret=_interpret(),
     )(
         in_words.reshape(n_blocks, 1, wi),

@@ -51,7 +51,11 @@ from .decompress import (
 LANES = 128
 CHUNK = 512
 CROWS = CHUNK // LANES  # 4
-AR = 8  # accumulator rows (1024 B window)
+AR = 16  # output accumulator rows (2 KiB: offsets < 2 KiB stay register-local)
+CR = 8  # compressed-stream read-ahead rows (1 KiB)
+# flush only when this much is buffered, so up to ~FLUSH_AT+511 bytes of
+# recent history stay register-resident for near matches
+FLUSH_AT = AR * LANES - 1024
 
 MODE_PARSE, MODE_LIT, MODE_MATCH = 0, 1, 2
 ACT_NONE, ACT_FLUSH, ACT_REFILL, ACT_FAR = 0, 1, 2, 3
@@ -70,31 +74,33 @@ def _reg_extract(acc, byte_off):
     """chunk[m,l] = acc byte (byte_off + 128m + l), as (CROWS,128).
 
     Register-only: sublane rolls + lane roll + select.  ``byte_off`` is a
-    scalar in [0, AR*128).
+    scalar in [0, rows*128).
     """
+    rows = acc.shape[0]
     r0 = byte_off // LANES
     e = byte_off % LANES
-    rows_a = pltpu.roll(acc, (AR - r0) % AR, 0)  # rows_a[m] = acc[m + r0]
-    rows_b = pltpu.roll(acc, (AR - r0 - 1) % AR, 0)  # rows_b[m] = acc[m + r0 + 1]
+    rows_a = pltpu.roll(acc, (rows - r0) % rows, 0)  # rows_a[m] = acc[m + r0]
+    rows_b = pltpu.roll(acc, (rows - r0 - 1) % rows, 0)  # rows_b[m] = acc[m + r0 + 1]
     la = pltpu.roll(rows_a, (LANES - e) % LANES, 1)
     lb = pltpu.roll(rows_b, (LANES - e) % LANES, 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (AR, LANES), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
     return jnp.where(lane < LANES - e, la, lb)[:CROWS]
 
 
 def _reg_merge(acc, chunk, byte_off, take):
     """Place chunk[:take] bytes at acc byte offset ``byte_off`` (scalar),
     masked; register-only."""
+    rows = acc.shape[0]
     expanded = jnp.concatenate(
-        [chunk, jnp.zeros((AR - CROWS, LANES), jnp.int32)], axis=0
+        [chunk, jnp.zeros((rows - CROWS, LANES), jnp.int32)], axis=0
     )
     r0 = byte_off // LANES
     e = byte_off % LANES
     r2 = pltpu.roll(expanded, e, 1)
     shifted = pltpu.roll(r2, r0, 0)  # shifted[row] = r2[row - r0]
     top = pltpu.roll(r2, r0 + 1, 0)  # top[row] = r2[row - r0 - 1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (AR, LANES), 1)
-    rowi = jax.lax.broadcasted_iota(jnp.int32, (AR, LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
     val = jnp.where(lane >= e, shifted, top)
     pos = rowi * LANES + lane - byte_off
     mask = (pos >= 0) & (pos < take)
@@ -250,7 +256,7 @@ def _decode_v3_kernel(
         far = match_active & (m_lag > filled)
 
         # ---------------- memory action (at most one) ----------------
-        need_flush = ok & (filled >= CHUNK)
+        need_flush = ok & (filled >= FLUSH_AT)
         need_refill = ok & (~need_flush) & lit_active & (lit_src >= cbase + CHUNK)
         need_far = ok & (~need_flush) & (~need_refill) & far
 
@@ -274,7 +280,7 @@ def _decode_v3_kernel(
 
         def act_refill(op):
             acc, cacc, flushed, cbase = op
-            nxt = read4_aligned(comp_b, (cbase + AR * LANES) // LANES, rc - CROWS - 1)
+            nxt = read4_aligned(comp_b, (cbase + CR * LANES) // LANES, rc - CROWS - 1)
             cacc2 = jnp.concatenate([cacc[CROWS:], nxt], axis=0)
             return acc, cacc2, flushed, cbase + CHUNK, zero_chunk
 
@@ -292,13 +298,13 @@ def _decode_v3_kernel(
         # literal bytes from the read-ahead window
         lit_take = jnp.clip(
             jnp.minimum(
-                jnp.minimum(lit_rem, CHUNK), cbase + AR * LANES - lit_src
+                jnp.minimum(lit_rem, CHUNK), cbase + CR * LANES - lit_src
             ),
             0,
             CHUNK,
         )
         lit_take = jnp.where(lit_active, lit_take, 0)
-        lit_chunk = _reg_extract(cacc, jnp.clip(lit_src - cbase, 0, AR * LANES - 1))
+        lit_chunk = _reg_extract(cacc, jnp.clip(lit_src - cbase, 0, CR * LANES - 1))
 
         # near match from the accumulator
         near_ok = near & (action == ACT_NONE)
@@ -360,10 +366,10 @@ def _decode_v3_kernel(
     )
     out_len_f, status_f, flushed_f, acc_f = final[1], final[2], final[10], final[12]
 
-    # drain the accumulator tail (up to 1023 unflushed bytes)
-    row = jnp.clip(rp + flushed_f // LANES, 0, rt - 2 * CROWS)
-    out_b[pl.ds(row, CROWS), :] = acc_f[:CROWS]
-    out_b[pl.ds(row + CROWS, CROWS), :] = acc_f[CROWS:]
+    # drain the accumulator tail (up to FLUSH_AT+511 unflushed bytes)
+    row = jnp.clip(rp + flushed_f // LANES, 0, rt - AR)
+    for j in range(AR // CROWS):
+        out_b[pl.ds(row + j * CROWS, CROWS), :] = acc_f[j * CROWS : (j + 1) * CROWS]
 
     out_len_ref[0, 0, 0] = out_len_f
     status_ref[0, 0, 0] = status_f
