@@ -161,7 +161,7 @@ def bench_native(data):
 
 
 def main() -> None:
-    size_mb = float(sys.argv[1]) if len(sys.argv) > 1 else 4.0
+    size_mb = float(sys.argv[1]) if len(sys.argv) > 1 else 2.0
     data = make_corpus(size_mb)
     blocks = [data[i : i + BLOCK] for i in range(0, len(data), BLOCK)]
     # batch must divide k_blocks=4

@@ -223,3 +223,14 @@ def test_back_to_back_frames(corpus_sample):
     buf = io.BytesIO(settings().compress_bytes(d1) + settings().compress_bytes(d2))
     assert LZ4FrameReader(buf, engine=ENGINE).read_all() == d1
     assert LZ4FrameReader(buf, engine=ENGINE).read_all() == d2
+
+
+def test_tpu_engine_streaming_roundtrip(corpus_sample):
+    """The 'tpu' engine plugs into the streaming frame API (interpret mode
+    on CPU here; the batch pipeline is the high-throughput path)."""
+    data = corpus_sample(55, 3000)
+    s = CompressionSettings().engine("tpu").block_size(1 << 16)
+    frame = s.compress_bytes(data)
+    ref = CompressionSettings().engine("spec").block_size(1 << 16).compress_bytes(data)
+    assert frame == ref  # bit-exact across engines
+    assert decompress_frame(frame, engine="tpu") == data
