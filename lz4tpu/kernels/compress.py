@@ -505,7 +505,12 @@ def compress_blocks(
         tables = [U32Table() for _ in range(n_blocks)]
     u16 = isinstance(tables[0], U16Table)
 
-    data_capacity = _round_up(max(max(len(d) for d in datas), 4), LANES)
+    # pow2 capacity bucketing to maximise compile reuse
+    need = max(max(len(d) for d in datas), 4)
+    data_capacity = 4096
+    while data_capacity < need:
+        data_capacity *= 2
+    data_capacity = _round_up(data_capacity, LANES)
     out_capacity = _round_up(data_capacity + data_capacity // 255 + 16, 4)
 
     arr = np.zeros((n_blocks, data_capacity), np.uint8)

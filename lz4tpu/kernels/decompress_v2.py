@@ -376,7 +376,13 @@ def decompress_blocks_v2(blocks, prefixes=None, block_maxsize: int = 1 << 16, k_
     prefixes = [bytes(p)[-65536:] for p in prefixes]
     any_prefix = any(len(p) for p in prefixes)
 
-    comp_capacity = _round_up(max(max(len(b) for b in blocks), 4), LANES)
+    # bucket the capacity (pow2 >= 4 KiB) so varying batches reuse the
+    # compiled kernel — Mosaic recompiles cost ~10 min on this backend
+    need = max(max(len(b) for b in blocks), 4)
+    comp_capacity = 4096
+    while comp_capacity < need:
+        comp_capacity *= 2
+    comp_capacity = _round_up(comp_capacity, LANES)
     rp = (1 << 16) // LANES if any_prefix else 0  # 512 rows
 
     n_padded = _round_up(n, k_blocks)

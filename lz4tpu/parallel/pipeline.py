@@ -350,7 +350,11 @@ def decompress_frame_parallel(frame, mesh=None, verify_checksums: bool = True) -
     to_decode = [p for c, p, _ in blocks if c]
     outputs = {}
     if to_decode:
-        comp_capacity = _round_up(max(len(p) for p in to_decode), 128)
+        need = max(len(p) for p in to_decode)
+        comp_capacity = 4096
+        while comp_capacity < need:
+            comp_capacity *= 2
+        comp_capacity = _round_up(comp_capacity, 128)
         n = len(to_decode)
         n_padded = _round_up(n, n_dev)
         comp = np.zeros((n_padded, comp_capacity), np.uint8)
