@@ -51,10 +51,18 @@ def _resolve_engine(name):
 
 
 def _read_exact(reader, n: int) -> bytes:
-    buf = reader.read(n)
-    if buf is None or len(buf) < n:
-        raise InputTruncated(f"needed {n} bytes, got {0 if buf is None else len(buf)}")
-    return buf
+    # read(n) may legally return fewer bytes before EOF on unbuffered raw
+    # streams / pipes / sockets, so loop like the reference's read_exact
+    # (mirrors _read_up_to in frame/compress.py)
+    parts = []
+    got = 0
+    while got < n:
+        chunk = reader.read(n - got)
+        if not chunk:
+            raise InputTruncated(f"needed {n} bytes, got {got}")
+        parts.append(chunk)
+        got += len(chunk)
+    return parts[0] if len(parts) == 1 else b"".join(parts)
 
 
 class LZ4FrameReader:

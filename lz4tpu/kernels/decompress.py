@@ -407,9 +407,32 @@ def decompress_blocks_v1(
 
 def decompress_block_tpu(data, prefix=b"", out=None, output_limit=None):
     """Single-block engine adapter (``engine='tpu'``); the batch API above
-    is the high-throughput path."""
-    limit = output_limit if output_limit is not None else (1 << 22)
-    result = decompress_blocks([bytes(data)], [bytes(prefix)], block_maxsize=limit)[0]
+    is the high-throughput path.
+
+    ``output_limit=None`` means "unbounded" in the spec/native engines; the
+    TPU kernel needs a static output capacity, so we start at 4 MiB and
+    retry with doubled capacity on ``memory_limit_exceeded`` up to the LZ4
+    format's true expansion bound (≤255 output bytes per input byte), which
+    keeps the three engines contract-interchangeable.
+    """
+    data = bytes(data)
+    if output_limit is not None:
+        result = decompress_blocks(
+            [data], [bytes(prefix)], block_maxsize=output_limit
+        )[0]
+    else:
+        hard_bound = 255 * max(len(data), 1) + 64
+        limit = 1 << 22
+        while True:
+            try:
+                result = decompress_blocks(
+                    [data], [bytes(prefix)], block_maxsize=limit
+                )[0]
+                break
+            except DecodeError as e:
+                if e.kind != DecodeError.KIND_MEMORY_LIMIT or limit >= hard_bound:
+                    raise
+                limit = min(limit * 2, _round_up(hard_bound, 4))
     if out is not None:
         out.extend(result)
         return out

@@ -311,25 +311,28 @@ def decompress_frame_parallel(frame, mesh=None, verify_checksums: bool = True) -
         rest = LZ4FrameReader(frame, engine="native")
         return rest.read_all()
 
-    # scan block boundaries without decoding
+    # scan block boundaries without decoding, with the same hostile-input
+    # validations the streaming reader enforces (frame/decompress.py:120-140)
+    from ..frame.decompress import _read_exact
+    from ..frame.errors import BlockSizeOverflow
+
     blocks = []
     stream = reader.reader
     while True:
-        len_raw = stream.read(4)
-        if len(len_raw) < 4:
-            raise DecodeError(DecodeError.KIND_UNEXPECTED_END)
-        block_length = int.from_bytes(len_raw, "little")
+        block_length = int.from_bytes(_read_exact(stream, 4), "little")
         if block_length == 0:
             if reader.flags.content_checksum:
-                expected_sum = int.from_bytes(stream.read(4), "little")
+                expected_sum = int.from_bytes(_read_exact(stream, 4), "little")
             else:
                 expected_sum = None
             break
         compressed = (block_length & INCOMPRESSIBLE) == 0
         block_length &= ~INCOMPRESSIBLE & 0xFFFFFFFF
-        payload = stream.read(block_length)
+        if block_length > reader.block_maxsize:
+            raise BlockSizeOverflow("a block is larger than the frame's block maxsize")
+        payload = _read_exact(stream, block_length)
         checksum = (
-            int.from_bytes(stream.read(4), "little")
+            int.from_bytes(_read_exact(stream, 4), "little")
             if reader.flags.block_checksums
             else None
         )
@@ -375,6 +378,10 @@ def decompress_frame_parallel(frame, mesh=None, verify_checksums: bool = True) -
         for i in range(n):
             if statuses[i] != kdecompress.OK:
                 raise DecodeError(kdecompress.STATUS_TO_KIND[int(statuses[i])])
+            if int(out_len[i]) > reader.block_maxsize:
+                raise BlockSizeOverflow(
+                    "a block decompressed to more data than allowed"
+                )
             outputs[i] = out_u8[i, : out_len[i]].tobytes()
 
     parts = []

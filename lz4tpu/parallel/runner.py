@@ -132,22 +132,23 @@ def run_sharded_decompress(input_path, output_path, mesh=None) -> dict:
     with open(output_path, "wb") as out:
         pos = 0
         while pos < len(data):
-            # find this frame's extent by walking its block chain
+            # find this frame's extent by walking its block chain; every
+            # read is length-checked so a truncated/corrupt archive raises
+            # InputTruncated instead of silently ending at int(b'') == 0
             reader = LZ4FrameReader(io.BytesIO(data[pos:]), engine="native")
-            # decode the frame in parallel from its raw bytes
             stream = reader.reader
-            # re-walk to find the end offset
+            from ..frame.decompress import _read_exact
+
             while True:
-                raw = stream.read(4)
-                blen = int.from_bytes(raw, "little")
+                blen = int.from_bytes(_read_exact(stream, 4), "little")
                 if blen == 0:
                     if reader.flags.content_checksum:
-                        stream.read(4)
+                        _read_exact(stream, 4)
                     break
                 blen &= 0x7FFFFFFF
-                stream.read(blen)
+                _read_exact(stream, blen)
                 if reader.flags.block_checksums:
-                    stream.read(4)
+                    _read_exact(stream, 4)
             frame_len = stream.tell()
             chunk = decompress_frame_parallel(data[pos : pos + frame_len], mesh=mesh)
             out.write(chunk)

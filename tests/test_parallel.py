@@ -72,3 +72,79 @@ def test_graft_entry_single_chip():
     out_u8, out_len, status = [np.asarray(x) for x in fn(*args)]
     assert (status == 0).all()
     assert out_len.shape[0] == args[0].shape[0]
+
+
+# ---------------------------------------------------------------------------
+# hostile-input hardening of the parallel frame walker
+# (reference contract: clean typed failure, raw/decompress.rs:53-57)
+# ---------------------------------------------------------------------------
+
+
+def test_parallel_rejects_oversized_stored_block(mesh):
+    from lz4tpu.frame.errors import BlockSizeOverflow
+    from lz4tpu.frame.header import INCOMPRESSIBLE
+
+    # a frame declaring 64 KiB max with a 100,000-byte stored block
+    frame = compress_frame_parallel(b"seed", block_size=1 << 16, mesh=mesh)
+    header_end = 4 + 1 + 1 + 8 + 1  # magic+FLG+BD+content_size+HC
+    stored = (100_000 | INCOMPRESSIBLE).to_bytes(4, "little") + b"\xaa" * 100_000
+    bad = frame[:header_end] + stored + (0).to_bytes(4, "little")
+    with pytest.raises(BlockSizeOverflow):
+        decompress_frame_parallel(bad, mesh=mesh, verify_checksums=False)
+
+
+def test_parallel_rejects_truncated_frame(mesh):
+    from lz4tpu.frame.errors import InputTruncated
+
+    data = b"the quick brown fox " * 2000
+    frame = compress_frame_parallel(data, block_size=1 << 16, mesh=mesh)
+    for cut in (len(frame) - 5, len(frame) // 2, 12):
+        with pytest.raises(InputTruncated):
+            decompress_frame_parallel(frame[:cut], mesh=mesh)
+
+
+def test_runner_rejects_truncated_archive(mesh, tmp_path):
+    from lz4tpu.frame.errors import InputTruncated
+    from lz4tpu.parallel.runner import run_sharded_compress, run_sharded_decompress
+
+    src = tmp_path / "input.bin"
+    src.write_bytes(b"abcdef" * 50_000)
+    out = tmp_path / "out.lz4"
+    run_sharded_compress(src, out, shard_bytes=100_000, block_size=1 << 16, mesh=mesh)
+    whole = out.read_bytes()
+    trunc = tmp_path / "trunc.lz4"
+    trunc.write_bytes(whole[: len(whole) - 7])
+    with pytest.raises(InputTruncated):
+        run_sharded_decompress(trunc, tmp_path / "x.bin", mesh=mesh)
+
+
+def test_parallel_decode_corpus_safety(mesh):
+    """Replay the reference decode fuzz corpus through the parallel path:
+    typed errors or success, never a crash; successes must match the spec
+    engine's output."""
+    import pathlib
+
+    from lz4tpu.frame.errors import LZ4Error
+    from lz4tpu.spec.block import DecodeError
+
+    corpus = pathlib.Path("/root/reference/fuzz/corpus/decode")
+    if not corpus.exists():
+        pytest.skip("reference corpus not mounted")
+    files = sorted(corpus.iterdir())[::5]
+    ok = 0
+    for path in files:
+        raw = path.read_bytes()
+        try:
+            expected = decompress_frame(raw, engine="spec")
+        except (LZ4Error, DecodeError):
+            expected = None
+        try:
+            got = decompress_frame_parallel(raw, mesh=mesh)
+        except (LZ4Error, DecodeError):
+            got = None
+        # outcomes must agree with the spec engine: same success set, same bytes
+        assert (got is None) == (expected is None), path.name
+        if expected is not None:
+            assert got == expected, path.name
+            ok += 1
+    assert ok >= 1
