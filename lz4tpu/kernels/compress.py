@@ -247,7 +247,10 @@ def _compress_kernel(
         def find_body(fc):
             cursor, step, step_counter, found, offset, extra, tail = fc
 
-            is_tail = n - cursor < 12
+            # tail guard: bail when the NEXT probe would pass n-11 (C's
+            # `forwardIp > mflimitPlusOne`); at step==1 this is exactly the
+            # reference's `n - cursor < 12` (compress/mod.rs:179)
+            is_tail = cursor + step > n - 11
             # the tail path must NOT probe the table (compress/mod.rs:178
             # returns before the replace at :196): masked via the dummy slot
             candidate = jnp.where(
@@ -293,10 +296,12 @@ def _compress_kernel(
             # miss: skip-acceleration stride (compress/mod.rs:225-231)
             miss = (~is_tail) & (~is_match)
             stepped = jnp.where(miss, cursor + step, new_cursor)
-            new_step = jnp.where(miss, _srl(step_counter, SKIP_TRIGGER), step)
-            new_counter = jnp.where(
-                miss & (literal_start + 1 != stepped), step_counter + 1, step_counter
-            )
+            # the step assignment lags one miss behind the advance (C's
+            # forwardIp += step uses the previous iteration's step):
+            # advances go 1, 1, a, a, ... for acceleration a
+            upd = miss & (literal_start + 1 != stepped)
+            new_step = jnp.where(upd, _srl(step_counter, SKIP_TRIGGER), step)
+            new_counter = jnp.where(upd, step_counter + 1, step_counter)
 
             return (
                 stepped,

@@ -215,7 +215,10 @@ static i64 compress_impl(const u8* in, u64 n, u64 cursor, Table table_ref,
         u64 match_offset = 0, extra = 0;
 
         for (;;) {
-            if (n - cursor < 12 || cursor >= n) {  // end: literal-only tail
+            // tail guard: bail when the NEXT probe would pass n-11 — at
+            // step==1 this is the reference's `n - cursor < 12`; at larger
+            // steps it replicates C's `forwardIp > mflimitPlusOne` bail
+            if (cursor + step + 11 > n) {  // end: literal-only tail
                 u64 literal_len = n - literal_start;
                 u64 group_len = 1 + (literal_len < 0xF ? 0 : (literal_len - 0xF) / 0xFF + 1) + literal_len;
                 if (out_pos + group_len > capu || out_pos + group_len > out_capacity)
@@ -248,8 +251,13 @@ static i64 compress_impl(const u8* in, u64 n, u64 cursor, Table table_ref,
             }
 
             cursor += step;
-            step = step_counter >> SKIP_TRIGGER;
-            if (literal_start + 1 != cursor) step_counter++;
+            // step assignment lags one miss (C's forwardIp += step uses the
+            // previous iteration's step): advances go 1, 1, a, a, ... —
+            // byte-exact with LZ4_compress_fast for every acceleration
+            if (literal_start + 1 != cursor) {
+                step = step_counter >> SKIP_TRIGGER;
+                step_counter++;
+            }
         }
 
         const u64 literal_end = cursor - extra - MINMATCH;

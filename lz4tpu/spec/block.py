@@ -120,9 +120,12 @@ def compress_block(
     * matches extend ≥ MINMATCH bytes, never into the last 5 bytes
     * the match start is backtracked into pending literals
     * after a match, ``cursor - 2`` is re-inserted into the table
-    * on a miss the cursor advances by ``step_counter >> SKIP_TRIGGER``,
-      with the counter starting at ``acceleration << SKIP_TRIGGER`` and
-      incremented on every miss except the first of each literal run
+    * on a miss the cursor advances by ``step``; from the second miss of
+      each run onward, ``step = step_counter >> SKIP_TRIGGER`` with the
+      counter starting at ``acceleration << SKIP_TRIGGER`` and then
+      incrementing — so advances go 1, 1, a, a, … exactly like C
+      ``LZ4_compress_fast`` for every acceleration (and exactly like the
+      reference for its hardwired ``ACCELERATION = 1``)
     * if fewer than 12 bytes remain the block ends with a literal-only token
     """
     data = bytes(data)
@@ -145,7 +148,15 @@ def compress_block(
 
         # -- find a duplicate ------------------------------------------------
         while True:
-            if n - cursor < LAST_LITERALS:
+            # tail guard: bail to a literal-only ending when the NEXT probe
+            # would pass n-11.  At step == 1 (thus everywhere when
+            # acceleration == 1, including the reference's whole behavior
+            # space) this is exactly the reference's `n - cursor < 12` rule
+            # (compress/mod.rs:179); for larger steps it replicates C
+            # liblz4's `forwardIp > mflimitPlusOne` bail, which skips
+            # still-in-range positions — verified byte-exact against
+            # liblz4 1.9.4 for acceleration 1..1000
+            if cursor + step > n - (LAST_LITERALS - 1):
                 # end with a literal-only token
                 literal_len = n - literal_start
                 group = bytearray()
@@ -180,8 +191,13 @@ def compress_block(
                     break
 
             cursor += step
-            step = step_counter >> SKIP_TRIGGER
+            # the step assignment lags one miss behind the advance (C's
+            # `forwardIp += step; step = searchMatchNb++ >> skipTrigger`
+            # uses the PREVIOUS iteration's step), so advances go
+            # 1, 1, a, a, ... — identical to the reference at a == 1,
+            # byte-exact with LZ4_compress_fast for every acceleration
             if literal_start + 1 != cursor:
+                step = step_counter >> SKIP_TRIGGER
                 step_counter += 1
 
         # -- emit token + literals + match -----------------------------------
