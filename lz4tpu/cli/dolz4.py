@@ -33,6 +33,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-content-checksum", action="store_true")
     p.add_argument("--no-content-size", action="store_true")
     p.add_argument("--acceleration", type=int, default=1)
+    p.add_argument("--level", type=int, default=None,
+                   help="high-compression level (2-12): hash-chain + lazy parse")
     p.add_argument("--dictionary", help="preset dictionary file")
     p.add_argument("--dictionary-id", type=int, default=0)
     p.add_argument("-v", "--verbose", action="store_true")
@@ -53,6 +55,8 @@ def main(argv=None) -> int:
 
         if args.dictionary:
             raise SystemExit("dictionaries are not supported by tpu-parallel yet")
+        if args.level:
+            raise SystemExit("--level is a host-parse feature; use engine native")
         frame = compress_frame_parallel(
             data,
             block_size=args.block_size,
@@ -73,6 +77,7 @@ def main(argv=None) -> int:
             .block_checksums(args.block_checksums)
             .content_checksum(not args.no_content_checksum)
             .acceleration(args.acceleration)
+            .level(args.level)
         )
         if args.dictionary:
             s.dictionary(args.dictionary_id, open(args.dictionary, "rb").read())

@@ -51,6 +51,26 @@ def _resolve_engine(name):
     return spec_compress_block
 
 
+def _resolve_hc_engine(name):
+    """HC block compressor for the configured engine.  The TPU engine falls
+    back to the native host parse for HC blocks (TPU HC port deferred; the
+    decode side is engine-independent)."""
+    if name == "spec":
+        from ..spec.hc import compress_block_hc as spec_hc
+
+        return spec_hc
+    try:
+        from ..native import compress_block_hc as native_hc
+
+        return native_hc
+    except Exception:
+        if name == "native":
+            raise
+        from ..spec.hc import compress_block_hc as spec_hc
+
+        return spec_hc
+
+
 class CompressionSettings:
     """Builder-style frame compression configuration
     (mirrors ``CompressionSettings``, ``compress.rs:36-134``).
@@ -68,6 +88,7 @@ class CompressionSettings:
         self._dictionary = None
         self._dictionary_id = None
         self._acceleration = 1
+        self._level = None
         self._engine = "auto"
 
     # -- builder setters (reference naming) ---------------------------------
@@ -112,6 +133,16 @@ class CompressionSettings:
         self._acceleration = max(int(v), 1)
         return self
 
+    def level(self, v: int | None) -> "CompressionSettings":
+        """High-compression level (the reference has no levels; BASELINE
+        config #4 requires them).  ``None``/``1`` = the reference's greedy
+        parse; ``>= 2`` = hash-chain + lazy parse (``spec/hc.py``) with
+        search depth ``2**(level-1)``.  Every block is compressed with both
+        parses and the smaller payload wins, so levelled output is never
+        larger than the reference's greedy output."""
+        self._level = None if v is None or int(v) <= 1 else int(v)
+        return self
+
     def engine(self, name) -> "CompressionSettings":
         """Block-codec backend: 'auto', 'spec', 'native', 'tpu', or a callable."""
         self._engine = name
@@ -148,6 +179,9 @@ class CompressionSettings:
 
     def _compress_internal(self, reader, writer, content_size) -> None:
         compress_block = _resolve_engine(self._engine)
+        compress_block_hc = (
+            _resolve_hc_engine(self._engine) if self._level is not None else None
+        )
 
         flags = Flags(
             independent_blocks=self._independent_blocks,
@@ -193,6 +227,11 @@ class CompressionSettings:
                 content_hasher.update(in_buffer[window_offset:])
 
             data = bytes(in_buffer)
+            # the greedy parse always runs (even at level >= 2) so the
+            # encoder table state evolves identically across blocks in
+            # linked mode; on cap-abort it has still applied all mutations
+            # up to the abort point, like the reference's NoPartialWrites
+            compressed = None
             try:
                 compressed = bytes(
                     compress_block(
@@ -203,9 +242,27 @@ class CompressionSettings:
                         cap=read_bytes,
                     )
                 )
+            except Incompressible:
+                pass
+            if compress_block_hc is not None:
+                hc_cap = len(compressed) if compressed is not None else read_bytes
+                try:
+                    hc = bytes(
+                        compress_block_hc(
+                            data,
+                            cursor=window_offset,
+                            level=self._level,
+                            cap=hc_cap,
+                        )
+                    )
+                    if compressed is None or len(hc) < len(compressed):
+                        compressed = hc
+                except Incompressible:
+                    pass
+            if compressed is not None:
                 writer.write(len(compressed).to_bytes(4, "little"))
                 payload = compressed
-            except Incompressible:
+            else:
                 writer.write((read_bytes | INCOMPRESSIBLE).to_bytes(4, "little"))
                 payload = data[window_offset:]
 

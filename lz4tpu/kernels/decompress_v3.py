@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..spec.block import DecodeError
-from .decompress import (
+from .status import (
     ERR_INVALID_OFFSET,
     ERR_MEMORY_LIMIT,
     ERR_UNEXPECTED_END,

@@ -51,6 +51,17 @@ for _name in ("lz4tpu_compress_block_u32", "lz4tpu_compress_block_u16"):
         ctypes.c_uint64,  # out capacity
     ]
 
+_lib.lz4tpu_compress_block_hc.restype = ctypes.c_int64
+_lib.lz4tpu_compress_block_hc.argtypes = [
+    ctypes.c_char_p,  # in
+    ctypes.c_uint64,  # n
+    ctypes.c_uint64,  # cursor
+    ctypes.c_uint64,  # level
+    ctypes.c_int64,  # cap (-1 = none)
+    ctypes.c_void_p,  # out
+    ctypes.c_uint64,  # out capacity
+]
+
 _lib.lz4tpu_decompress_block.restype = ctypes.c_int64
 _lib.lz4tpu_decompress_block.argtypes = [
     ctypes.c_char_p,  # in
@@ -154,6 +165,37 @@ def compress_block(
     )
     if slots is not table.dict:
         table.dict[:] = slots  # keep caller's table state in sync
+    if rc < 0:
+        raise Incompressible()
+    result = buf[:rc].tobytes()
+    if out is not None:
+        out.extend(result)
+        return out
+    return result
+
+
+def compress_block_hc(
+    data,
+    cursor: int = 0,
+    out=None,
+    level: int = 9,
+    cap: int | None = None,
+) -> bytes:
+    """Native high-compression parse; same contract as
+    ``spec.hc.compress_block_hc`` (bit-identical output, differential
+    tested)."""
+    data = bytes(data)
+    capacity = compress_bound(len(data)) if cap is None else min(cap, compress_bound(len(data)))
+    buf = _compress_pool.get(max(capacity, 1))
+    rc = _lib.lz4tpu_compress_block_hc(
+        data,
+        len(data),
+        cursor,
+        max(int(level), 2),
+        -1 if cap is None else cap,
+        buf.ctypes.data,
+        capacity,
+    )
     if rc < 0:
         raise Incompressible()
     result = buf[:rc].tobytes()

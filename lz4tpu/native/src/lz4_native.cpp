@@ -20,6 +20,7 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <vector>
 
 using u8 = uint8_t;
 using u16 = uint16_t;
@@ -290,6 +291,121 @@ extern "C" i64 lz4tpu_compress_block_u16(const u8* in, u64 n, u64 cursor, u16* t
                               u8* out, u64 out_capacity) {
     U16TableRef t{table, table_offset};
     return compress_impl(in, n, cursor, t, cap, acceleration, out, out_capacity);
+}
+
+// ---------------------------------------------------------------------------
+// High-compression parse (hash-chain + lazy) — mirrors spec/hc.py exactly
+// (differential-tested); see that module's docstring for the design.
+// ---------------------------------------------------------------------------
+
+static const int HASH_LOG_HC = 15;
+
+static inline u32 hash4_hc(const u8* in, u64 pos) {
+    return (read32(in + pos) * 2654435761u) >> (32 - HASH_LOG_HC);
+}
+
+struct HCState {
+    std::vector<i64> head;  // hash -> last pos + 1 (0 = empty)
+    std::vector<i64> prev;  // pos -> previous pos + 1 with same hash
+    explicit HCState(u64 capacity)
+        : head(1ull << HASH_LOG_HC, 0), prev(capacity, 0) {}
+    inline void insert(const u8* in, u64 pos) {
+        u32 h = hash4_hc(in, pos);
+        prev[pos] = head[h];
+        head[h] = (i64)pos + 1;
+    }
+};
+
+extern "C" i64 lz4tpu_compress_block_hc(const u8* in, u64 n, u64 cursor,
+                                        u64 level, i64 cap,
+                                        u8* out, u64 out_capacity) {
+    if (cursor >= n) return 0;
+    u64 out_pos = 0;
+    u64 capu = cap < 0 ? ~0ull : (u64)cap;
+
+    HCState state(n);
+    u64 hi = 0;  // positions [0, hi) are in the chains
+    const u64 insert_limit = n >= MINMATCH - 1 ? n - (MINMATCH - 1) : 0;
+    auto insert_up_to = [&](u64 q) {
+        q = std::min(q, insert_limit);
+        for (; hi < q; hi++) state.insert(in, hi);
+    };
+    insert_up_to(cursor);
+
+    const u64 nb_attempts = std::min<u64>(1ull << (std::max<u64>(level, 2) - 1), 16384);
+    const bool lazy = level >= 3;
+
+    struct Best { u64 len, off, bt; };
+    auto find_best = [&](u64 pos, u64 literal_start) -> Best {
+        if (pos + 12 > n) return {0, 0, 0};
+        Best best{0, 0, 0};
+        i64 cand = state.prev[pos] - 1;  // skip the self entry at the head
+        u64 tries = nb_attempts;
+        u64 max_bt = pos - literal_start;
+        while (cand >= 0 && tries > 0) {
+            u64 off = pos - (u64)cand;
+            if (off > 0xFFFF) break;  // chains are newest-first
+            u64 fwd = count_matching(in, pos, n - 5, (u64)cand, n);
+            if (fwd >= MINMATCH) {
+                u64 bt = 0;
+                while (bt < max_bt && (u64)cand - bt > 0 &&
+                       in[pos - bt - 1] == in[(u64)cand - bt - 1])
+                    bt++;
+                if (fwd + bt > best.len) best = {fwd + bt, off, bt};
+            }
+            cand = state.prev[cand] - 1;
+            tries--;
+        }
+        return best;
+    };
+
+    auto emit = [&](u64 literal_start, u64 literal_end, u64 offset, u64 extra) -> bool {
+        u64 literal_len = literal_end - literal_start;
+        u64 group_len = 1 + (literal_len < 0xF ? 0 : (literal_len - 0xF) / 0xFF + 1) +
+                        literal_len + 2 + (extra < 0xF ? 0 : (extra - 0xF) / 0xFF + 1);
+        if (out_pos + group_len > capu || out_pos + group_len > out_capacity)
+            return false;
+        out[out_pos++] = (u8)((std::min<u64>(literal_len, 0xF) << 4) |
+                              std::min<u64>(extra, 0xF));
+        out_pos += lsic_tail(out + out_pos, literal_len);
+        std::memcpy(out + out_pos, in + literal_start, literal_len);
+        out_pos += literal_len;
+        out[out_pos++] = (u8)(offset & 0xFF);
+        out[out_pos++] = (u8)(offset >> 8);
+        out_pos += lsic_tail(out + out_pos, extra);
+        return true;
+    };
+
+    u64 pos = cursor, literal_start = cursor;
+    for (;;) {
+        if (n - pos < 12) {  // literal-only tail
+            u64 literal_len = n - literal_start;
+            u64 group_len = 1 + (literal_len < 0xF ? 0 : (literal_len - 0xF) / 0xFF + 1) +
+                            literal_len;
+            if (out_pos + group_len > capu || out_pos + group_len > out_capacity)
+                return -1;
+            out[out_pos++] = (u8)(std::min<u64>(literal_len, 0xF) << 4);
+            out_pos += lsic_tail(out + out_pos, literal_len);
+            std::memcpy(out + out_pos, in + literal_start, literal_len);
+            out_pos += literal_len;
+            return (i64)out_pos;
+        }
+        insert_up_to(pos + 1);
+        Best m = find_best(pos, literal_start);
+        if (m.len == 0) { pos++; continue; }
+
+        if (lazy && pos + 1 + 12 <= n) {
+            insert_up_to(pos + 2);
+            Best nx = find_best(pos + 1, literal_start);
+            if (nx.len > m.len) { pos++; m = nx; }
+        }
+        u64 start = pos - m.bt;
+        u64 end = pos + (m.len - m.bt);
+        if (!emit(literal_start, start, m.off, m.len - MINMATCH)) return -1;
+        insert_up_to(end);
+        pos = end;
+        literal_start = end;
+    }
 }
 
 // ---------------------------------------------------------------------------

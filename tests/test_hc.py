@@ -1,0 +1,120 @@
+"""High-compression parse tests (BASELINE config #4).
+
+The reference has no levels (greedy only, ``compress/mod.rs:147``); the
+contract here is: levelled frames roundtrip, are valid LZ4 for any
+conforming decoder (cross-checked against liblz4 when present), and are
+never larger than the greedy (reference-parity) output.
+"""
+
+import pytest
+
+from lz4tpu import CompressionSettings, decompress_frame
+from lz4tpu.spec.block import decompress_block
+from lz4tpu.spec.hc import compress_block_hc
+
+
+def greedy_frame(data, **kw):
+    s = CompressionSettings().engine("native")
+    for k, v in kw.items():
+        getattr(s, k)(v)
+    return s.compress_bytes(data)
+
+
+def hc_frame(data, level, **kw):
+    s = CompressionSettings().engine("native").level(level)
+    for k, v in kw.items():
+        getattr(s, k)(v)
+    return s.compress_bytes(data)
+
+
+def test_hc_raw_block_roundtrip(corpus_sample):
+    for seed in (40, 41):
+        data = corpus_sample(seed, 50_000)
+        for level in (2, 3, 6, 9, 12):
+            comp = bytes(compress_block_hc(data, level=level))
+            assert bytes(decompress_block(comp, output_limit=len(data))) == data
+
+
+def test_hc_native_matches_spec(corpus_sample):
+    from lz4tpu.native import compress_block_hc as native_hc
+
+    for seed, size in ((42, 30_000), (43, 90_000)):
+        data = corpus_sample(seed, size)
+        for level in (2, 5, 9):
+            assert native_hc(data, level=level) == bytes(
+                compress_block_hc(data, level=level)
+            )
+
+
+def test_hc_levels_never_worse_than_greedy(corpus_sample):
+    data = corpus_sample(44, 300_000)
+    base = len(greedy_frame(data))
+    prev = None
+    for level in (2, 4, 6, 9):
+        f = hc_frame(data, level)
+        assert decompress_frame(f, engine="native") == data
+        assert len(f) <= base, level
+        if prev is not None:
+            # deeper search may not strictly improve but must stay sane
+            assert len(f) <= prev * 1.02, level
+        prev = len(f)
+    # at a real level the ratio should be strictly better on this corpus
+    assert len(hc_frame(data, 9)) < base
+
+
+def test_hc_incompressible_fallback():
+    import numpy as np
+
+    data = np.random.default_rng(9).integers(0, 256, 200_000, np.uint8).tobytes()
+    f = hc_frame(data, 9, block_size=1 << 16)
+    assert len(f) <= len(data) + 64
+    assert decompress_frame(f, engine="native") == data
+
+
+def test_hc_linked_and_dictionary(corpus_sample):
+    data = corpus_sample(45, 200_000)
+    dictionary = data[:30_000]
+    f = hc_frame(
+        data, 9, block_size=1 << 16, independent_blocks=False
+    )
+    assert decompress_frame(f, engine="native") == data
+    s = (
+        CompressionSettings()
+        .engine("native")
+        .level(9)
+        .block_size(1 << 16)
+        .dictionary(3, dictionary)
+    )
+    fd = s.compress_bytes(data)
+    assert decompress_frame(fd, dictionary=dictionary, engine="native") == data
+    # the dictionary must actually help on self-similar data
+    assert len(fd) < len(f) + 64
+
+
+def test_hc_cross_decode_with_liblz4(corpus_sample):
+    interop = pytest.importorskip("lz4tpu.interop")
+    if not interop.available():
+        pytest.skip("liblz4 not installed")
+    data = corpus_sample(46, 150_000)
+    for level in (3, 9):
+        f = hc_frame(data, level)
+        assert interop.lz4f_decompress_frame(f) == data
+    # ratio sanity vs the C HC implementation at the same level
+    ours = len(bytes(compress_block_hc(data, level=9)))
+    theirs = len(interop.lz4_compress_hc(data, level=9))
+    assert ours <= theirs * 1.05
+
+
+def test_hc_cli(tmp_path, corpus_sample):
+    from lz4tpu.cli.dolz4 import main as dolz4
+    from lz4tpu.cli.delz4 import main as delz4
+
+    data = corpus_sample(47, 120_000)
+    src = tmp_path / "in.bin"
+    src.write_bytes(data)
+    out = tmp_path / "out.lz4"
+    back = tmp_path / "back.bin"
+    assert dolz4([str(src), str(out), "--level", "9"]) == 0
+    assert delz4([str(out), str(back)]) == 0
+    assert back.read_bytes() == data
+    assert out.stat().st_size <= len(greedy_frame(data))
