@@ -39,9 +39,7 @@ def main(argv=None) -> int:
     if args.engine == "tpu-parallel":
         from lz4tpu.parallel.pipeline import decompress_frame_parallel
 
-        if dictionary:
-            raise SystemExit("dictionaries are not supported by tpu-parallel yet")
-        data = decompress_frame_parallel(frame)
+        data = decompress_frame_parallel(frame, dictionary=dictionary)
     else:
         from lz4tpu import decompress_frame
 

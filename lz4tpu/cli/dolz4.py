@@ -53,8 +53,6 @@ def main(argv=None) -> int:
     if args.engine == "tpu-parallel":
         from lz4tpu.parallel.pipeline import compress_frame_parallel
 
-        if args.dictionary:
-            raise SystemExit("dictionaries are not supported by tpu-parallel yet")
         if args.level:
             raise SystemExit("--level is a host-parse feature; use engine native")
         frame = compress_frame_parallel(
@@ -65,6 +63,10 @@ def main(argv=None) -> int:
             with_content_size=not args.no_content_size,
             acceleration=args.acceleration,
             parallel_linked=args.linked_blocks,
+            dictionary=(
+                open(args.dictionary, "rb").read() if args.dictionary else None
+            ),
+            dictionary_id=args.dictionary_id if args.dictionary_id else None,
         )
     else:
         from lz4tpu import CompressionSettings

@@ -1,0 +1,427 @@
+"""Pallas TPU raw-block decompressor, v4 — parse-ahead ring + fused drain.
+
+Measured revision of v3's cost model (see PERF_NOTES.md round 2): a
+dynamically-indexed 5-row VMEM read costs ~110 ns and *overlaps almost
+perfectly with neighbouring reads and vector work when its address is
+known well in advance* — the 400-cycle "no overlap" floor v3 was designed
+around only applies when the address is computed immediately before use.
+v3's real bottleneck is its ~3 while-loop iterations per sequence, each
+carrying the full parse + 4-way-switch + merge state machine.
+
+v4 therefore restructures around *address lead time*:
+
+* a scalar-core **parser runs ahead** of the data plane, pushing one
+  record per sequence (literal src/len, match offset/len, absolute match
+  source) into an SMEM **ring buffer** (capacity 256).  Up to 2 sequences
+  parse per iteration, so the ring stays nearly full and every literal
+  and far-match address is known hundreds of iterations early — the
+  Mosaic scheduler can then hoist and pipeline the dynamic reads;
+* the **drain** is fused: one iteration consumes one record in the common
+  case — literal chunk (unaligned read straight from the compressed
+  stream, no register read-ahead window) merged into the register
+  accumulator, then the match chunk (near: register extract with v2's
+  lag-doubling bootstrap; far: unaligned read from the flushed output /
+  prefix region) — plus a predicated 1 KiB aligned flush;
+* long literals/matches simply occupy extra iterations (512 B per step).
+
+Parse order, error kinds and timing (memory-limit checked only for
+sequences with matches, like the reference's OOM guard,
+``raw/decompress.rs:72-74``), prefix semantics and the host contract are
+identical to v3; the two kernels share the register-chunk primitives and
+are differential-tested against each other and the spec.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..spec.block import DecodeError
+from .status import (
+    ERR_INVALID_OFFSET,
+    ERR_MEMORY_LIMIT,
+    ERR_UNEXPECTED_END,
+    ERR_ZERO_OFFSET,
+    OK,
+    STATUS_TO_KIND,
+)
+from .decompress_v3 import _read_chunk, _reg_extract, _reg_merge, _round_up
+
+LANES = 128
+CHUNK = 512
+CROWS = CHUNK // LANES  # 4
+AR = 16  # accumulator rows (2 KiB); flush 1 KiB when >= 1 KiB buffered
+FLUSH_AT = 1024
+RING = 256  # parse-ahead capacity (records)
+
+# ring record fields (SMEM scratch laid out (NFIELDS, RING))
+F_LIT_SRC, F_LIT_LEN, F_M_OFF, F_M_LEN, F_SRC_ABS = range(5)
+NFIELDS = 5
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _shift_down8(acc):
+    """Drop the first 8 rows (after a 1 KiB flush)."""
+    return jnp.concatenate(
+        [acc[2 * CROWS:], jnp.zeros((2 * CROWS, LANES), jnp.int32)], axis=0
+    )
+
+
+def _decode_v4_kernel(
+    comp_words_ref,  # SMEM (1, 1, W) int32
+    comp_len_ref,  # SMEM (1, 1, 1) int32
+    prefix_len_ref,  # SMEM (1, 1, 1) int32
+    comp_bytes_ref,  # VMEM (1, Rc, 128) int32
+    prefix_bytes_ref,  # VMEM (1, Rp(+1), 128) int32
+    out_bytes_ref,  # VMEM (1, Rt, 128) int32
+    out_len_ref,  # SMEM (1, 1, 1) int32
+    status_ref,  # SMEM (1, 1, 1) int32
+    ring_ref,  # SMEM scratch (NFIELDS, RING) int32
+    *,
+    output_limit: int,
+    rp: int,
+    w: int,
+    rc: int,
+    rt: int,
+):
+    rp_bytes = rp * LANES
+    max_word = w - 1
+    n = comp_len_ref[0, 0, 0]
+    prefix_len = prefix_len_ref[0, 0, 0]
+    comp_b = comp_bytes_ref.at[0]
+    out_b = out_bytes_ref.at[0]
+
+    if rp:
+
+        def copy_prefix(i, _):
+            out_bytes_ref[0, pl.ds(i, 1), :] = prefix_bytes_ref[0, pl.ds(i, 1), :]
+            return 0
+
+        jax.lax.fori_loop(0, rp, copy_prefix, 0)
+
+    def read_byte(p):
+        idx = jnp.minimum(jnp.maximum(p, 0) >> 2, max_word)
+        word = comp_words_ref[0, 0, idx]
+        return jax.lax.shift_right_logical(word, (p & 3) * 8) & 0xFF
+
+    def read_lsic(initial, p, enable):
+        def cond(c):
+            _, _, st, last = c
+            return (last == 0xFF) & (st == OK)
+
+        def body(c):
+            v, p, st, _ = c
+            eof = p >= n
+            b = jnp.where(eof, 0, read_byte(jnp.minimum(p, n - 1)))
+            st = jnp.where(eof, ERR_UNEXPECTED_END, st)
+            return v + b, p + 1, st, b
+
+        last0 = jnp.where((initial == 0xF) & enable, 0xFF, 0)
+        v, p, st, _ = jax.lax.while_loop(
+            cond, body, (initial, p, jnp.int32(OK), last0)
+        )
+        return v, p, st
+
+    def parse_one(pos, la_out, status, wr, rd):
+        """Parse one sequence at ``pos``; push a record.  Mirrors v3's
+        parse exactly (error kinds and order)."""
+        parsing = (pos < n) & (status == OK) & (wr - rd < RING)
+        token = jnp.where(parsing, read_byte(pos), 0)
+        litv, p1, st1 = read_lsic(token >> 4, pos + 1, parsing)
+        status = jnp.where(parsing & (st1 != OK), st1, status)
+        pok = parsing & (status == OK)
+        status = jnp.where(pok & (p1 + litv > n), ERR_UNEXPECTED_END, status)
+        pok &= status == OK
+
+        p_after_lit = p1 + litv
+        hm = pok & (n - p_after_lit >= 2)
+        b0 = read_byte(jnp.minimum(p_after_lit, n - 1))
+        b1 = read_byte(jnp.minimum(p_after_lit + 1, n - 1))
+        offset = jnp.where(hm, b0 | (b1 << 8), 1)
+        mv, p2, st2 = read_lsic(jnp.where(hm, token & 0xF, 0), p_after_lit + 2, hm)
+        status = jnp.where(hm & (st2 != OK), st2, status)
+        pok &= status == OK
+        hm &= status == OK
+        match_len = jnp.where(hm, mv + 4, 0)
+
+        status = jnp.where(
+            hm & (la_out + litv + match_len > output_limit), ERR_MEMORY_LIMIT, status
+        )
+        status = jnp.where(hm & (status == OK) & (offset == 0), ERR_ZERO_OFFSET, status)
+        status = jnp.where(
+            hm & (status == OK) & (offset > la_out + litv + prefix_len),
+            ERR_INVALID_OFFSET,
+            status,
+        )
+        pok &= status == OK
+        hm &= status == OK
+
+        slot = jax.lax.rem(wr, RING)
+        mlen = jnp.where(hm, match_len, 0)
+
+        @pl.when(pok)
+        def _():
+            ring_ref[F_LIT_SRC, slot] = p1
+            ring_ref[F_LIT_LEN, slot] = litv
+            ring_ref[F_M_OFF, slot] = jnp.where(hm, offset, 1)
+            ring_ref[F_M_LEN, slot] = mlen
+            ring_ref[F_SRC_ABS, slot] = la_out + litv - offset
+
+        new_pos = jnp.where(pok, jnp.where(hm, p2, p_after_lit), pos)
+        new_la = jnp.where(pok, la_out + litv + mlen, la_out)
+        new_wr = jnp.where(pok, wr + 1, wr)
+        return new_pos, new_la, status, new_wr
+
+    # ---------------- main fused loop ----------------
+    # carry: rd, wr, pos, la_out, status, out_len, flushed,
+    #        lit_src, lit_rem, m_off, m_rem, m_lag, m_done, src_abs, acc
+    def cond(c):
+        rd, wr, pos, _, status = c[0], c[1], c[2], c[3], c[4]
+        lit_rem, m_rem = c[8], c[10]
+        return ((pos < n) | (rd < wr) | (lit_rem + m_rem > 0)) & (status == OK)
+
+    def body(c):
+        (rd, wr, pos, la_out, status, out_len, flushed,
+         lit_src, lit_rem, m_off, m_rem, m_lag, m_done, src_abs, acc) = c
+
+        # -- parser: up to 2 sequences per iteration --
+        pos, la_out, status, wr = parse_one(pos, la_out, status, wr, rd)
+        pos, la_out, status, wr = parse_one(pos, la_out, status, wr, rd)
+
+        # -- pop the next record when the current one is done --
+        need_pop = (lit_rem + m_rem == 0) & (rd < wr)
+        slot = jax.lax.rem(rd, RING)
+        lit_src = jnp.where(need_pop, ring_ref[F_LIT_SRC, slot], lit_src)
+        lit_rem = jnp.where(need_pop, ring_ref[F_LIT_LEN, slot], lit_rem)
+        m_off = jnp.where(need_pop, ring_ref[F_M_OFF, slot], m_off)
+        m_rem = jnp.where(need_pop, ring_ref[F_M_LEN, slot], m_rem)
+        m_lag = jnp.where(need_pop, ring_ref[F_M_OFF, slot], m_lag)
+        src_abs = jnp.where(need_pop, ring_ref[F_SRC_ABS, slot], src_abs)
+        m_done = jnp.where(need_pop, 0, m_done)
+        rd = jnp.where(need_pop, rd + 1, rd)
+
+        # -- predicated 1 KiB flush --
+        filled = out_len - flushed
+        do_flush = filled >= FLUSH_AT
+
+        @pl.when(do_flush)
+        def _():
+            row = jnp.clip(rp + flushed // LANES, 0, rt - 2 * CROWS)
+            out_b[pl.ds(row, 2 * CROWS), :] = acc[: 2 * CROWS]
+
+        acc = jnp.where(do_flush, _shift_down8(acc), acc)
+        flushed = jnp.where(do_flush, flushed + FLUSH_AT, flushed)
+        filled = out_len - flushed
+
+        # -- literal chunk: read straight from the compressed stream --
+        lit_take = jnp.clip(lit_rem, 0, CHUNK)
+        lit_chunk = _read_chunk(comp_b, jnp.clip(lit_src, 0, (rc - CROWS - 1) * LANES))
+        acc = _reg_merge(acc, lit_chunk, filled, lit_take)
+        filled2 = filled + lit_take
+        lit_src = lit_src + lit_take
+        lit_rem = lit_rem - lit_take
+
+        # -- match chunk (only once literals are exhausted) --
+        match_ready = (lit_rem == 0) & (m_rem > 0)
+        near = match_ready & (m_lag <= filled2)
+        far = match_ready & (m_lag > filled2)
+
+        near_take = jnp.where(near, jnp.minimum(jnp.minimum(m_rem, CHUNK), m_lag), 0)
+        near_chunk = _reg_extract(acc, jnp.clip(filled2 - m_lag, 0, AR * LANES - 1))
+
+        # far source sits m_lag behind the write position (m_lag is a
+        # power-of-two multiple of the offset after near-mode doubling, so
+        # dst - m_lag always addresses valid pattern bytes — the v2/v3
+        # invariant); m_lag - filled2 >= 1 in the far branch guarantees
+        # progress and keeps every read inside flushed bytes.  For
+        # never-doubled matches (all genuinely-far ones) this equals
+        # src_abs + m_done, whose address is known at parse time.
+        far_take = jnp.where(
+            far,
+            jnp.clip(jnp.minimum(jnp.minimum(m_rem, CHUNK), m_lag - filled2), 0, CHUNK),
+            0,
+        )
+        far_chunk = _read_chunk(
+            out_b,
+            jnp.clip(
+                rp_bytes + flushed + filled2 - m_lag, 0, (rt - CROWS - 1) * LANES
+            ),
+        )
+
+        chunk = jnp.where(near_take > 0, near_chunk, far_chunk)
+        take = near_take + far_take  # at most one is nonzero
+        acc = _reg_merge(acc, chunk, filled2, take)
+
+        m_done = m_done + take
+        m_rem = m_rem - take
+        m_lag = jnp.where(
+            (near_take > 0) & (take == m_lag) & (m_lag < CHUNK), m_lag * 2, m_lag
+        )
+        out_len = out_len + lit_take + take
+
+        return (rd, wr, pos, la_out, status, out_len, flushed,
+                lit_src, lit_rem, m_off, m_rem, m_lag, m_done, src_abs, acc)
+
+    z = jnp.int32(0)
+    acc0 = jnp.zeros((AR, LANES), jnp.int32)
+    final = jax.lax.while_loop(
+        cond,
+        body,
+        (z, z, z, z, jnp.int32(OK), z, z,
+         z, z, jnp.int32(1), z, jnp.int32(1), z, z, acc0),
+    )
+    out_len_f, flushed_f, acc_f = final[5], final[6], final[14]
+    status_f = final[4]
+
+    # drain the accumulator tail
+    row = jnp.clip(rp + flushed_f // LANES, 0, rt - AR)
+    for j in range(AR // CROWS):
+        out_b[pl.ds(row + j * CROWS, CROWS), :] = acc_f[j * CROWS : (j + 1) * CROWS]
+
+    out_len_ref[0, 0, 0] = out_len_f
+    status_ref[0, 0, 0] = status_f
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_maxsize", "comp_capacity", "prefix_rows"),
+)
+def _decompress_batch_v4_jit(
+    comp_u8,
+    comp_len,
+    prefix_u8,
+    prefix_len,
+    *,
+    block_maxsize: int,
+    comp_capacity: int,
+    prefix_rows: int,
+):
+    n_blocks, c = comp_u8.shape
+    rp = prefix_rows
+
+    rc = comp_capacity // LANES + 2 * CROWS + 2
+    ro = (block_maxsize + comp_capacity) // LANES + 2 * CROWS + 2
+    rt = rp + ro
+    w = rc * LANES // 4
+
+    comp_i32 = comp_u8.astype(jnp.int32)
+    comp_bytes = jnp.zeros((n_blocks, rc * LANES), jnp.int32).at[:, :c].set(comp_i32)
+    comp_bytes = comp_bytes.reshape(n_blocks, rc, LANES)
+
+    cw = comp_bytes.reshape(n_blocks, w, 4).astype(jnp.uint32)
+    comp_words = (
+        cw[:, :, 0] | (cw[:, :, 1] << 8) | (cw[:, :, 2] << 16) | (cw[:, :, 3] << 24)
+    ).astype(jnp.int32)
+
+    rp_in = max(rp, 1)
+    prefix_bytes = (
+        jnp.zeros((n_blocks, rp_in * LANES), jnp.int32)
+        .at[:, : prefix_u8.shape[1]]
+        .set(prefix_u8.astype(jnp.int32))
+        .reshape(n_blocks, rp_in, LANES)
+    )
+
+    kernel = functools.partial(
+        _decode_v4_kernel,
+        output_limit=block_maxsize,
+        rp=rp,
+        w=w,
+        rc=rc,
+        rt=rt,
+    )
+
+    def spec3(shape):
+        return pl.BlockSpec(shape, lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
+
+    out_bytes, out_len, status = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            spec3((1, 1, w)),
+            spec3((1, 1, 1)),
+            spec3((1, 1, 1)),
+            pl.BlockSpec((1, rc, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rp_in, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rt, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            spec3((1, 1, 1)),
+            spec3((1, 1, 1)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks, rt, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, 1, 1), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.SMEM((NFIELDS, RING), jnp.int32)],
+        interpret=_interpret(),
+    )(
+        comp_words.reshape(n_blocks, 1, w),
+        comp_len.reshape(n_blocks, 1, 1),
+        prefix_len.reshape(n_blocks, 1, 1),
+        comp_bytes,
+        prefix_bytes,
+    )
+
+    out_u8 = out_bytes.reshape(n_blocks, rt * LANES)[:, rp * LANES :].astype(jnp.uint8)
+    return out_u8, out_len.reshape(n_blocks), status.reshape(n_blocks)
+
+
+def decompress_blocks_v4(blocks, prefixes=None, block_maxsize: int = 1 << 16):
+    """Batch decode on the v4 kernel; same contract as v3."""
+    n = len(blocks)
+    if n == 0:
+        return []
+    if prefixes is None:
+        prefixes = [b""] * n
+    prefixes = [bytes(p)[-65536:] for p in prefixes]
+    any_prefix = any(len(p) for p in prefixes)
+
+    need = max(max(len(b) for b in blocks), 4)
+    comp_capacity = 4096
+    while comp_capacity < need:
+        comp_capacity *= 2
+    comp_capacity = _round_up(comp_capacity, LANES)
+    rp = (1 << 16) // LANES if any_prefix else 0
+
+    comp = np.zeros((n, comp_capacity), np.uint8)
+    comp_len = np.zeros(n, np.int32)
+    for i, b in enumerate(blocks):
+        comp[i, : len(b)] = np.frombuffer(bytes(b), np.uint8)
+        comp_len[i] = len(b)
+
+    pref = np.zeros((n, max(rp, 1) * LANES), np.uint8)
+    pref_len = np.zeros(n, np.int32)
+    if any_prefix:
+        for i, p in enumerate(prefixes):
+            if len(p):
+                pref[i, rp * LANES - len(p) : rp * LANES] = np.frombuffer(p, np.uint8)
+                pref_len[i] = len(p)
+
+    out_u8, out_len, status = _decompress_batch_v4_jit(
+        jnp.asarray(comp),
+        jnp.asarray(comp_len),
+        jnp.asarray(pref),
+        jnp.asarray(pref_len),
+        block_maxsize=block_maxsize,
+        comp_capacity=comp_capacity,
+        prefix_rows=rp,
+    )
+    out_u8 = np.asarray(out_u8)
+    out_len = np.asarray(out_len)
+    status = np.asarray(status)
+
+    results = []
+    for i in range(n):
+        if status[i] != OK:
+            raise DecodeError(STATUS_TO_KIND[int(status[i])])
+        results.append(out_u8[i, : out_len[i]].tobytes())
+    return results

@@ -39,10 +39,37 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def initialize_distributed(**kwargs) -> None:
+def local_mesh() -> Mesh:
+    """A 1-D ``blocks`` mesh over THIS process's devices.
+
+    The multi-host runner pattern is data-parallel at two levels: shards
+    of the corpus distribute across processes by index
+    (``runner.run_sharded_compress``), and each process compresses its
+    shards block-parallel over its local chips.  No cross-host collective
+    is needed for independent blocks, so DCN traffic is zero — exactly the
+    scaling seam the frame format provides (``framed/compress.rs:57-66``).
+    """
+    return Mesh(np.asarray(jax.local_devices()), (BLOCK_AXIS,))
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+    **kwargs,
+) -> tuple[int, int]:
     """Multi-host setup (v5e pods): call once per process before device use.
 
-    Thin wrapper over ``jax.distributed.initialize`` so multi-host runners
-    only depend on lz4tpu.  Single-host usage never needs this.
+    Wraps ``jax.distributed.initialize`` so multi-host runners only depend
+    on lz4tpu, and returns ``(process_index, process_count)`` for use as
+    the runner's shard-claiming coordinates.  Single-host usage never
+    needs this.  Exercised by tests/test_multiprocess.py on a 2-process
+    CPU cluster.
     """
-    jax.distributed.initialize(**kwargs)
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        **kwargs,
+    )
+    return jax.process_index(), jax.process_count()

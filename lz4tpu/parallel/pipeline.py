@@ -66,30 +66,39 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "block_size", "window", "acceleration", "u16_table"),
+    static_argnames=(
+        "mesh", "block_size", "window", "acceleration", "u16_table", "has_dict",
+    ),
 )
 def _compress_sharded(
     blocks,  # uint8 [N, B] (N divisible by mesh size)
     lens,  # int32 [N]
-    tables,  # int32 [N, S] primed template (usually zeros)
+    tables,  # int32 [N, S] primed template (zeros, or dictionary-primed)
+    dict_u8,  # uint8 [D] dictionary bytes (broadcast/replicated to all shards)
+    dict_len,  # int32 [1]
     *,
     mesh,
     block_size: int,
     window: int,  # 0 = independent, else parallel-linked halo bytes
     acceleration: int,
     u16_table: bool,
+    has_dict: bool = False,
 ):
     """Mesh-sharded block compression; returns (out_u8, out_len, status).
 
     Inside each shard: build per-block window prefixes (ring halo via
-    ppermute for the shard-boundary block), then run the Pallas compress
-    grid over the local blocks.
+    ppermute for the shard-boundary block; preset-dictionary broadcast in
+    independent mode, ``framed/compress.rs:202-214``), then run the Pallas
+    compress grid over the local blocks.
     """
     s = tables.shape[1]
-    data_capacity = _round_up(window + block_size, 128)
+    d = dict_u8.shape[0] if has_dict else 0
+    if window:
+        d = 0  # linked mode seeds the first window instead of concatenating
+    data_capacity = _round_up(window + d + block_size, 128)
     out_capacity = _round_up(data_capacity + data_capacity // 255 + 16, 4)
 
-    def local(blocks_l, lens_l, tables_l):
+    def local(blocks_l, lens_l, tables_l, dict_l, dict_len_l):
         nl, b = blocks_l.shape
         if window:
             # halo: previous block's trailing `window` bytes; first local
@@ -102,13 +111,12 @@ def _compress_sharded(
                 [(i, (i + 1) % mesh.shape[BLOCK_AXIS]) for i in range(mesh.shape[BLOCK_AXIS])],
             )
             windows = prev_local.at[0:1].set(from_prev_dev)
-            # window validity: block 0 of the whole batch has no predecessor;
-            # handled by zero cursor for global block 0 below
-            data = jnp.concatenate([windows, blocks_l], axis=1)
             my_shard = jax.lax.axis_index(BLOCK_AXIS)
             global_ids = my_shard * nl + jnp.arange(nl)
             # window length of previous block: full `window` when the
-            # previous block was full-size; first global block: 0
+            # previous block was full-size; global block 0's window is the
+            # broadcast dictionary tail (framed/compress.rs:202-218) or
+            # empty when there is none
             prev_lens = jnp.roll(lens_l, 1)
             prev_lens = prev_lens.at[0].set(
                 jax.lax.ppermute(
@@ -118,7 +126,18 @@ def _compress_sharded(
                 )[0]
             )
             wlen = jnp.minimum(prev_lens, window)
-            wlen = jnp.where(global_ids == 0, 0, wlen)
+            if has_dict:
+                # dict tail, right-aligned in a `window`-byte slot
+                dl = dict_l.shape[0]
+                dict_tail = jnp.pad(dict_l, (window, 0))[dl : dl + window]
+                is_first = (global_ids == 0)[:, None]
+                windows = jnp.where(is_first, dict_tail[None, :], windows)
+                wlen = jnp.where(
+                    global_ids == 0, jnp.minimum(dict_len_l[0], window), wlen
+                )
+            else:
+                wlen = jnp.where(global_ids == 0, 0, wlen)
+            data = jnp.concatenate([windows, blocks_l], axis=1)
             # left-align each window: data currently holds the tail at a
             # fixed position; shift so the valid window ends at `window`
             cursors = jnp.full((nl,), window, jnp.int32)
@@ -128,19 +147,26 @@ def _compress_sharded(
             # prime full windows and skip priming otherwise
             prime = (wlen == window).astype(jnp.int32)
             ns = window + lens_l
-        else:
-            pad = data_capacity - b
-            data = (
-                jnp.pad(blocks_l, ((0, 0), (0, pad))) if pad else blocks_l
+        elif d:
+            # preset-dictionary broadcast: every independent block parses
+            # [dictionary | block] starting at cursor == len(dictionary)
+            # with the host-primed template table — byte-identical to the
+            # streaming writer's per-block state (framed/compress.rs:217-218)
+            data = jnp.concatenate(
+                [jnp.broadcast_to(dict_l[None, :], (nl, d)), blocks_l], axis=1
             )
+            cursors = jnp.full((nl,), d, jnp.int32)
+            prime = jnp.zeros((nl,), jnp.int32)
+            ns = d + lens_l
+        else:
+            data = blocks_l
             cursors = jnp.zeros((nl,), jnp.int32)
             prime = jnp.zeros((nl,), jnp.int32)
             ns = lens_l
 
-        if window:
-            pad = data_capacity - data.shape[1]
-            if pad:
-                data = jnp.pad(data, ((0, 0), (0, pad)))
+        pad = data_capacity - data.shape[1]
+        if pad:
+            data = jnp.pad(data, ((0, 0), (0, pad)))
 
         caps = lens_l  # output capped at input size (incompressible fallback)
         accel = jnp.full((nl,), acceleration, jnp.int32)
@@ -163,29 +189,47 @@ def _compress_sharded(
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS), P(None), P(None)),
         out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS)),
         check_rep=False,
-    )(blocks, lens, tables)
+    )(blocks, lens, tables, dict_u8, dict_len)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "block_maxsize", "comp_capacity"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "block_maxsize", "comp_capacity", "has_dict"),
+)
 def _decompress_sharded(
     comp,  # uint8 [N, C]
     comp_len,  # int32 [N]
+    dict_u8,  # uint8 [D] dictionary tail (<= 64 KiB; replicated)
+    dict_len,  # int32 [1]
     *,
     mesh,
     block_maxsize: int,
     comp_capacity: int,
+    has_dict: bool = False,
 ):
-    """Mesh-sharded independent-block decompression."""
+    """Mesh-sharded independent-block decompression; the preset dictionary
+    is broadcast once and becomes every block's prefix
+    (``framed/decompress.rs:237-245``)."""
 
     from ..kernels.decompress_v3 import _decompress_batch_v3_jit
 
-    def local(comp_l, lens_l):
+    rp = (1 << 16) // 128 if has_dict else 0
+
+    def local(comp_l, lens_l, dict_l, dict_len_l):
         nl = comp_l.shape[0]
-        prefix = jnp.zeros((nl, 128), jnp.uint8)
-        plen = jnp.zeros((nl,), jnp.int32)
+        if has_dict:
+            # right-align the dictionary tail in the 64 KiB prefix slot,
+            # as decompress_blocks_v3 lays prefixes out
+            d = dict_l.shape[0]
+            row = jnp.pad(dict_l, ((1 << 16) - d, 0)) if d < (1 << 16) else dict_l
+            prefix = jnp.broadcast_to(row[None, :], (nl, 1 << 16))
+            plen = jnp.broadcast_to(dict_len_l, (nl,))
+        else:
+            prefix = jnp.zeros((nl, 128), jnp.uint8)
+            plen = jnp.zeros((nl,), jnp.int32)
         return _decompress_batch_v3_jit(
             comp_l,
             lens_l,
@@ -193,16 +237,16 @@ def _decompress_sharded(
             plen,
             block_maxsize=block_maxsize,
             comp_capacity=comp_capacity,
-            prefix_rows=0,
+            prefix_rows=rp,
         )
 
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(None), P(None)),
         out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS)),
         check_rep=False,
-    )(comp, comp_len)
+    )(comp, comp_len, dict_u8, dict_len)
 
 
 # ---------------------------------------------------------------------------
@@ -219,13 +263,19 @@ def compress_frame_parallel(
     with_content_size: bool = True,
     acceleration: int = 1,
     parallel_linked: bool = False,
+    dictionary=None,
+    dictionary_id: int | None = None,
 ) -> bytes:
     """Compress one LZ4 frame with all blocks in parallel on the mesh.
 
     Independent mode is byte-identical to the streaming writer
-    (``frame.compress.CompressionSettings``) with the same settings;
-    ``parallel_linked`` emits a valid linked-block frame (see module
-    docstring).
+    (``frame.compress.CompressionSettings``) with the same settings —
+    including with a preset dictionary, which is broadcast to every shard
+    and parsed exactly like the reference's per-block dictionary state
+    (``framed/compress.rs:202-218``: host-primed step-3 template table +
+    per-block ``[dictionary | block]`` buffer).  ``parallel_linked`` emits
+    a valid linked-block frame (see module docstring); with a dictionary
+    only the first block's window is seeded from the dictionary tail.
     """
     data = bytes(data)
     if BlockDescriptor.for_block_maxsize(block_size) is None:
@@ -233,6 +283,7 @@ def compress_frame_parallel(
     if mesh is None:
         mesh = make_mesh()
     n_dev = mesh.shape[BLOCK_AXIS]
+    dictionary = bytes(dictionary) if dictionary is not None else None
 
     arr, lens, n_blocks = _pad_blocks(data, block_size)
     # pad block count to a multiple of the mesh size with empty blocks
@@ -241,18 +292,29 @@ def compress_frame_parallel(
         arr = np.concatenate([arr, np.zeros((n_padded - n_blocks, block_size), np.uint8)])
         lens = np.concatenate([lens, np.zeros(n_padded - n_blocks, np.int32)])
 
-    tables = np.zeros((n_padded, 4096), np.int32)
+    template = np.zeros(4096, np.int32)
+    if dictionary:
+        from ..spec.table import U32Table, prime_u32_table
+
+        t = U32Table()
+        prime_u32_table(t, dictionary)
+        template = t.dict.astype(np.int32)
+    tables = np.broadcast_to(template, (n_padded, 4096)).copy()
     window = WINDOW_SIZE if parallel_linked else 0
 
+    dict_u8 = np.frombuffer(dictionary or b"\x00", np.uint8)
     out_u8, out_len, status = _compress_sharded(
         jnp.asarray(arr),
         jnp.asarray(lens),
         jnp.asarray(tables),
+        jnp.asarray(dict_u8),
+        jnp.asarray(np.array([len(dictionary or b"")], np.int32)),
         mesh=mesh,
         block_size=block_size,
         window=window,
         acceleration=acceleration,
         u16_table=False,
+        has_dict=bool(dictionary),
     )
     out_u8 = np.asarray(out_u8)
     out_len = np.asarray(out_len)
@@ -264,7 +326,7 @@ def compress_frame_parallel(
         block_checksums=block_checksums,
         content_checksum=content_checksum,
         content_size=with_content_size,
-        dictionary_id=False,
+        dictionary_id=dictionary_id is not None,
     )
     bd = BlockDescriptor.for_block_maxsize(block_size)
     header = bytearray()
@@ -273,6 +335,8 @@ def compress_frame_parallel(
     header.append(bd.byte)
     if with_content_size:
         header.extend(len(data).to_bytes(8, "little"))
+    if dictionary_id is not None:
+        header.extend(int(dictionary_id).to_bytes(4, "little"))
     from ..spec.xxhash32 import xxh32
 
     header.append((xxh32(header[4:]) >> 8) & 0xFF)
@@ -297,19 +361,23 @@ def compress_frame_parallel(
     return b"".join(parts)
 
 
-def decompress_frame_parallel(frame, mesh=None, verify_checksums: bool = True) -> bytes:
+def decompress_frame_parallel(
+    frame, mesh=None, verify_checksums: bool = True, dictionary=None
+) -> bytes:
     """Decompress one LZ4 frame with all independent blocks in parallel.
 
-    Linked-block frames fall back to the (serial-by-nature) streaming
-    reader with the native engine.
+    A preset dictionary is broadcast once and serves as every block's
+    prefix.  Linked-block frames fall back to the (serial-by-nature)
+    streaming reader with the native engine.
     """
     from ..frame.decompress import LZ4FrameReader
 
     frame = bytes(frame)
+    dictionary = bytes(dictionary or b"")[-65536:]
     reader = LZ4FrameReader(frame, engine="native")
     if not reader.flags.independent_blocks:
         rest = LZ4FrameReader(frame, engine="native")
-        return rest.read_all()
+        return rest.read_all(dictionary)
 
     # scan block boundaries without decoding, with the same hostile-input
     # validations the streaming reader enforces (frame/decompress.py:120-140)
@@ -368,9 +436,12 @@ def decompress_frame_parallel(frame, mesh=None, verify_checksums: bool = True) -
         out_u8, out_len, statuses = _decompress_sharded(
             jnp.asarray(comp),
             jnp.asarray(clens),
+            jnp.asarray(np.frombuffer(dictionary or b"\x00", np.uint8)),
+            jnp.asarray(np.array([len(dictionary)], np.int32)),
             mesh=mesh,
             block_maxsize=reader.block_maxsize,
             comp_capacity=comp_capacity,
+            has_dict=bool(dictionary),
         )
         out_u8 = np.asarray(out_u8)
         out_len = np.asarray(out_len)

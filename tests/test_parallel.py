@@ -148,3 +148,62 @@ def test_parallel_decode_corpus_safety(mesh):
             assert got == expected, path.name
             ok += 1
     assert ok >= 1
+
+
+# ---------------------------------------------------------------------------
+# preset-dictionary broadcast (BASELINE config #3; framed/compress.rs:202-218)
+# ---------------------------------------------------------------------------
+
+
+def test_parallel_dictionary_bit_exact_with_streaming(mesh, corpus_sample):
+    from lz4tpu import CompressionSettings
+
+    data = corpus_sample(60, 400_000)
+    dictionary = corpus_sample(61, 30_000)
+    frame_parallel = compress_frame_parallel(
+        data, block_size=1 << 16, mesh=mesh, dictionary=dictionary, dictionary_id=5
+    )
+    frame_serial = (
+        CompressionSettings()
+        .engine("native")
+        .block_size(1 << 16)
+        .dictionary(5, dictionary)
+        .compress_bytes(data)
+    )
+    assert frame_parallel == frame_serial
+    # the dictionary must pay for itself on dictionary-similar data
+    data2 = dictionary * 3 + data[:100_000]
+    with_dict = compress_frame_parallel(
+        data2, block_size=1 << 16, mesh=mesh, dictionary=dictionary
+    )
+    without = compress_frame_parallel(data2, block_size=1 << 16, mesh=mesh)
+    assert len(with_dict) < len(without)
+
+
+def test_parallel_dictionary_roundtrip_on_mesh(mesh, corpus_sample):
+    data = corpus_sample(62, 300_000)
+    dictionary = data[:40_000]
+    frame = compress_frame_parallel(
+        data, block_size=1 << 16, mesh=mesh, dictionary=dictionary
+    )
+    # parallel decode with the broadcast dictionary prefix
+    assert decompress_frame_parallel(frame, mesh=mesh, dictionary=dictionary) == data
+    # and the ordinary streaming reader agrees
+    assert decompress_frame(frame, dictionary=dictionary, engine="native") == data
+
+
+def test_parallel_linked_dictionary_first_window(mesh, corpus_sample):
+    dictionary = bytes(range(256)) * 256  # 64 KiB, fully primes the window
+    data = dictionary[:30_000] + bytes(corpus_sample(63, 200_000))
+    frame = compress_frame_parallel(
+        data,
+        block_size=1 << 16,
+        mesh=mesh,
+        parallel_linked=True,
+        dictionary=dictionary,
+    )
+    assert decompress_frame(frame, dictionary=dictionary, engine="native") == data
+    no_dict = compress_frame_parallel(
+        data, block_size=1 << 16, mesh=mesh, parallel_linked=True
+    )
+    assert len(frame) <= len(no_dict)
