@@ -6,13 +6,24 @@ deterministic mixed-compressibility corpus (64 KiB blocks), GB/s per chip.
 single-core decompression (~4.5 GB/s, BASELINE.md) — the bar the reference
 library claims to match (``/root/reference/README.md:11``).
 
+The ``extra`` dict reports the BASELINE.md configurations:
+
+* config #1/#2 (Silesia-stand-in frames, xxhash32 checksums): the
+  ``frame_*`` entries time the whole-frame parallel pipeline on the chip
+  (kernels + host mux).  4 MiB blocks exceed VMEM with the kernels'
+  unpacked-int32 layout, so the on-chip frame configs use 64 KiB blocks
+  and the 4 MiB-block frame numbers come from the native host engine.
+* config #3 (linked + dictionary): ``frame_linked_dict_ratio`` from the
+  ring-halo parallel-linked mode with a broadcast dictionary.
+* config #4 (levels): ``hc_level9_*`` host HC parse vs greedy.
+* config #5 (sharded corpus): exercised by tests/test_multiprocess.py and
+  the resumable runner; not timed here (single chip).
+
 Measurement protocol: the tunneled TPU backend executes lazily and
 ``block_until_ready`` does not force execution, so every timed run chains
 M dispatches through a data dependency and fetches a scalar at the end
 (amortising the ~25 ms tunnel round-trip), calibrated in-session against
-known matmul/HBM costs.
-
-Details (host engine, TPU compress, ratios) ride along in ``extra``.
+known matmul/HBM costs.  ``--full`` adds a decode batch-size sweep.
 """
 
 from __future__ import annotations
@@ -62,35 +73,33 @@ def make_corpus(target_mb: float = 8.0) -> bytes:
     return (data * (n // len(data) + 1))[:n]
 
 
-def bench_tpu(blocks, comp):
-    """Chained on-device decode + compress throughput; returns dict."""
+def _pack(blocks, cap):
+    arr = np.zeros((len(blocks), cap), np.uint8)
+    lens = np.zeros(len(blocks), np.int32)
+    for i, c in enumerate(blocks):
+        arr[i, : len(c)] = np.frombuffer(c, np.uint8)
+        lens[i] = len(c)
+    return arr, lens
+
+
+def bench_tpu_decode(blocks, comp, kernel_jit, m=6):
+    """Chained decode throughput for one kernel; asserts bit-exactness."""
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-    from lz4tpu.kernels.compress import _compress_batch_jit
-    from lz4tpu.kernels.decompress_v3 import _decompress_batch_v3_jit
-
     nb = len(blocks)
     total = sum(len(b) for b in blocks)
-
-    arr = np.zeros((nb, CAP), np.uint8)
-    lens = np.zeros(nb, np.int32)
-    for i, c in enumerate(comp):
-        arr[i, : len(c)] = np.frombuffer(c, np.uint8)
-        lens[i] = len(c)
-    d_arr = jnp.asarray(arr)
-    d_lens = jnp.asarray(lens)
+    arr, lens = _pack(comp, CAP)
+    d_arr, d_lens = jnp.asarray(arr), jnp.asarray(lens)
     pref = jnp.zeros((nb, 128), jnp.uint8)
     plen = jnp.zeros(nb, jnp.int32)
     dkw = dict(block_maxsize=BLOCK, comp_capacity=CAP, prefix_rows=0)
 
     @jax.jit
     def dec_chain(a, l):
-        out, ol, st = _decompress_batch_v3_jit(a, l, pref, plen, **dkw)
+        out, ol, st = kernel_jit(a, l, pref, plen, **dkw)
         return a ^ (st.sum() * 0).astype(jnp.uint8), l, out, ol, st
 
-    # correctness first
     _, _, out, ol, st = dec_chain(d_arr, d_lens)
     out_h, ol_h, st_h = np.asarray(out), np.asarray(ol), np.asarray(st)
     assert (st_h == 0).all(), "TPU decode status errors"
@@ -98,19 +107,22 @@ def bench_tpu(blocks, comp):
         assert out_h[i, : ol_h[i]].tobytes() == b, f"TPU decode mismatch block {i}"
 
     a, l = d_arr, d_lens
-    m = 6
     t0 = time.perf_counter()
     for _ in range(m):
         a, l, out, ol, st = dec_chain(a, l)
     np.asarray(ol[:2])
-    t_decode = (time.perf_counter() - t0) / m
+    return total / ((time.perf_counter() - t0) / m)
 
-    # compress
-    barr = np.zeros((nb, BLOCK), np.uint8)
-    blens = np.zeros(nb, np.int32)
-    for i, b in enumerate(blocks):
-        barr[i, : len(b)] = np.frombuffer(b, np.uint8)
-        blens[i] = len(b)
+
+def bench_tpu_compress(blocks, comp, m=6):
+    import jax
+    import jax.numpy as jnp
+
+    from lz4tpu.kernels.compress import _compress_batch_jit
+
+    nb = len(blocks)
+    total = sum(len(b) for b in blocks)
+    barr, blens = _pack(blocks, BLOCK)
     d_barr = jnp.asarray(barr)
     d_blens = jnp.asarray(blens)
     zz = jnp.zeros(nb, jnp.int32)
@@ -136,18 +148,45 @@ def bench_tpu(blocks, comp):
     for _ in range(m):
         a, outc, olen, stc = comp_chain(a)
     np.asarray(olen[:2])
-    t_compress = (time.perf_counter() - t0) / m
-
-    return {
-        "decode_bps": total / t_decode,
-        "compress_bps": total / t_compress,
-    }
+    return total / ((time.perf_counter() - t0) / m)
 
 
-def bench_native(data):
+def bench_frame_parallel(data, extra):
+    """Whole-frame pipeline on the chip (config #1/#2/#3 shapes)."""
+    from lz4tpu.parallel.mesh import make_mesh
+    from lz4tpu.parallel.pipeline import (
+        compress_frame_parallel,
+        decompress_frame_parallel,
+    )
+
+    mesh = make_mesh(1)
+    frame = compress_frame_parallel(data, block_size=BLOCK, mesh=mesh)
+    t0 = time.perf_counter()
+    frame = compress_frame_parallel(data, block_size=BLOCK, mesh=mesh)
+    extra["frame_compress_mbps"] = round(len(data) / (time.perf_counter() - t0) / 1e6, 1)
+    out = decompress_frame_parallel(frame, mesh=mesh)
+    t0 = time.perf_counter()
+    out = decompress_frame_parallel(frame, mesh=mesh)
+    extra["frame_decode_mbps"] = round(len(data) / (time.perf_counter() - t0) / 1e6, 1)
+    assert out == data
+    extra["frame_parallel_ratio"] = round(len(frame) / len(data), 4)
+
+    # config #3: linked + broadcast dictionary (ratio, on-chip compress)
+    dictionary = data[: 1 << 16]
+    fl = compress_frame_parallel(
+        data, block_size=BLOCK, mesh=mesh, parallel_linked=True, dictionary=dictionary
+    )
+    from lz4tpu import decompress_frame
+
+    assert decompress_frame(fl, dictionary=dictionary, engine="native") == data
+    extra["frame_linked_dict_ratio"] = round(len(fl) / len(data), 4)
+
+
+def bench_native(data, extra):
     from lz4tpu import CompressionSettings, decompress_frame
 
-    s = CompressionSettings().engine("native").block_size(BLOCK)
+    # config #2 at the reference's default 4 MiB blocks (host engine)
+    s = CompressionSettings().engine("native")  # 4 MiB blocks default
     frame = s.compress_bytes(data)
     t0 = time.perf_counter()
     frame = s.compress_bytes(data)
@@ -157,14 +196,27 @@ def bench_native(data):
     out = decompress_frame(frame, engine="native")
     t_d = time.perf_counter() - t0
     assert out == data
-    return len(data) / t_c, len(data) / t_d, len(frame) / len(data)
+    extra["native_compress_mbps"] = round(len(data) / t_c / 1e6, 1)
+    extra["native_decompress_mbps"] = round(len(data) / t_d / 1e6, 1)
+    extra["frame_ratio_4m"] = round(len(frame) / len(data), 4)
+
+    # config #4: high-compression levels (host parse by design this round)
+    s9 = CompressionSettings().engine("native").level(9)
+    t0 = time.perf_counter()
+    f9 = s9.compress_bytes(data)
+    t_hc = time.perf_counter() - t0
+    assert decompress_frame(f9, engine="native") == data
+    extra["hc_level9_ratio"] = round(len(f9) / len(data), 4)
+    extra["hc_level9_mbps"] = round(len(data) / t_hc / 1e6, 1)
+    return len(data) / t_d
 
 
 def main() -> None:
-    size_mb = float(sys.argv[1]) if len(sys.argv) > 1 else 2.0
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    full = "--full" in sys.argv
+    size_mb = float(args[0]) if args else 2.0
     data = make_corpus(size_mb)
     blocks = [data[i : i + BLOCK] for i in range(0, len(data), BLOCK)]
-    # batch must divide k_blocks=4
     while len(blocks) % 4:
         blocks.append(b"\x00" * BLOCK)
 
@@ -172,31 +224,41 @@ def main() -> None:
     from lz4tpu.spec.table import U32Table
 
     comp = [compress_block(b, 0, U32Table()) for b in blocks]
-    ratio = sum(len(c) for c in comp) / sum(len(b) for b in blocks)
-
-    native_c, native_d, native_ratio = bench_native(data)
 
     extra = {
         "corpus_mb": round(sum(len(b) for b in blocks) / (1 << 20), 2),
-        "block_ratio": round(ratio, 4),
-        "frame_ratio": round(native_ratio, 4),
-        "native_compress_mbps": round(native_c / 1e6, 1),
-        "native_decompress_mbps": round(native_d / 1e6, 1),
+        "block_ratio": round(sum(len(c) for c in comp) / sum(len(b) for b in blocks), 4),
     }
+    native_d = bench_native(data, extra)
 
-    tpu = None
+    tpu_best = None
     try:
         import jax
 
         if jax.default_backend() == "tpu":
-            tpu = bench_tpu(blocks, comp)
-            extra["tpu_decode_mbps"] = round(tpu["decode_bps"] / 1e6, 1)
-            extra["tpu_compress_mbps"] = round(tpu["compress_bps"] / 1e6, 1)
-    except Exception as e:  # pragma: no cover
-        extra["tpu_error"] = str(e)[:160]
+            from lz4tpu.kernels.decompress_v3 import _decompress_batch_v3_jit
+            from lz4tpu.kernels.decompress_v4 import _decompress_batch_v4_jit
 
-    if tpu is not None:
-        value = tpu["decode_bps"] / 1e9
+            for name, kern in (("v4", _decompress_batch_v4_jit),
+                               ("v3", _decompress_batch_v3_jit)):
+                bps = bench_tpu_decode(blocks, comp, kern)
+                extra[f"tpu_decode_{name}_mbps"] = round(bps / 1e6, 1)
+                if tpu_best is None or bps > tpu_best:
+                    tpu_best = bps
+            extra["tpu_compress_mbps"] = round(bench_tpu_compress(blocks, comp) / 1e6, 1)
+            bench_frame_parallel(data, extra)
+
+            if full:
+                for nb in (16, 64):
+                    sub = (blocks * ((nb // len(blocks)) + 1))[:nb]
+                    subc = (comp * ((nb // len(comp)) + 1))[:nb]
+                    bps = bench_tpu_decode(sub, subc, _decompress_batch_v4_jit)
+                    extra[f"tpu_decode_v4_nb{nb}_mbps"] = round(bps / 1e6, 1)
+    except Exception as e:  # pragma: no cover
+        extra["tpu_error"] = str(e)[:200]
+
+    if tpu_best is not None:
+        value = tpu_best / 1e9
         metric = "tpu_decode_gbps_per_chip"
     else:
         value = native_d / 1e9

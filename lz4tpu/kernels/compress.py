@@ -68,6 +68,7 @@ def _srl(x, n):
 
 def _compress_kernel(
     in_words_ref,  # SMEM (1, 1, Wi) int32 — packed LE words of data (window+block)
+    hashes_ref,  # SMEM (1, 1, Wh) int32 — two precomputed 12/13-bit hashes per word
     n_ref,  # SMEM (1,1,1) int32 — total data length
     cursor_ref,  # SMEM (1,1,1) int32 — parse start (window offset)
     cap_ref,  # SMEM (1,1,1) int32 — output byte cap (<0: none)
@@ -82,6 +83,7 @@ def _compress_kernel(
     table_ref,  # SMEM scratch (S,) int32
     *,
     wi: int,
+    wh: int,
     wo: int,
     table_slots: int,
     u16_table: bool,
@@ -121,24 +123,14 @@ def _compress_kernel(
         hi = jnp.where(sh == 0, 0, w1 << ((32 - sh) & 31))
         return lo | hi
 
+    max_wh = wh - 1
+
     def hash_at(p):
-        """Exact reference hash at position p (see module docstring)."""
-        if u16_table:
-            v = read_u32(p)
-            # (v * 2654435761) >> (32 - HASHLOG - 1), all mod 2^32
-            prod = (v * jnp.int32(np.int32(np.uint32(2654435761)))).astype(jnp.int32)
-            return _srl(prod, 32 - HASHLOG - 1)
-        valid = p + 8 <= n
-        b0 = jnp.where(valid, read_byte(p), 0)
-        w1 = jnp.where(valid, read_u32(p + 1), 0)
-        m0 = jnp.int32(np.int32(np.uint32(_M0)))
-        hi32 = (
-            b0 * _srl(m0, 8)
-            + _srl(b0 * (m0 & 0xFF), 8)
-            + ((b0 * jnp.int32(_M1) & 0xFF) << 24)
-            + (w1 * m0).astype(jnp.int32)
-        ).astype(jnp.int32)
-        return _srl(hi32, 32 - HASHLOG)
+        """Reference hash at position p, from the vector-precomputed table
+        (two 16-bit entries per SMEM word) — one load + shift instead of
+        the ~15-op 32-bit-limb evaluation the v1 kernel did per probe."""
+        wv = hashes_ref[0, 0, jnp.minimum(_srl(p, 1), max_wh)]
+        return _srl(wv, (p & 1) * 16) & 0xFFFF
 
     def table_replace(p, enable=None):
         h = hash_at(p)
@@ -261,30 +253,36 @@ def _compress_kernel(
                 & (cursor != init_cursor)
                 & (cursor - candidate <= 0xFFFF)
             )
-            matching = jnp.where(
-                usable, count_matching(cursor, n - 5, candidate), 0
+            # branch around the LCP loop: most probes are hash misses, and
+            # the while_loop setup itself is a measurable cost per probe
+            matching = jax.lax.cond(
+                usable,
+                lambda _: count_matching(cursor, n - 5, candidate),
+                lambda _: jnp.int32(0),
+                0,
             )
             is_match = usable & (matching >= MINMATCH)
 
-            # backtrack (compress/mod.rs:211-214)
-            def bt_cond(c2):
-                bt, go = c2
-                return go
+            # backtrack (compress/mod.rs:211-214), branched the same way
+            def run_backtrack(_):
+                def bt_cond(c2):
+                    bt, go = c2
+                    return go
 
-            def bt_body(c2):
-                bt, _ = c2
-                can = (
-                    (bt < cursor - literal_start)
-                    & (candidate - bt > 0)
-                    & (read_byte(cursor - bt - 1) == read_byte(candidate - bt - 1))
-                )
-                return jnp.where(can, bt + 1, bt), can
+                def bt_body(c2):
+                    bt, _ = c2
+                    can = (
+                        (bt < cursor - literal_start)
+                        & (candidate - bt > 0)
+                        & (read_byte(cursor - bt - 1) == read_byte(candidate - bt - 1))
+                    )
+                    return jnp.where(can, bt + 1, bt), can
 
-            bt = jnp.where(
-                is_match,
-                jax.lax.while_loop(bt_cond, bt_body, (jnp.int32(0), is_match))[0],
-                0,
-            )
+                return jax.lax.while_loop(
+                    bt_cond, bt_body, (jnp.int32(0), jnp.bool_(True))
+                )[0]
+
+            bt = jax.lax.cond(is_match, run_backtrack, lambda _: jnp.int32(0), 0)
 
             new_cursor = jnp.where(is_match, cursor + matching, cursor)
             # cursor-2 re-insert (compress/mod.rs:218), masked via dummy slot
@@ -421,8 +419,41 @@ def _compress_batch_jit(
         dw[:, :, 0] | (dw[:, :, 1] << 8) | (dw[:, :, 2] << 16) | (dw[:, :, 3] << 24)
     ).astype(jnp.int32)
 
+    # vector hash precompute: the reference hash for EVERY position, on the
+    # VPU via XLA (fused, ~free), packed two 16-bit hashes per SMEM word so
+    # the scalar parse does one load + shift per probe instead of ~15 ops.
+    npos = wi * 4
+    du = d.astype(jnp.uint32)
+
+    def sh(k):
+        return jnp.pad(du[:, k:], ((0, 0), (0, k)))
+
+    if u16_table:
+        # (LE u32 at p) * 2654435761 >> (32 - HASHLOG - 1), mod 2^32
+        v = du | (sh(1) << 8) | (sh(2) << 16) | (sh(3) << 24)
+        hashes = (v * jnp.uint32(2654435761)) >> (32 - HASHLOG - 1)
+    else:
+        # 32-bit-limb form of the 64-bit 5-byte hash (module docstring),
+        # masked to 0 where fewer than 8 bytes remain (hash_u32t semantics)
+        b0 = du
+        w1 = sh(1) | (sh(2) << 8) | (sh(3) << 16) | (sh(4) << 24)
+        m0 = jnp.uint32(_M0)
+        hi32 = (
+            b0 * (m0 >> 8)
+            + ((b0 * (m0 & 0xFF)) >> 8)
+            + (((b0 * jnp.uint32(_M1)) & 0xFF) << 24)
+            + w1 * m0
+        )
+        hashes = hi32 >> (32 - HASHLOG)
+        pos = jnp.arange(npos, dtype=jnp.int32)[None, :]
+        hashes = jnp.where(pos + 8 <= n_arr[:, None], hashes, 0)
+
+    wh = npos // 2
+    hp = hashes.reshape(n_blocks, wh, 2)
+    hash_words = (hp[:, :, 0] | (hp[:, :, 1] << 16)).astype(jnp.int32)
+
     kernel = functools.partial(
-        _compress_kernel, wi=wi, wo=wo, table_slots=s, u16_table=u16_table
+        _compress_kernel, wi=wi, wh=wh, wo=wo, table_slots=s, u16_table=u16_table
     )
 
     smem11 = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
@@ -431,6 +462,7 @@ def _compress_batch_jit(
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((1, 1, wi), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, wh), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             smem11,
             smem11,
             smem11,
@@ -455,6 +487,7 @@ def _compress_batch_jit(
         interpret=_interpret(),
     )(
         in_words.reshape(n_blocks, 1, wi),
+        hash_words.reshape(n_blocks, 1, wh),
         n_arr.reshape(n_blocks, 1, 1),
         cursor_arr.reshape(n_blocks, 1, 1),
         cap_arr.reshape(n_blocks, 1, 1),

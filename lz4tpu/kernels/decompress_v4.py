@@ -113,22 +113,34 @@ def _decode_v4_kernel(
         return jax.lax.shift_right_logical(word, (p & 3) * 8) & 0xFF
 
     def read_lsic(initial, p, enable):
-        def cond(c):
-            _, _, st, last = c
-            return (last == 0xFF) & (st == OK)
+        # common case (nibble < 0xF): no continuation bytes — skip the
+        # while_loop entirely via a scalar branch (loop setup is a
+        # measurable slice of the per-sequence budget)
+        def tail(args):
+            v0, p0 = args
 
-        def body(c):
-            v, p, st, _ = c
-            eof = p >= n
-            b = jnp.where(eof, 0, read_byte(jnp.minimum(p, n - 1)))
-            st = jnp.where(eof, ERR_UNEXPECTED_END, st)
-            return v + b, p + 1, st, b
+            def cond(c):
+                _, _, st, last = c
+                return (last == 0xFF) & (st == OK)
 
-        last0 = jnp.where((initial == 0xF) & enable, 0xFF, 0)
-        v, p, st, _ = jax.lax.while_loop(
-            cond, body, (initial, p, jnp.int32(OK), last0)
+            def body(c):
+                v, p, st, _ = c
+                eof = p >= n
+                b = jnp.where(eof, 0, read_byte(jnp.minimum(p, n - 1)))
+                st = jnp.where(eof, ERR_UNEXPECTED_END, st)
+                return v + b, p + 1, st, b
+
+            v, p, st, _ = jax.lax.while_loop(
+                cond, body, (v0, p0, jnp.int32(OK), jnp.int32(0xFF))
+            )
+            return v, p, st
+
+        return jax.lax.cond(
+            (initial == 0xF) & enable,
+            tail,
+            lambda args: (args[0], args[1], jnp.int32(OK)),
+            (initial, p),
         )
-        return v, p, st
 
     def parse_one(pos, la_out, status, wr, rd):
         """Parse one sequence at ``pos``; push a record.  Mirrors v3's
@@ -192,9 +204,22 @@ def _decode_v4_kernel(
         (rd, wr, pos, la_out, status, out_len, flushed,
          lit_src, lit_rem, m_off, m_rem, m_lag, m_done, src_abs, acc) = c
 
-        # -- parser: up to 2 sequences per iteration --
-        pos, la_out, status, wr = parse_one(pos, la_out, status, wr, rd)
-        pos, la_out, status, wr = parse_one(pos, la_out, status, wr, rd)
+        # -- parser: one sequence per iteration, plus a second only while
+        # the ring is still building its lead (steady state skips the
+        # branch, keeping the drain's iteration short) --
+        def do_parse(c):
+            return parse_one(c[0], c[1], c[2], c[3], rd)
+
+        can_parse = (pos < n) & (wr - rd < RING)
+        pos, la_out, status, wr = jax.lax.cond(
+            can_parse, do_parse, lambda c: c, (pos, la_out, status, wr)
+        )
+        pos, la_out, status, wr = jax.lax.cond(
+            (wr - rd < 64) & (pos < n) & (wr - rd < RING),
+            do_parse,
+            lambda c: c,
+            (pos, la_out, status, wr),
+        )
 
         # -- pop the next record when the current one is done --
         need_pop = (lit_rem + m_rem == 0) & (rd < wr)

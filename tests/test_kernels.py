@@ -15,11 +15,15 @@ from lz4tpu.spec.table import U16Table, U32Table
 ON_TPU = os.environ.get("LZ4TPU_TEST_PLATFORM") == "tpu"
 
 
-@pytest.fixture(scope="module")
-def decomp():
-    from lz4tpu.kernels.decompress import decompress_blocks
+@pytest.fixture(scope="module", params=["v3", "v4"])
+def decomp(request):
+    if request.param == "v3":
+        from lz4tpu.kernels.decompress_v3 import decompress_blocks_v3
 
-    return decompress_blocks
+        return decompress_blocks_v3
+    from lz4tpu.kernels.decompress_v4 import decompress_blocks_v4
+
+    return decompress_blocks_v4
 
 
 def test_decode_reference_vectors(decomp):
