@@ -56,6 +56,8 @@ _M1 = HASH64_MUL >> 32  # high limb (= 207)
 STATUS_OK = 0
 STATUS_INCOMPRESSIBLE = 1
 
+FIND_UNROLL = 2  # probes per while iteration in the match-find loop
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -166,6 +168,8 @@ def _compress_kernel(
         return out_pos + 1
 
     def push_lsic_tail(out_pos, value):
+        # values < 0xF: nothing; < 0xF + 0xFF (the overwhelmingly common
+        # tail case): exactly one byte, no while_loop
         def cond(c):
             return c[1] >= 0xFF
 
@@ -175,50 +179,89 @@ def _compress_kernel(
 
         def emit(out_pos):
             v = value - 0xF
-            out_pos, v = jax.lax.while_loop(cond, body, (out_pos, v))
+
+            def long(c):
+                return jax.lax.while_loop(cond, body, c)
+
+            out_pos, v = jax.lax.cond(
+                v >= 0xFF, long, lambda c: c, (out_pos, v)
+            )
             return push_byte(out_pos, v)
 
         return jax.lax.cond(value >= 0xF, emit, lambda op: op, out_pos)
 
+    def push_word(out_pos, w):
+        """Write 4 bytes at an arbitrary byte position (two RMW words)."""
+        idx = jnp.minimum(_srl(out_pos, 2), max_wo - 1)
+        sh = (out_pos & 3) * 8
+        w0 = out_words_ref[0, 0, idx]
+        w1 = out_words_ref[0, 0, idx + 1]
+        m0 = jnp.where(sh == 0, 0, (1 << sh) - 1).astype(jnp.int32)
+        out_words_ref[0, 0, idx] = (w0 & m0) | (w << sh)
+        hi = jnp.where(sh == 0, w1, (w1 & ~((1 << sh) - 1)) | _srl(w, (32 - sh) & 31))
+        out_words_ref[0, 0, idx + 1] = jnp.where(sh == 0, w1, hi)
+        return out_pos + 4
+
     def copy_literals(out_pos, start, length):
+        # word-at-a-time (4 bytes per step, two RMW words) + byte tail
+        def wbody(i, op):
+            return push_word(op, read_u32(start + 4 * i))
+
+        out_pos = jax.lax.fori_loop(0, _srl(length, 2), wbody, out_pos)
+
         def body(i, op):
             return push_byte(op, read_byte(start + i))
 
-        return jax.lax.fori_loop(0, length, body, out_pos)
+        return jax.lax.fori_loop(length & ~3, length, body, out_pos)
 
     def lsic_len(v):
         return jnp.where(v < 0xF, 0, _srl(v - 0xF, 0) // 0xFF + 1)
 
     # ---- match extension (word-at-a-time LCP) ----
+    def _lcp_bytes_tail(m, limit, a, b):
+        """Up to 3 trailing byte compares, branchless."""
+        g = jnp.bool_(True)
+        for _ in range(3):
+            g = g & (m < limit) & (read_byte(a + m) == read_byte(b + m))
+            m = jnp.where(g, m + 1, m)
+        return m
+
     def count_matching(a, a_end, b):
         """LCP of data[a:a_end] and data[b:n] (equivalent to
-        compress/mod.rs:117-145; see spec/block.py for the proof)."""
+        compress/mod.rs:117-145; see spec/block.py for the proof).
+
+        The first 32 bytes compare branchlessly (8 unrolled word steps);
+        only matches that survive all 32 enter a while_loop (a while
+        iteration costs ~750 ns on this part, so the common short match
+        must never pay it)."""
         limit = jnp.minimum(a_end - a, n - b)
 
-        def wcond(c):
-            m, go = c
-            return go
+        # caller has already verified the first word matches (the probe's
+        # branchless pre-check), so start at 4
+        m = jnp.int32(4)
+        g = jnp.bool_(True)
+        for _ in range(7):
+            g = g & (m + 4 <= limit) & (read_u32(a + m) == read_u32(b + m))
+            m = jnp.where(g, m + 4, m)
 
-        def wbody(c):
-            m, _ = c
-            can = m + 4 <= limit
-            ok = can & (read_u32(a + m) == read_u32(b + m))
-            return jnp.where(ok, m + 4, m), ok
+        def long_path(m0):
+            def wcond(c):
+                _, go = c
+                return go
 
-        m, _ = jax.lax.while_loop(wcond, wbody, (jnp.int32(0), jnp.bool_(True)))
+            def wbody(c):
+                m, _ = c
+                go = jnp.bool_(True)
+                for _ in range(8):
+                    go = go & (m + 4 <= limit) & (read_u32(a + m) == read_u32(b + m))
+                    m = jnp.where(go, m + 4, m)
+                return m, go
 
-        def bcond(c):
-            m, go = c
-            return go
+            m1, _ = jax.lax.while_loop(wcond, wbody, (m0, jnp.bool_(True)))
+            return m1
 
-        def bbody(c):
-            m, _ = c
-            can = m < limit
-            ok = can & (read_byte(a + m) == read_byte(b + m))
-            return jnp.where(ok, m + 1, m), ok
-
-        m, _ = jax.lax.while_loop(bcond, bbody, (m, jnp.bool_(True)))
-        return m
+        m = jax.lax.cond(g, long_path, lambda m0: m0, m)
+        return _lcp_bytes_tail(m, limit, a, b)
 
     # ---- the greedy parse (compress/mod.rs:166-238) ----
     # carry: cursor, out_pos, status, done
@@ -238,51 +281,66 @@ def _compress_kernel(
 
         def find_body(fc):
             cursor, step, step_counter, found, offset, extra, tail = fc
+            # fully predicated so the body can be UNROLLED inside one
+            # while iteration (a while_loop iteration costs ~750 ns of
+            # fixed overhead on this part; see PERF_NOTES round 2)
+            active = (~found) & (~tail)
 
             # tail guard: bail when the NEXT probe would pass n-11 (C's
             # `forwardIp > mflimitPlusOne`); at step==1 this is exactly the
             # reference's `n - cursor < 12` (compress/mod.rs:179)
-            is_tail = cursor + step > n - 11
+            is_tail = active & (cursor + step > n - 11)
             # the tail path must NOT probe the table (compress/mod.rs:178
             # returns before the replace at :196): masked via the dummy slot
             candidate = jnp.where(
-                is_tail, 0, table_replace(jnp.minimum(cursor, n - 1), ~is_tail)
+                is_tail, 0, table_replace(jnp.minimum(cursor, n - 1), active & (~is_tail))
             )
             usable = (
-                (~is_tail)
+                active
+                & (~is_tail)
                 & (cursor != init_cursor)
                 & (cursor - candidate <= 0xFFFF)
             )
-            # branch around the LCP loop: most probes are hash misses, and
-            # the while_loop setup itself is a measurable cost per probe
+            # branchless first-word pre-check: a usable candidate whose
+            # first 4 bytes match IS a match (limit >= 4 holds in the probe
+            # context); only real matches enter the LCP extension
+            quick = usable & (read_u32(jnp.minimum(cursor, n - 4)) ==
+                              read_u32(jnp.minimum(candidate, n - 4)))
             matching = jax.lax.cond(
-                usable,
+                quick,
                 lambda _: count_matching(cursor, n - 5, candidate),
                 lambda _: jnp.int32(0),
                 0,
             )
-            is_match = usable & (matching >= MINMATCH)
+            is_match = quick
 
-            # backtrack (compress/mod.rs:211-214), branched the same way
-            def run_backtrack(_):
+            # backtrack (compress/mod.rs:211-214): first 4 steps branchless
+            # (backtracks are usually 0-3 bytes), while_loop only beyond
+            def bt_can(bt):
+                return (
+                    (bt < cursor - literal_start)
+                    & (candidate - bt > 0)
+                    & (read_byte(cursor - bt - 1) == read_byte(candidate - bt - 1))
+                )
+
+            bt = jnp.int32(0)
+            g = is_match
+            for _ in range(4):
+                g = g & bt_can(bt)
+                bt = jnp.where(g, bt + 1, bt)
+
+            def bt_long(bt0):
                 def bt_cond(c2):
-                    bt, go = c2
-                    return go
+                    return c2[1]
 
                 def bt_body(c2):
                     bt, _ = c2
-                    can = (
-                        (bt < cursor - literal_start)
-                        & (candidate - bt > 0)
-                        & (read_byte(cursor - bt - 1) == read_byte(candidate - bt - 1))
-                    )
+                    can = bt_can(bt)
                     return jnp.where(can, bt + 1, bt), can
 
-                return jax.lax.while_loop(
-                    bt_cond, bt_body, (jnp.int32(0), jnp.bool_(True))
-                )[0]
+                return jax.lax.while_loop(bt_cond, bt_body, (bt0, jnp.bool_(True)))[0]
 
-            bt = jax.lax.cond(is_match, run_backtrack, lambda _: jnp.int32(0), 0)
+            bt = jax.lax.cond(g, bt_long, lambda b: b, bt)
 
             new_cursor = jnp.where(is_match, cursor + matching, cursor)
             # cursor-2 re-insert (compress/mod.rs:218), masked via dummy slot
@@ -292,7 +350,7 @@ def _compress_kernel(
             new_extra = jnp.where(is_match, matching - MINMATCH + bt, extra)
 
             # miss: skip-acceleration stride (compress/mod.rs:225-231)
-            miss = (~is_tail) & (~is_match)
+            miss = active & (~is_tail) & (~is_match)
             stepped = jnp.where(miss, cursor + step, new_cursor)
             # the step assignment lags one miss behind the advance (C's
             # forwardIp += step uses the previous iteration's step):
@@ -305,15 +363,23 @@ def _compress_kernel(
                 stepped,
                 new_step,
                 new_counter,
-                is_match,
+                found | is_match,
                 new_offset,
                 new_extra,
-                is_tail,
+                tail | is_tail,
             )
+
+        def find_body_k(fc):
+            # small unroll only: the find loop often exits after 1-3
+            # probes (matchy data), and dead unrolled slots still execute
+            # their predicated ops — measured: x8 unroll HURTS 2x
+            for _ in range(FIND_UNROLL):
+                fc = find_body(fc)
+            return fc
 
         cursor2, _, _, found, offset, extra, tail = jax.lax.while_loop(
             find_cond,
-            find_body,
+            find_body_k,
             (
                 cursor,
                 jnp.int32(1),

@@ -58,6 +58,7 @@ CROWS = CHUNK // LANES  # 4
 AR = 16  # accumulator rows (2 KiB); flush 1 KiB when >= 1 KiB buffered
 FLUSH_AT = 1024
 RING = 256  # parse-ahead capacity (records)
+UNROLL = 8  # body steps per while_loop iteration (see body_k)
 
 # ring record fields (SMEM scratch laid out (NFIELDS, RING))
 F_LIT_SRC, F_LIT_LEN, F_M_OFF, F_M_LEN, F_SRC_ABS = range(5)
@@ -91,6 +92,8 @@ def _decode_v4_kernel(
     w: int,
     rc: int,
     rt: int,
+    variant: str = "full",
+    unroll: int = UNROLL,
 ):
     rp_bytes = rp * LANES
     max_word = w - 1
@@ -210,16 +213,44 @@ def _decode_v4_kernel(
         def do_parse(c):
             return parse_one(c[0], c[1], c[2], c[3], rd)
 
-        can_parse = (pos < n) & (wr - rd < RING)
-        pos, la_out, status, wr = jax.lax.cond(
-            can_parse, do_parse, lambda c: c, (pos, la_out, status, wr)
-        )
-        pos, la_out, status, wr = jax.lax.cond(
-            (wr - rd < 64) & (pos < n) & (wr - rd < RING),
-            do_parse,
-            lambda c: c,
-            (pos, la_out, status, wr),
-        )
+        if variant != "noparse":
+            can_parse = (pos < n) & (wr - rd < RING)
+            pos, la_out, status, wr = jax.lax.cond(
+                can_parse, do_parse, lambda c: c, (pos, la_out, status, wr)
+            )
+            pos, la_out, status, wr = jax.lax.cond(
+                (wr - rd < 64) & (pos < n) & (wr - rd < RING),
+                do_parse,
+                lambda c: c,
+                (pos, la_out, status, wr),
+            )
+        else:
+            # timing-only: fabricate records (fixed 24-byte literal runs)
+            # so the drain runs standalone
+            can = (pos < n) & (wr - rd < RING)
+            slot = jax.lax.rem(wr, RING)
+
+            @pl.when(can)
+            def _():
+                ring_ref[F_LIT_SRC, slot] = jax.lax.rem(pos, jnp.int32(1024))
+                ring_ref[F_LIT_LEN, slot] = 24
+                ring_ref[F_M_OFF, slot] = 1
+                ring_ref[F_M_LEN, slot] = 0
+                ring_ref[F_SRC_ABS, slot] = 0
+
+            pos = jnp.where(can, pos + 24, pos)
+            wr = jnp.where(can, wr + 1, wr)
+
+        if variant == "nodrain":
+            has = rd < wr
+            slot = jax.lax.rem(rd, RING)
+            out_len = jnp.where(
+                has, out_len + ring_ref[F_LIT_LEN, slot] + ring_ref[F_M_LEN, slot],
+                out_len,
+            )
+            rd = jnp.where(has, rd + 1, rd)
+            return (rd, wr, pos, la_out, status, out_len, flushed,
+                    lit_src, lit_rem, m_off, m_rem, m_lag, m_done, src_abs, acc)
 
         # -- pop the next record when the current one is done --
         need_pop = (lit_rem + m_rem == 0) & (rd < wr)
@@ -248,8 +279,14 @@ def _decode_v4_kernel(
 
         # -- literal chunk: read straight from the compressed stream --
         lit_take = jnp.clip(lit_rem, 0, CHUNK)
-        lit_chunk = _read_chunk(comp_b, jnp.clip(lit_src, 0, (rc - CROWS - 1) * LANES))
-        acc = _reg_merge(acc, lit_chunk, filled, lit_take)
+        if variant == "noread":
+            lit_chunk = jnp.zeros((CROWS, LANES), jnp.int32)
+        else:
+            lit_chunk = _read_chunk(
+                comp_b, jnp.clip(lit_src, 0, (rc - CROWS - 1) * LANES)
+            )
+        if variant != "nomerge":
+            acc = _reg_merge(acc, lit_chunk, filled, lit_take)
         filled2 = filled + lit_take
         lit_src = lit_src + lit_take
         lit_rem = lit_rem - lit_take
@@ -274,16 +311,20 @@ def _decode_v4_kernel(
             jnp.clip(jnp.minimum(jnp.minimum(m_rem, CHUNK), m_lag - filled2), 0, CHUNK),
             0,
         )
-        far_chunk = _read_chunk(
-            out_b,
-            jnp.clip(
-                rp_bytes + flushed + filled2 - m_lag, 0, (rt - CROWS - 1) * LANES
-            ),
-        )
+        if variant == "noread":
+            far_chunk = jnp.zeros((CROWS, LANES), jnp.int32)
+        else:
+            far_chunk = _read_chunk(
+                out_b,
+                jnp.clip(
+                    rp_bytes + flushed + filled2 - m_lag, 0, (rt - CROWS - 1) * LANES
+                ),
+            )
 
         chunk = jnp.where(near_take > 0, near_chunk, far_chunk)
         take = near_take + far_take  # at most one is nonzero
-        acc = _reg_merge(acc, chunk, filled2, take)
+        if variant != "nomerge":
+            acc = _reg_merge(acc, chunk, filled2, take)
 
         m_done = m_done + take
         m_rem = m_rem - take
@@ -295,11 +336,20 @@ def _decode_v4_kernel(
         return (rd, wr, pos, la_out, status, out_len, flushed,
                 lit_src, lit_rem, m_off, m_rem, m_lag, m_done, src_abs, acc)
 
+    def body_k(c):
+        # the body is fully predicated (every step no-ops when it has no
+        # work), so unrolling K sequences per while iteration is
+        # semantics-preserving; the measured win is small because the body
+        # itself (not the while overhead) dominates — kept configurable
+        for _ in range(unroll):
+            c = body(c)
+        return c
+
     z = jnp.int32(0)
     acc0 = jnp.zeros((AR, LANES), jnp.int32)
     final = jax.lax.while_loop(
         cond,
-        body,
+        body_k,
         (z, z, z, z, jnp.int32(OK), z, z,
          z, z, jnp.int32(1), z, jnp.int32(1), z, z, acc0),
     )
@@ -317,7 +367,9 @@ def _decode_v4_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_maxsize", "comp_capacity", "prefix_rows"),
+    static_argnames=(
+        "block_maxsize", "comp_capacity", "prefix_rows", "variant", "unroll",
+    ),
 )
 def _decompress_batch_v4_jit(
     comp_u8,
@@ -328,6 +380,8 @@ def _decompress_batch_v4_jit(
     block_maxsize: int,
     comp_capacity: int,
     prefix_rows: int,
+    variant: str = "full",
+    unroll: int = UNROLL,
 ):
     n_blocks, c = comp_u8.shape
     rp = prefix_rows
@@ -361,6 +415,8 @@ def _decompress_batch_v4_jit(
         w=w,
         rc=rc,
         rt=rt,
+        variant=variant,
+        unroll=unroll,
     )
 
     def spec3(shape):

@@ -10,18 +10,24 @@ import os
 import sys
 
 _platform = os.environ.get("LZ4TPU_TEST_PLATFORM", "cpu")
-os.environ["JAX_PLATFORMS"] = _platform
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# the axon TPU plugin overrides JAX_PLATFORMS from the environment, so pin
-# the platform through the config API as well
 import jax
 
-jax.config.update("jax_platforms", _platform)
+if _platform == "tpu":
+    # the tunneled TPU (axon plugin) is only selected when JAX_PLATFORMS
+    # is fully unset: naming "tpu" picks the real libtpu plugin (which
+    # finds no local chip), and naming "axon" races plugin registration
+    os.environ.pop("JAX_PLATFORMS", None)
+else:
+    # pin through the config API as well: the axon plugin overrides the
+    # environment variable
+    os.environ["JAX_PLATFORMS"] = _platform
+    jax.config.update("jax_platforms", _platform)
 
 import random
 
