@@ -56,7 +56,7 @@ _M1 = HASH64_MUL >> 32  # high limb (= 207)
 STATUS_OK = 0
 STATUS_INCOMPRESSIBLE = 1
 
-FIND_UNROLL = 2  # probes per while iteration in the match-find loop
+FIND_UNROLL = 1  # probes per while iteration in the match-find loop
 
 
 def _interpret() -> bool:

@@ -1,8 +1,9 @@
 """Host-side entry points for the Pallas raw-block decompressor.
 
-The live kernel lives in ``decompress_v3.py`` (register-accumulator data
-plane; see its docstring and PERF_NOTES.md for the measured evolution from
-the retired v1/v2 designs).  This module is the stable import surface:
+The live kernel lives in ``decompress_v4.py`` (parse-ahead ring + fused
+drain; ``decompress_v3.py`` is kept as the measured baseline — see both
+docstrings and PERF_NOTES.md for the evolution from the retired v1/v2
+designs).  This module is the stable import surface:
 
 * ``decompress_blocks(blocks, prefixes, block_maxsize)`` — batched decode,
   the high-throughput path (one Pallas grid over many blocks);
@@ -32,9 +33,9 @@ def decompress_blocks(blocks, prefixes=None, block_maxsize: int = 1 << 16):
     byte strings.  ``prefixes[i]`` is block *i*'s dictionary / carry-over
     window (only the trailing 64 KiB is addressable).  Raises
     ``DecodeError`` for the first failed block."""
-    from .decompress_v3 import decompress_blocks_v3
+    from .decompress_v4 import decompress_blocks_v4
 
-    return decompress_blocks_v3(blocks, prefixes, block_maxsize=block_maxsize)
+    return decompress_blocks_v4(blocks, prefixes, block_maxsize=block_maxsize)
 
 
 def _round_up(x: int, m: int) -> int:

@@ -73,16 +73,18 @@ def _interpret() -> bool:
 def _reg_extract(acc, byte_off):
     """chunk[m,l] = acc byte (byte_off + 128m + l), as (CROWS,128).
 
-    Register-only: sublane rolls + lane roll + select.  ``byte_off`` is a
-    scalar in [0, rows*128).
+    Register-only: one dynamic sublane roll + one dynamic lane roll +
+    select; the +1-row variant derives from the first roll with a STATIC
+    roll (dynamic-amount rolls are the dominant cost of these helpers —
+    measured ~60-80 ns each on this part).
     """
     rows = acc.shape[0]
     r0 = byte_off // LANES
     e = byte_off % LANES
     rows_a = pltpu.roll(acc, (rows - r0) % rows, 0)  # rows_a[m] = acc[m + r0]
-    rows_b = pltpu.roll(acc, (rows - r0 - 1) % rows, 0)  # rows_b[m] = acc[m + r0 + 1]
     la = pltpu.roll(rows_a, (LANES - e) % LANES, 1)
-    lb = pltpu.roll(rows_b, (LANES - e) % LANES, 1)
+    # rows_b[m] = acc[m + r0 + 1] = rows_a[m + 1]  (static roll)
+    lb = pltpu.roll(la, rows - 1, 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
     return jnp.where(lane < LANES - e, la, lb)[:CROWS]
 
@@ -98,7 +100,7 @@ def _reg_merge(acc, chunk, byte_off, take):
     e = byte_off % LANES
     r2 = pltpu.roll(expanded, e, 1)
     shifted = pltpu.roll(r2, r0, 0)  # shifted[row] = r2[row - r0]
-    top = pltpu.roll(r2, r0 + 1, 0)  # top[row] = r2[row - r0 - 1]
+    top = pltpu.roll(shifted, 1, 0)  # top[row] = r2[row - r0 - 1] (static roll)
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
     rowi = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
     val = jnp.where(lane >= e, shifted, top)

@@ -55,10 +55,11 @@ from .decompress_v3 import _read_chunk, _reg_extract, _reg_merge, _round_up
 LANES = 128
 CHUNK = 512
 CROWS = CHUNK // LANES  # 4
-AR = 16  # accumulator rows (2 KiB); flush 1 KiB when >= 1 KiB buffered
-FLUSH_AT = 1024
+AR = 16  # accumulator rows (2 KiB); dynamic-roll cost is width-independent
+FLUSH_AT = 1024  # flush 1 KiB whenever that much is buffered
+CAPB = AR * LANES  # accumulator byte capacity
 RING = 256  # parse-ahead capacity (records)
-UNROLL = 8  # body steps per while_loop iteration (see body_k)
+UNROLL = 4  # body steps per while_loop iteration (measured optimum)
 
 # ring record fields (SMEM scratch laid out (NFIELDS, RING))
 F_LIT_SRC, F_LIT_LEN, F_M_OFF, F_M_LEN, F_SRC_ABS = range(5)
@@ -69,10 +70,11 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _shift_down8(acc):
-    """Drop the first 8 rows (after a 1 KiB flush)."""
+def _shift_down_flush(acc):
+    """Drop the flushed rows."""
+    k = FLUSH_AT // LANES
     return jnp.concatenate(
-        [acc[2 * CROWS:], jnp.zeros((2 * CROWS, LANES), jnp.int32)], axis=0
+        [acc[k:], jnp.zeros((k, LANES), jnp.int32)], axis=0
     )
 
 
@@ -116,9 +118,17 @@ def _decode_v4_kernel(
         return jax.lax.shift_right_logical(word, (p & 3) * 8) & 0xFF
 
     def read_lsic(initial, p, enable):
-        # common case (nibble < 0xF): no continuation bytes — skip the
-        # while_loop entirely via a scalar branch (loop setup is a
-        # measurable slice of the per-sequence budget)
+        # fast path, fully branchless: values below 0xF + 0xFF (one
+        # continuation byte at most) — the overwhelmingly common case.
+        # Only a 0xFF continuation byte enters the while_loop.
+        need = (initial == 0xF) & enable
+        eof0 = need & (p >= n)
+        b = read_byte(jnp.minimum(p, n - 1))
+        b = jnp.where(need & (~eof0), b, 0)
+        v = initial + b
+        p = jnp.where(need, p + 1, p)
+        st = jnp.where(eof0, jnp.int32(ERR_UNEXPECTED_END), jnp.int32(OK))
+
         def tail(args):
             v0, p0 = args
 
@@ -129,21 +139,22 @@ def _decode_v4_kernel(
             def body(c):
                 v, p, st, _ = c
                 eof = p >= n
-                b = jnp.where(eof, 0, read_byte(jnp.minimum(p, n - 1)))
+                bb = jnp.where(eof, 0, read_byte(jnp.minimum(p, n - 1)))
                 st = jnp.where(eof, ERR_UNEXPECTED_END, st)
-                return v + b, p + 1, st, b
+                return v + bb, p + 1, st, bb
 
-            v, p, st, _ = jax.lax.while_loop(
+            vv, pp, stt, _ = jax.lax.while_loop(
                 cond, body, (v0, p0, jnp.int32(OK), jnp.int32(0xFF))
             )
-            return v, p, st
+            return vv, pp, stt
 
-        return jax.lax.cond(
-            (initial == 0xF) & enable,
+        v, p, st2 = jax.lax.cond(
+            need & (b == 0xFF) & (st == OK),
             tail,
             lambda args: (args[0], args[1], jnp.int32(OK)),
-            (initial, p),
+            (v, p),
         )
+        return v, p, jnp.where(st != OK, st, st2)
 
     def parse_one(pos, la_out, status, wr, rd):
         """Parse one sequence at ``pos``; push a record.  Mirrors v3's
@@ -270,15 +281,18 @@ def _decode_v4_kernel(
 
         @pl.when(do_flush)
         def _():
-            row = jnp.clip(rp + flushed // LANES, 0, rt - 2 * CROWS)
-            out_b[pl.ds(row, 2 * CROWS), :] = acc[: 2 * CROWS]
+            fr = FLUSH_AT // LANES
+            row = jnp.clip(rp + flushed // LANES, 0, rt - fr)
+            out_b[pl.ds(row, fr), :] = acc[: FLUSH_AT // LANES]
 
-        acc = jnp.where(do_flush, _shift_down8(acc), acc)
+        acc = jnp.where(do_flush, _shift_down_flush(acc), acc)
         flushed = jnp.where(do_flush, flushed + FLUSH_AT, flushed)
         filled = out_len - flushed
 
         # -- literal chunk: read straight from the compressed stream --
-        lit_take = jnp.clip(lit_rem, 0, CHUNK)
+        # (capped to the accumulator's free space; post-flush filled <= 511
+        # so a full 512 B literal chunk always fits)
+        lit_take = jnp.clip(jnp.minimum(lit_rem, CAPB - filled), 0, CHUNK)
         if variant == "noread":
             lit_chunk = jnp.zeros((CROWS, LANES), jnp.int32)
         else:
@@ -296,7 +310,12 @@ def _decode_v4_kernel(
         near = match_ready & (m_lag <= filled2)
         far = match_ready & (m_lag > filled2)
 
-        near_take = jnp.where(near, jnp.minimum(jnp.minimum(m_rem, CHUNK), m_lag), 0)
+        free2 = CAPB - filled2  # may be < CHUNK after a full literal chunk
+        near_take = jnp.where(
+            near,
+            jnp.minimum(jnp.minimum(jnp.minimum(m_rem, CHUNK), m_lag), free2),
+            0,
+        )
         near_chunk = _reg_extract(acc, jnp.clip(filled2 - m_lag, 0, AR * LANES - 1))
 
         # far source sits m_lag behind the write position (m_lag is a
@@ -308,7 +327,13 @@ def _decode_v4_kernel(
         # src_abs + m_done, whose address is known at parse time.
         far_take = jnp.where(
             far,
-            jnp.clip(jnp.minimum(jnp.minimum(m_rem, CHUNK), m_lag - filled2), 0, CHUNK),
+            jnp.clip(
+                jnp.minimum(
+                    jnp.minimum(jnp.minimum(m_rem, CHUNK), m_lag - filled2), free2
+                ),
+                0,
+                CHUNK,
+            ),
             0,
         )
         if variant == "noread":

@@ -214,7 +214,7 @@ def _decompress_sharded(
     is broadcast once and becomes every block's prefix
     (``framed/decompress.rs:237-245``)."""
 
-    from ..kernels.decompress_v3 import _decompress_batch_v3_jit
+    from ..kernels.decompress_v4 import _decompress_batch_v4_jit
 
     rp = (1 << 16) // 128 if has_dict else 0
 
@@ -230,7 +230,7 @@ def _decompress_sharded(
         else:
             prefix = jnp.zeros((nl, 128), jnp.uint8)
             plen = jnp.zeros((nl,), jnp.int32)
-        return _decompress_batch_v3_jit(
+        return _decompress_batch_v4_jit(
             comp_l,
             lens_l,
             prefix,
