@@ -214,6 +214,7 @@ def bench_native(data, extra):
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     full = "--full" in sys.argv
+    profile = "--profile" in sys.argv
     size_mb = float(args[0]) if args else 2.0
     data = make_corpus(size_mb)
     blocks = [data[i : i + BLOCK] for i in range(0, len(data), BLOCK)]
@@ -239,12 +240,22 @@ def main() -> None:
             from lz4tpu.kernels.decompress_v3 import _decompress_batch_v3_jit
             from lz4tpu.kernels.decompress_v4 import _decompress_batch_v4_jit
 
-            for name, kern in (("v4", _decompress_batch_v4_jit),
-                               ("v3", _decompress_batch_v3_jit)):
-                bps = bench_tpu_decode(blocks, comp, kern)
-                extra[f"tpu_decode_{name}_mbps"] = round(bps / 1e6, 1)
-                if tpu_best is None or bps > tpu_best:
-                    tpu_best = bps
+            import contextlib
+
+            prof = (
+                jax.profiler.trace("/tmp/lz4tpu_trace")
+                if profile
+                else contextlib.nullcontext()
+            )
+            with prof:
+                for name, kern in (("v4", _decompress_batch_v4_jit),
+                                   ("v3", _decompress_batch_v3_jit)):
+                    bps = bench_tpu_decode(blocks, comp, kern)
+                    extra[f"tpu_decode_{name}_mbps"] = round(bps / 1e6, 1)
+                    if tpu_best is None or bps > tpu_best:
+                        tpu_best = bps
+            if profile:
+                extra["profile_trace"] = "/tmp/lz4tpu_trace"
             extra["tpu_compress_mbps"] = round(bench_tpu_compress(blocks, comp) / 1e6, 1)
             bench_frame_parallel(data, extra)
 

@@ -28,9 +28,10 @@ from .frame.errors import (
 )
 from .frame.header import MAGIC, WINDOW_SIZE
 from .spec.block import DecodeError, compress_block, decompress_block
+from .spec.hc import compress_block_hc
 from .spec.xxhash32 import XXHash32, xxh32
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "CompressionSettings",
@@ -38,6 +39,7 @@ __all__ = [
     "LZ4FrameIoReader",
     "decompress_frame",
     "compress_block",
+    "compress_block_hc",
     "decompress_block",
     "DecodeError",
     "LZ4Error",
