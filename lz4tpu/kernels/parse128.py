@@ -1,0 +1,331 @@
+"""EXPERIMENTAL: lane-parallel LZ4 sequence parser — 128 blocks per step.
+
+Round-2 measurements (PERF_NOTES.md) put the scalar parse at ~220 ns per
+sequence and showed that any per-sequence design caps at ~60–80 MB/s.
+This kernel is the round-3 architecture probe: parse 128 blocks
+simultaneously, one block per SIMD lane, in lockstep rounds of one
+sequence per lane.  All per-lane state lives in (1,128) registers and
+every primitive is a bounded-window operation:
+
+* per-lane streams are stored TRANSPOSED: word j of block l at
+  ``words[j, l]`` (whole streams resident in VMEM);
+* each lane's read window is a (PAGE_W, 128) VMEM page refilled by a
+  one-hot gather over row groups (cost linear in the number of groups,
+  amortized over the page size), refreshed mid-round after literal jumps;
+* byte reads extract from the page with a one-hot select over PAGE_W
+  rows plus shifts — no per-lane dynamic addressing anywhere;
+* each round emits one record row per field, aligned across lanes
+  (``rec[r, l]`` = lane *l*'s *r*-th sequence), staged 8 rounds at a
+  time so stores stay (8,128)-aligned.
+
+The output records (lit_src, lit_len, m_off, m_len) use the same
+conventions as the v4 ring parser, checked against the spec parse in
+tests/test_parse128.py.  Semantics: the reference sequence grammar
+(``/root/reference/src/raw/decompress.rs:59-78``), including the
+literal-only final sequence.  Error detection covers the same four kinds
+as a per-lane status.
+
+This is NOT wired into any default path yet; it exists to measure the
+lane-parallel round cost on hardware (see bench note in PERF_NOTES.md).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .status import (
+    ERR_INVALID_OFFSET,
+    ERR_MEMORY_LIMIT,
+    ERR_UNEXPECTED_END,
+    ERR_ZERO_OFFSET,
+    OK,
+)
+
+LANES = 128
+PAGE_W = 64  # page rows (words per lane): 256 B of stream per lane
+GROUP_W = 32  # refill group granularity (words): >=32 words forward margin
+STAGE = 8  # record rows staged in registers between aligned stores
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _onehot_rows(sel_row, rows, width):
+    """mask[r, l] = (sel_row[l] == r) as int32, shape (rows, width)."""
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 0)
+    return (rowi == sel_row).astype(jnp.int32)
+
+
+def _parse128_kernel(
+    words_ref,  # VMEM (Rw, 128) int32 — transposed packed streams
+    n_ref,  # VMEM (1, 128) int32 — per-lane stream lengths (bytes)
+    rec_lit_src_ref,  # VMEM (MAXR, 128) int32 out
+    rec_lit_len_ref,  # VMEM (MAXR, 128) int32 out
+    rec_m_off_ref,  # VMEM (MAXR, 128) int32 out
+    rec_m_len_ref,  # VMEM (MAXR, 128) int32 out
+    nrec_ref,  # VMEM (1, 128) int32 out — records per lane
+    status_ref,  # VMEM (1, 128) int32 out
+    page_ref,  # VMEM scratch (PAGE_W, 128) int32
+    *,
+    rw: int,
+    maxr: int,
+    output_limit: int,
+):
+    n = n_ref[0:1, :]  # (1,128)
+    n_groups = (rw - PAGE_W) // GROUP_W + 1
+
+    def refill(gbase):
+        """page[k, l] = words[gbase[l]*GROUP_W + k, l] via one-hot groups."""
+        acc = jnp.zeros((PAGE_W, LANES), jnp.int32)
+        for g in range(n_groups):
+            mask = (gbase == g).astype(jnp.int32)  # (1,128)
+            slab = words_ref[g * GROUP_W : g * GROUP_W + PAGE_W, :]
+            acc = acc + slab * mask
+        page_ref[:, :] = acc
+
+    def ensure_page(gbase, pos, active):
+        """Advance lanes' pages so pos/4 lands in the page's FIRST group
+        (>= 32 words of forward margin); returns new gbase."""
+        want = jnp.clip((pos >> 2) // GROUP_W, 0, n_groups - 1)
+        new_gbase = jnp.where(active, want, gbase)
+        need = jnp.any(new_gbase != gbase)
+
+        @pl.when(need)
+        def _():
+            refill(new_gbase)
+
+        return new_gbase
+
+    def byte_at(page, gbase, pos):
+        """byte at per-lane byte position ``pos`` (must be inside the
+        page); one-hot select over PAGE_W rows + shift."""
+        rel = jnp.clip((pos >> 2) - gbase * GROUP_W, 0, PAGE_W - 1)  # in-page row
+        word = jnp.sum(page * _onehot_rows(rel, PAGE_W, LANES), axis=0,
+                       keepdims=True)
+        return jax.lax.shift_right_logical(word, (pos & 3) * 8) & 0xFF
+
+    def lsic(page, gbase, initial, p, enable, status):
+        """Vector LSIC: all lanes step together until none needs more.
+        The page must cover the continuation bytes — LSIC chains longer
+        than the page margin flag lane status (prototype limitation,
+        recorded as ERR_MEMORY_LIMIT sentinel + handled by fallback)."""
+        need = (initial == 0xF) & enable
+
+        def cond(c):
+            return jnp.any(c[2] != 0)
+
+        def body(c):
+            v, p, need, status = c
+            eof = need & (p >= n)
+            status = jnp.where(
+                (eof != 0) & (status == OK), ERR_UNEXPECTED_END, status
+            )
+            need = need & (~eof)
+            b = byte_at(page, gbase, jnp.where(need, p, 0))
+            v = v + jnp.where(need, b, 0)
+            p = p + need.astype(jnp.int32)
+            # page-margin guard: a lane walking off its page aborts (the
+            # host fallback re-parses such blocks serially)
+            off_page = need & ((p >> 2) - gbase * GROUP_W >= PAGE_W)  # page margin
+            status = jnp.where(
+                (off_page != 0) & (status == OK), ERR_MEMORY_LIMIT, status
+            )
+            need = need & (b == 0xFF) & (~off_page)
+            return v, p, need, status
+
+        v, p, _, status = jax.lax.while_loop(
+            cond, body, (initial, p, need, status)
+        )
+        return v, p, status
+
+    def round_body(r, carry):
+        pos, la_out, status, done, gbase, nrec, stage = carry
+        active = (~done) & (status == OK) & (pos < n)
+
+        gbase = ensure_page(gbase, pos, active)
+        page = page_ref[:, :]
+
+        tok = byte_at(page, gbase, jnp.where(active, pos, 0))
+        lit0 = jax.lax.shift_right_logical(tok, 4)
+        nib = tok & 0xF
+        p = pos + 1
+        lit, p, status = lsic(page, gbase, lit0, p, active, status)
+        lit_src = p
+        p = p + jnp.where(active, lit, 0)
+        status = jnp.where(
+            (active & (p > n)) & (status == OK), ERR_UNEXPECTED_END, status
+        )
+
+        # literal-only final sequence: fewer than 2 bytes remain
+        has_match = active & (status == OK) & (n - p >= 2)
+        gbase = ensure_page(gbase, jnp.where(has_match, p, pos), has_match)
+        page = page_ref[:, :]
+        b0 = byte_at(page, gbase, jnp.where(has_match, p, 0))
+        b1 = byte_at(page, gbase, jnp.where(has_match, p + 1, 0))
+        offset = jnp.where(has_match, b0 | (b1 << 8), 1)
+        p = p + 2 * has_match.astype(jnp.int32)
+        mv, p, status = lsic(
+            page, gbase, jnp.where(has_match, nib, 0), p, has_match, status
+        )
+        mlen = jnp.where(has_match, mv + 4, 0)
+
+        ok = status == OK
+        status = jnp.where(
+            has_match & ok & (la_out + lit + mlen > output_limit),
+            ERR_MEMORY_LIMIT, status,
+        )
+        ok = status == OK
+        status = jnp.where(has_match & ok & (offset == 0), ERR_ZERO_OFFSET, status)
+        ok = status == OK
+        status = jnp.where(
+            has_match & ok & (offset > la_out + lit), ERR_INVALID_OFFSET, status
+        )
+        emit = active & (status == OK)
+
+        # stage the record row (records stage 4 fields x STAGE rounds)
+        srow = jax.lax.rem(r, STAGE)
+        svals = jnp.concatenate(
+            [
+                jnp.where(emit, lit_src, -1),
+                jnp.where(emit, lit, 0),
+                jnp.where(emit, offset, 1),
+                jnp.where(emit, mlen, 0),
+            ],
+            axis=0,
+        )  # (4, 128)
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (4 * STAGE, LANES), 0)
+        smask = (rowi >= 4 * srow) & (rowi < 4 * (srow + 1))
+        tiled = jnp.concatenate([svals] * STAGE, axis=0)
+        tiled = pltpu.roll(tiled, 4 * srow, 0)
+        stage = jnp.where(smask, tiled, stage)
+
+        # stage layout: rows [r0f0, r0f1, r0f2, r0f3, r1f0, ...]; store
+        # each field with a static-stride view once STAGE rounds staged
+        @pl.when(srow == STAGE - 1)
+        def _():
+            base = (r // STAGE) * STAGE
+            for f, ref in enumerate(
+                (rec_lit_src_ref, rec_lit_len_ref, rec_m_off_ref, rec_m_len_ref)
+            ):
+                ref[pl.ds(jnp.clip(base, 0, maxr - STAGE), STAGE), :] = stage[
+                    f::4
+                ]
+
+        pos = jnp.where(emit, p, pos)
+        la_out = jnp.where(emit, la_out + lit + mlen, la_out)
+        nrec = nrec + emit.astype(jnp.int32)
+        done = done | (~has_match & active & (status == OK)) | (pos >= n)
+        return pos, la_out, status, done, gbase, nrec, stage
+
+    z = jnp.zeros((1, LANES), jnp.int32)
+    init = (
+        z, z, jnp.full((1, LANES), OK, jnp.int32),
+        (z >= n), jnp.full((1, LANES), -1, jnp.int32),
+        z, jnp.zeros((4 * STAGE, LANES), jnp.int32),
+    )
+
+    def cond(c):
+        r, carry = c
+        _, _, status, done, _, _, _ = carry
+        return (r < maxr) & jnp.any((~done) & (status == OK))
+
+    def outer(c):
+        r, carry = c
+        carry = round_body(r, carry)
+        return r + 1, carry
+
+    r_final, final = jax.lax.while_loop(cond, outer, (jnp.int32(0), init))
+    _, _, status, _, _, nrec, stage_f = final
+    # flush the final partial stage block (rows past nrec are ignored by
+    # the host)
+    base = jnp.clip((jnp.maximum(r_final - 1, 0) // STAGE) * STAGE, 0, maxr - STAGE)
+    for f, ref in enumerate(
+        (rec_lit_src_ref, rec_lit_len_ref, rec_m_off_ref, rec_m_len_ref)
+    ):
+        ref[pl.ds(base, STAGE), :] = stage_f[f::4]
+    nrec_ref[:, :] = nrec
+    status_ref[:, :] = status
+
+
+@functools.partial(jax.jit, static_argnames=("rw", "maxr", "output_limit"))
+def _parse128_jit(words, n, *, rw: int, maxr: int, output_limit: int):
+    return pl.pallas_call(
+        functools.partial(
+            _parse128_kernel, rw=rw, maxr=maxr, output_limit=output_limit
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_shape=[
+            jax.ShapeDtypeStruct((maxr, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((maxr, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((maxr, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((maxr, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, LANES), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((PAGE_W, LANES), jnp.int32)],
+        interpret=_interpret(),
+    )(words, n)
+
+
+def parse_blocks_128(blocks, output_limit: int = 1 << 16, maxr: int | None = None):
+    """Parse up to 128 raw blocks lane-parallel; returns per-block lists of
+    (lit_src, lit_len, m_off, m_len) records plus a status list.
+
+    Experimental measurement surface; blocks longer than the transposed
+    VMEM budget or with LSIC chains crossing a page margin report a
+    sentinel status and should fall back to the scalar parse.
+    """
+    assert len(blocks) <= LANES
+    blocks = [bytes(b) for b in blocks]
+    maxlen = max((len(b) for b in blocks), default=4)
+    rw = -(-maxlen // 4)
+    rw = -(-rw // GROUP_W) * GROUP_W + 2 * PAGE_W
+    if maxr is None:
+        maxr = min(max(maxlen // 3 + STAGE, STAGE), 1 << 15)
+    maxr = -(-maxr // STAGE) * STAGE
+
+    arr = np.zeros((LANES, rw * 4), np.uint8)
+    n = np.zeros((1, LANES), np.int32)
+    for i, b in enumerate(blocks):
+        arr[i, : len(b)] = np.frombuffer(b, np.uint8)
+        n[0, i] = len(b)
+    words = (
+        arr.reshape(LANES, rw, 4).astype(np.uint32)
+    )
+    words = (
+        words[:, :, 0]
+        | (words[:, :, 1] << 8)
+        | (words[:, :, 2] << 16)
+        | (words[:, :, 3] << 24)
+    ).astype(np.int32).T  # (rw, 128)
+
+    ls, ll, mo, ml, nrec, status = _parse128_jit(
+        jnp.asarray(np.ascontiguousarray(words)),
+        jnp.asarray(n),
+        rw=rw,
+        maxr=maxr,
+        output_limit=output_limit,
+    )
+    ls, ll, mo, ml = (np.asarray(x) for x in (ls, ll, mo, ml))
+    nrec = np.asarray(nrec)[0]
+    status = np.asarray(status)[0]
+
+    out = []
+    for i in range(len(blocks)):
+        recs = [
+            (int(ls[r, i]), int(ll[r, i]), int(mo[r, i]), int(ml[r, i]))
+            for r in range(nrec[i])
+        ]
+        out.append(recs)
+    return out, [int(s) for s in status[: len(blocks)]]
