@@ -189,25 +189,23 @@ def _parse128_kernel(
         )
         emit = active & (status == OK)
 
-        # stage the record row (records stage 4 fields x STAGE rounds)
+        # stage the record row; FIELD-MAJOR layout so each field's block
+        # is a contiguous static slice (strided views don't lower in
+        # Mosaic): rows [f0r0..f0r7, f1r0..f1r7, ...]
         srow = jax.lax.rem(r, STAGE)
-        svals = jnp.concatenate(
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (4 * STAGE, LANES), 0)
+        smask = jax.lax.rem(rowi, STAGE) == srow
+        tiled = jnp.concatenate(
             [
-                jnp.where(emit, lit_src, -1),
-                jnp.where(emit, lit, 0),
-                jnp.where(emit, offset, 1),
-                jnp.where(emit, mlen, 0),
+                jnp.broadcast_to(jnp.where(emit, lit_src, -1), (STAGE, LANES)),
+                jnp.broadcast_to(jnp.where(emit, lit, 0), (STAGE, LANES)),
+                jnp.broadcast_to(jnp.where(emit, offset, 1), (STAGE, LANES)),
+                jnp.broadcast_to(jnp.where(emit, mlen, 0), (STAGE, LANES)),
             ],
             axis=0,
-        )  # (4, 128)
-        rowi = jax.lax.broadcasted_iota(jnp.int32, (4 * STAGE, LANES), 0)
-        smask = (rowi >= 4 * srow) & (rowi < 4 * (srow + 1))
-        tiled = jnp.concatenate([svals] * STAGE, axis=0)
-        tiled = pltpu.roll(tiled, 4 * srow, 0)
+        )
         stage = jnp.where(smask, tiled, stage)
 
-        # stage layout: rows [r0f0, r0f1, r0f2, r0f3, r1f0, ...]; store
-        # each field with a static-stride view once STAGE rounds staged
         @pl.when(srow == STAGE - 1)
         def _():
             base = (r // STAGE) * STAGE
@@ -215,7 +213,7 @@ def _parse128_kernel(
                 (rec_lit_src_ref, rec_lit_len_ref, rec_m_off_ref, rec_m_len_ref)
             ):
                 ref[pl.ds(jnp.clip(base, 0, maxr - STAGE), STAGE), :] = stage[
-                    f::4
+                    f * STAGE : (f + 1) * STAGE
                 ]
 
         pos = jnp.where(emit, p, pos)
@@ -249,7 +247,7 @@ def _parse128_kernel(
     for f, ref in enumerate(
         (rec_lit_src_ref, rec_lit_len_ref, rec_m_off_ref, rec_m_len_ref)
     ):
-        ref[pl.ds(base, STAGE), :] = stage_f[f::4]
+        ref[pl.ds(base, STAGE), :] = stage_f[f * STAGE : (f + 1) * STAGE]
     nrec_ref[:, :] = nrec
     status_ref[:, :] = status
 
