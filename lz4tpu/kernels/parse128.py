@@ -78,14 +78,20 @@ def _parse128_kernel(
     maxr: int,
     output_limit: int,
 ):
-    n = n_ref[0:1, :]  # (1,128)
+    # All per-lane state is carried as (8,128) with identical rows:
+    # (1,128) vectors in while-loop carries hit Mosaic layout-legalization
+    # failures (mixed vpad layouts at scf.yield), and a (1,128) op costs a
+    # full vreg op anyway.
+    S8 = (8, LANES)
+    n = jnp.broadcast_to(n_ref[0:1, :], S8)
     n_groups = (rw - PAGE_W) // GROUP_W + 1
 
     def refill(gbase):
         """page[k, l] = words[gbase[l]*GROUP_W + k, l] via one-hot groups."""
         acc = jnp.zeros((PAGE_W, LANES), jnp.int32)
+        gb = gbase[0:1, :]
         for g in range(n_groups):
-            mask = (gbase == g).astype(jnp.int32)  # (1,128)
+            mask = (gb == g).astype(jnp.int32)  # (1,128) broadcasts over rows
             slab = words_ref[g * GROUP_W : g * GROUP_W + PAGE_W, :]
             acc = acc + slab * mask
         page_ref[:, :] = acc
@@ -107,8 +113,9 @@ def _parse128_kernel(
         """byte at per-lane byte position ``pos`` (must be inside the
         page); one-hot select over PAGE_W rows + shift."""
         rel = jnp.clip((pos >> 2) - gbase * GROUP_W, 0, PAGE_W - 1)  # in-page row
-        word = jnp.sum(page * _onehot_rows(rel, PAGE_W, LANES), axis=0,
+        word = jnp.sum(page * _onehot_rows(rel[0:1, :], PAGE_W, LANES), axis=0,
                        keepdims=True)
+        word = jnp.broadcast_to(word, S8)
         return jax.lax.shift_right_logical(word, (pos & 3) * 8) & 0xFF
 
     def lsic(page, gbase, initial, p, enable, status):
@@ -197,13 +204,13 @@ def _parse128_kernel(
         smask = jax.lax.rem(rowi, STAGE) == srow
         tiled = jnp.concatenate(
             [
-                jnp.broadcast_to(jnp.where(emit, lit_src, -1), (STAGE, LANES)),
-                jnp.broadcast_to(jnp.where(emit, lit, 0), (STAGE, LANES)),
-                jnp.broadcast_to(jnp.where(emit, offset, 1), (STAGE, LANES)),
-                jnp.broadcast_to(jnp.where(emit, mlen, 0), (STAGE, LANES)),
+                jnp.where(emit, lit_src, -1),
+                jnp.where(emit, lit, 0),
+                jnp.where(emit, offset, 1),
+                jnp.where(emit, mlen, 0),
             ],
             axis=0,
-        )
+        )  # 4 x (8,128) rows-identical blocks = (4*STAGE, 128)
         stage = jnp.where(smask, tiled, stage)
 
         @pl.when(srow == STAGE - 1)
@@ -222,10 +229,10 @@ def _parse128_kernel(
         done = done | (~has_match & active & (status == OK)) | (pos >= n)
         return pos, la_out, status, done, gbase, nrec, stage
 
-    z = jnp.zeros((1, LANES), jnp.int32)
+    z = jnp.zeros(S8, jnp.int32)
     init = (
-        z, z, jnp.full((1, LANES), OK, jnp.int32),
-        (z >= n), jnp.full((1, LANES), -1, jnp.int32),
+        z, z, jnp.full(S8, OK, jnp.int32),
+        (z >= n), jnp.full(S8, -1, jnp.int32),
         z, jnp.zeros((4 * STAGE, LANES), jnp.int32),
     )
 
@@ -248,8 +255,8 @@ def _parse128_kernel(
         (rec_lit_src_ref, rec_lit_len_ref, rec_m_off_ref, rec_m_len_ref)
     ):
         ref[pl.ds(base, STAGE), :] = stage_f[f * STAGE : (f + 1) * STAGE]
-    nrec_ref[:, :] = nrec
-    status_ref[:, :] = status
+    nrec_ref[:, :] = nrec[0:1, :]
+    status_ref[:, :] = status[0:1, :]
 
 
 @functools.partial(jax.jit, static_argnames=("rw", "maxr", "output_limit"))
