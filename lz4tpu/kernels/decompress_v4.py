@@ -22,11 +22,11 @@ parallelism*:
   unaligned read from the flushed output / prefix region) — plus a
   predicated 1 KiB aligned flush; long literals/matches occupy extra
   iterations (512 B per step);
-* **block interleave**: ``interleave`` independent block state machines
-  run fused in one while loop.  The core is in-order single-issue, but
-  a second independent stream's memory ops hide almost entirely in the
-  first stream's stalls (measured: two independent 5-row dynamic reads
-  cost 121 ns vs 114 ns for one);
+* **block interleave** (``interleave`` machines fused per grid step) is
+  implemented but DEFAULTS OFF: although two adjacent independent reads
+  overlap in a single expression context (121 ns vs 114 ns for one),
+  full machines laid out in program order do NOT overlap on the in-order
+  core (measured il2 32.9 vs il1 35.9 MB/s) — kept for future schedulers;
 * ``unroll`` body steps run per while iteration through an inner
   fori_loop (a while iteration costs ~894 ns of fixed overhead vs
   ~140 ns for the fori class).
@@ -67,7 +67,7 @@ FLUSH_AT = 1024  # flush 1 KiB whenever that much is buffered
 CAPB = AR * LANES  # accumulator byte capacity
 RING = 256  # parse-ahead capacity (records)
 UNROLL = 4  # body steps per while_loop iteration (measured optimum)
-INTERLEAVE = 2  # independent block machines fused per grid step
+INTERLEAVE = 1  # measured: a second machine does NOT overlap (in-order core)
 
 # ring record fields (SMEM scratch laid out (interleave, NFIELDS, RING))
 F_LIT_SRC, F_LIT_LEN, F_M_OFF, F_M_LEN, F_SRC_ABS = range(5)

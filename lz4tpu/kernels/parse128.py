@@ -51,6 +51,7 @@ LANES = 128
 PAGE_W = 64  # page rows (words per lane): 256 B of stream per lane
 GROUP_W = 32  # refill group granularity (words): >=32 words forward margin
 STAGE = 8  # record rows staged in registers between aligned stores
+LSIC_STEPS = 8  # static LSIC continuation bound (longer -> host fallback)
 
 
 def _interpret() -> bool:
@@ -119,17 +120,14 @@ def _parse128_kernel(
         return jax.lax.shift_right_logical(word, (pos & 3) * 8) & 0xFF
 
     def lsic(page, gbase, initial, p, enable, status):
-        """Vector LSIC: all lanes step together until none needs more.
-        The page must cover the continuation bytes — LSIC chains longer
-        than the page margin flag lane status (prototype limitation,
-        recorded as ERR_MEMORY_LIMIT sentinel + handled by fallback)."""
+        """Vector LSIC, statically bounded: 4 unrolled continuation steps
+        cover values up to 15 + 4*255 (the overwhelmingly common range);
+        longer chains flag a sentinel status and fall back to the scalar
+        parse on the host.  (scf.while cannot yield sublane-replicated
+        vector layouts in Mosaic, so the inner loops must be static.)"""
         need = (initial == 0xF) & enable
-
-        def cond(c):
-            return jnp.any(c[2] != 0)
-
-        def body(c):
-            v, p, need, status = c
+        v = initial
+        for _ in range(LSIC_STEPS):  # covers values <= 15 + 8*255 = 2055
             eof = need & (p >= n)
             status = jnp.where(
                 (eof != 0) & (status == OK), ERR_UNEXPECTED_END, status
@@ -138,17 +136,9 @@ def _parse128_kernel(
             b = byte_at(page, gbase, jnp.where(need, p, 0))
             v = v + jnp.where(need, b, 0)
             p = p + need.astype(jnp.int32)
-            # page-margin guard: a lane walking off its page aborts (the
-            # host fallback re-parses such blocks serially)
-            off_page = need & ((p >> 2) - gbase * GROUP_W >= PAGE_W)  # page margin
-            status = jnp.where(
-                (off_page != 0) & (status == OK), ERR_MEMORY_LIMIT, status
-            )
-            need = need & (b == 0xFF) & (~off_page)
-            return v, p, need, status
-
-        v, p, _, status = jax.lax.while_loop(
-            cond, body, (initial, p, need, status)
+            need = need & (b == 0xFF)
+        status = jnp.where(
+            (need != 0) & (status == OK), ERR_MEMORY_LIMIT, status
         )
         return v, p, status
 
@@ -236,17 +226,10 @@ def _parse128_kernel(
         z, jnp.zeros((4 * STAGE, LANES), jnp.int32),
     )
 
-    def cond(c):
-        r, carry = c
-        _, _, status, done, _, _, _ = carry
-        return (r < maxr) & jnp.any((~done) & (status == OK))
-
-    def outer(c):
-        r, carry = c
-        carry = round_body(r, carry)
-        return r + 1, carry
-
-    r_final, final = jax.lax.while_loop(cond, outer, (jnp.int32(0), init))
+    # outer rounds as a static fori (scf.while layout limits, see lsic);
+    # rounds after all lanes finish are predicated no-ops
+    final = jax.lax.fori_loop(0, maxr, round_body, init)
+    r_final = jnp.int32(maxr)
     _, _, status, _, _, nrec, stage_f = final
     # flush the final partial stage block (rows past nrec are ignored by
     # the host)

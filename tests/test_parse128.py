@@ -55,6 +55,15 @@ def test_parse128_matches_host_oracle(corpus_sample):
         assert got[i] == host_records(c), i
 
 
+def test_parse128_long_lsic_sentinel():
+    """LSIC chains beyond the static bound flag the fallback sentinel."""
+    from lz4tpu.kernels.parse128 import parse_blocks_128
+
+    big_rle = bytes(compress_block(b"\x00" * 60_000, 0, U16Table()))
+    _, status = parse_blocks_128([big_rle], output_limit=1 << 16)
+    assert status[0] != 0  # host fallback path
+
+
 def test_parse128_detects_errors():
     from lz4tpu.kernels.parse128 import parse_blocks_128
     from lz4tpu.spec.block import DecodeError  # noqa: F401
