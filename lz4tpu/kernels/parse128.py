@@ -74,6 +74,8 @@ def _parse128_kernel(
     nrec_ref,  # VMEM (1, 128) int32 out — records per lane
     status_ref,  # VMEM (1, 128) int32 out
     page_ref,  # VMEM scratch (PAGE_W, 128) int32
+    state_ref,  # VMEM scratch (8, 128) int32 — per-lane state rows
+    stage_ref,  # VMEM scratch (4*STAGE, 128) int32 — record staging
     *,
     rw: int,
     maxr: int,
@@ -142,8 +144,20 @@ def _parse128_kernel(
         )
         return v, p, status
 
-    def round_body(r, carry):
-        pos, la_out, status, done, gbase, nrec, stage = carry
+    R_POS, R_LA, R_ST, R_DONE, R_GB, R_NREC = range(6)
+
+    def round_body(r, _):
+        # loop-carried vectors fail Mosaic layout legalization (replicated
+        # vpad in scf yields), so ALL per-lane state round-trips through
+        # VMEM scratch each round; the fori carry is a dummy scalar.
+        st8 = state_ref[:, :]
+        pos = jnp.broadcast_to(st8[R_POS : R_POS + 1], S8)
+        la_out = jnp.broadcast_to(st8[R_LA : R_LA + 1], S8)
+        status = jnp.broadcast_to(st8[R_ST : R_ST + 1], S8)
+        done = jnp.broadcast_to(st8[R_DONE : R_DONE + 1], S8) != 0
+        gbase = jnp.broadcast_to(st8[R_GB : R_GB + 1], S8)
+        nrec = jnp.broadcast_to(st8[R_NREC : R_NREC + 1], S8)
+        stage = stage_ref[:, :]
         active = (~done) & (status == OK) & (pos < n)
 
         gbase = ensure_page(gbase, pos, active)
@@ -217,20 +231,36 @@ def _parse128_kernel(
         la_out = jnp.where(emit, la_out + lit + mlen, la_out)
         nrec = nrec + emit.astype(jnp.int32)
         done = done | (~has_match & active & (status == OK)) | (pos >= n)
-        return pos, la_out, status, done, gbase, nrec, stage
+        state_ref[:, :] = jnp.concatenate(
+            [
+                pos[0:1], la_out[0:1], status[0:1],
+                done.astype(jnp.int32)[0:1], gbase[0:1], nrec[0:1],
+                jnp.zeros((2, LANES), jnp.int32),
+            ],
+            axis=0,
+        )
+        stage_ref[:, :] = stage
+        return 0
 
-    z = jnp.zeros(S8, jnp.int32)
-    init = (
-        z, z, jnp.full(S8, OK, jnp.int32),
-        (z >= n), jnp.full(S8, -1, jnp.int32),
-        z, jnp.zeros((4 * STAGE, LANES), jnp.int32),
+    z1 = jnp.zeros((1, LANES), jnp.int32)
+    state_ref[:, :] = jnp.concatenate(
+        [
+            z1, z1, jnp.full((1, LANES), OK, jnp.int32),
+            (0 >= n[0:1]).astype(jnp.int32), jnp.full((1, LANES), -1, jnp.int32),
+            z1, jnp.zeros((2, LANES), jnp.int32),
+        ],
+        axis=0,
     )
+    stage_ref[:, :] = jnp.zeros((4 * STAGE, LANES), jnp.int32)
 
     # outer rounds as a static fori (scf.while layout limits, see lsic);
     # rounds after all lanes finish are predicated no-ops
-    final = jax.lax.fori_loop(0, maxr, round_body, init)
+    jax.lax.fori_loop(0, maxr, round_body, 0)
     r_final = jnp.int32(maxr)
-    _, _, status, _, _, nrec, stage_f = final
+    st8 = state_ref[:, :]
+    status = st8[R_ST : R_ST + 1]
+    nrec = st8[R_NREC : R_NREC + 1]
+    stage_f = stage_ref[:, :]
     # flush the final partial stage block (rows past nrec are ignored by
     # the host)
     base = jnp.clip((jnp.maximum(r_final - 1, 0) // STAGE) * STAGE, 0, maxr - STAGE)
@@ -238,8 +268,8 @@ def _parse128_kernel(
         (rec_lit_src_ref, rec_lit_len_ref, rec_m_off_ref, rec_m_len_ref)
     ):
         ref[pl.ds(base, STAGE), :] = stage_f[f * STAGE : (f + 1) * STAGE]
-    nrec_ref[:, :] = nrec[0:1, :]
-    status_ref[:, :] = status[0:1, :]
+    nrec_ref[:, :] = nrec
+    status_ref[:, :] = status
 
 
 @functools.partial(jax.jit, static_argnames=("rw", "maxr", "output_limit"))
@@ -261,7 +291,11 @@ def _parse128_jit(words, n, *, rw: int, maxr: int, output_limit: int):
             jax.ShapeDtypeStruct((1, LANES), jnp.int32),
             jax.ShapeDtypeStruct((1, LANES), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((PAGE_W, LANES), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((PAGE_W, LANES), jnp.int32),
+            pltpu.VMEM((8, LANES), jnp.int32),  # per-lane state rows
+            pltpu.VMEM((4 * STAGE, LANES), jnp.int32),  # record stage
+        ],
         interpret=_interpret(),
     )(words, n)
 
