@@ -236,37 +236,56 @@ def main() -> None:
     try:
         import jax
 
-        if jax.default_backend() == "tpu":
-            from lz4tpu.kernels.decompress_v3 import _decompress_batch_v3_jit
-            from lz4tpu.kernels.decompress_v4 import _decompress_batch_v4_jit
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception as e:  # pragma: no cover
+        on_tpu = False
+        extra["tpu_error"] = str(e)[:200]
 
-            import contextlib
+    if on_tpu:
+        # every section individually guarded: a slow compile or failure in
+        # one extra must not lose the headline metric
+        import contextlib
 
-            prof = (
-                jax.profiler.trace("/tmp/lz4tpu_trace")
-                if profile
-                else contextlib.nullcontext()
-            )
-            with prof:
-                for name, kern in (("v4", _decompress_batch_v4_jit),
-                                   ("v3", _decompress_batch_v3_jit)):
+        from lz4tpu.kernels.decompress_v3 import _decompress_batch_v3_jit
+        from lz4tpu.kernels.decompress_v4 import _decompress_batch_v4_jit
+
+        prof = (
+            jax.profiler.trace("/tmp/lz4tpu_trace")
+            if profile
+            else contextlib.nullcontext()
+        )
+        with prof:
+            for name, kern in (("v4", _decompress_batch_v4_jit),
+                               ("v3", _decompress_batch_v3_jit)):
+                try:
                     bps = bench_tpu_decode(blocks, comp, kern)
                     extra[f"tpu_decode_{name}_mbps"] = round(bps / 1e6, 1)
                     if tpu_best is None or bps > tpu_best:
                         tpu_best = bps
-            if profile:
-                extra["profile_trace"] = "/tmp/lz4tpu_trace"
-            extra["tpu_compress_mbps"] = round(bench_tpu_compress(blocks, comp) / 1e6, 1)
+                except Exception as e:  # pragma: no cover
+                    extra[f"tpu_decode_{name}_error"] = str(e)[:160]
+        if profile:
+            extra["profile_trace"] = "/tmp/lz4tpu_trace"
+        try:
+            extra["tpu_compress_mbps"] = round(
+                bench_tpu_compress(blocks, comp) / 1e6, 1
+            )
+        except Exception as e:  # pragma: no cover
+            extra["tpu_compress_error"] = str(e)[:160]
+        try:
             bench_frame_parallel(data, extra)
+        except Exception as e:  # pragma: no cover
+            extra["frame_parallel_error"] = str(e)[:160]
 
-            if full:
-                for nb in (16, 64):
+        if full:
+            for nb in (16, 64):
+                try:
                     sub = (blocks * ((nb // len(blocks)) + 1))[:nb]
                     subc = (comp * ((nb // len(comp)) + 1))[:nb]
                     bps = bench_tpu_decode(sub, subc, _decompress_batch_v4_jit)
                     extra[f"tpu_decode_v4_nb{nb}_mbps"] = round(bps / 1e6, 1)
-    except Exception as e:  # pragma: no cover
-        extra["tpu_error"] = str(e)[:200]
+                except Exception as e:  # pragma: no cover
+                    extra[f"tpu_decode_v4_nb{nb}_error"] = str(e)[:160]
 
     if tpu_best is not None:
         value = tpu_best / 1e9
