@@ -1,0 +1,491 @@
+"""EXPERIMENTAL: full lane-parallel LZ4 decoder — 128 blocks per step.
+
+Builds on the measured parse128 result (33 ns/sequence, PERF_NOTES.md):
+the same lockstep-round + one-hot bounded-window machinery now carries
+the DATA PLANE too, so the whole decode runs one-sequence-per-lane-per-
+round with no per-lane dynamic addressing:
+
+* compressed streams AND outputs live TRANSPOSED in VMEM
+  (``words[j, l]`` = word j of lane l);
+* literal bytes extract from the comp page by a per-lane row-gather
+  (one-hot over the 64-row page) + a per-lane byte funnel;
+* each lane's newest output bytes live in a 64-word staging RING
+  addressed by ``(word mod 64)`` — because that address is UNIFORM
+  across lanes, flushing is a plain masked sweep of the main output
+  (``out[p,l] = ring[p mod 64, l] where fw_l <= p < fw_l+32``) with no
+  per-lane gather at all;
+* near matches gather from the ring; far matches from a 64-row far page
+  one-hot-gathered out of the flushed main output (one sweep serves all
+  lanes, gated on any lane needing it);
+* chunk placement into the ring is a bounded row scatter + byte funnel
+  with select-merge byte masks.
+
+Per round each lane advances: one parsed sequence, up to CB literal
+bytes and up to CB match bytes (longer runs take extra rounds;
+tiny-offset RLE uses the v2/v3 lag-doubling bootstrap).  Erroring or
+LSIC-sentinel lanes fall back to the scalar v4 kernel on the host —
+same typed error kinds (``decompress_blocks_128`` wrapper).
+
+Scope (prototype): independent blocks, no prefix/dictionary yet, block
+size bounded by the transposed-VMEM budget (~64 KiB output/lane).
+Semantics: ``/root/reference/src/raw/decompress.rs:59-138``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..spec.block import DecodeError
+from .status import (
+    ERR_INVALID_OFFSET,
+    ERR_MEMORY_LIMIT,
+    ERR_UNEXPECTED_END,
+    ERR_ZERO_OFFSET,
+    OK,
+    STATUS_TO_KIND,
+)
+
+LANES = 128
+PAGE_W = 64  # comp page rows (words per lane)
+GROUP_W = 32  # comp page refill granularity
+FAR_W = 64  # far page rows (words)
+FAR_G = 32  # far page group granularity
+RING_W = 64  # output staging ring rows (words) = 256 B per lane
+CB = 32  # max bytes moved per lane per chunk per round
+CW = CB // 4  # chunk words
+FLUSH_B = 128  # ring flush granularity (bytes; 32 word rows)
+FLUSH_THRESH = 176  # flush lanes whose ring holds >= this many bytes
+LSIC_STEPS = 8
+STATUS_FALLBACK = 100  # lane needs the scalar fallback (not an error kind)
+
+# state rows
+(R_POS, R_OUT, R_ST, R_DONE, R_GB, R_FLUSH,
+ R_LREM, R_LSRC, R_MREM, R_MOFF, R_MLAG, R_TAIL, R_FGB) = range(13)
+NSTATE = 16
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _decode128_kernel(
+    words_ref,  # VMEM (Rw, 128) int32 — transposed comp streams
+    n_ref,  # VMEM (1, 128) int32
+    out_words_ref,  # VMEM (Ro, 128) int32 OUT — transposed outputs
+    out_len_ref,  # VMEM (1, 128) int32 OUT
+    status_ref,  # VMEM (1, 128) int32 OUT
+    page_ref,  # scratch (PAGE_W, 128) — comp page
+    far_ref,  # scratch (FAR_W, 128) — far-match page
+    ring_ref,  # scratch (RING_W, 128) — output staging ring
+    state_ref,  # scratch (NSTATE, 128)
+    *,
+    rw: int,
+    ro: int,
+    max_rounds: int,
+    output_limit: int,
+):
+    S8 = (8, LANES)
+    n = jnp.broadcast_to(n_ref[0:1, :], S8)
+    n_groups = max((rw - PAGE_W) // GROUP_W + 1, 1)
+    far_groups = max((ro - FAR_W) // FAR_G + 1, 1)
+
+    rowi8 = jax.lax.broadcasted_iota(jnp.int32, S8, 0)
+
+    # ---------------- comp page machinery (as parse128) ----------------
+    def refill_page(gbase):
+        acc = jnp.zeros((PAGE_W, LANES), jnp.int32)
+        gb = gbase[0:1, :]
+        for g in range(n_groups):
+            mask = (gb == g).astype(jnp.int32)
+            acc = acc + words_ref[g * GROUP_W : g * GROUP_W + PAGE_W, :] * mask
+        page_ref[:, :] = acc
+
+    def ensure_page(gbase, pos, active):
+        want = jnp.clip((pos >> 2) // GROUP_W, 0, n_groups - 1)
+        new_gbase = jnp.where(active, want, gbase)
+        need = jnp.any(new_gbase != gbase)
+
+        @pl.when(need)
+        def _():
+            refill_page(new_gbase)
+
+        return new_gbase
+
+    def byte_at(page, gbase, pos):
+        rel = jnp.clip((pos >> 2) - gbase * GROUP_W, 0, PAGE_W - 1)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (PAGE_W, LANES), 0)
+               == rel[0:1, :]).astype(jnp.int32)
+        word = jnp.broadcast_to(jnp.sum(page * sel, axis=0, keepdims=True), S8)
+        return jax.lax.shift_right_logical(word, (pos & 3) * 8) & 0xFF
+
+    def lsic(page, gbase, initial, p, enable, status):
+        need = (initial == 0xF) & enable
+        v = initial
+        for _ in range(LSIC_STEPS):
+            eof = need & (p >= n)
+            status = jnp.where((eof != 0) & (status == OK), ERR_UNEXPECTED_END, status)
+            need = need & (~eof)
+            b = byte_at(page, gbase, jnp.where(need, p, 0))
+            v = v + jnp.where(need, b, 0)
+            p = p + need.astype(jnp.int32)
+            need = need & (b == 0xFF)
+        status = jnp.where((need != 0) & (status == OK), STATUS_FALLBACK, status)
+        return v, p, status
+
+    # -------- per-lane bounded row gather (one-hot over a window) -------
+    def gather_rows(src, src_rows, base_row, k_rows, modulo):
+        """out[k, l] = src[(base_row[l] + k) (mod modulo), l], k < k_rows."""
+        b = base_row[0:1, :]
+        outs = []
+        for k0 in range(0, k_rows, 8):
+            acc = jnp.zeros(S8, jnp.int32)
+            for r0 in range(0, src_rows, 8):
+                slab = src[r0 : r0 + 8, :]
+                srcrow = rowi8 + r0
+                t = srcrow - b
+                if modulo:
+                    t = jax.lax.rem(t + 2 * modulo, modulo)
+                for j2 in range(min(8, k_rows - k0)):
+                    m = (t == (k0 + j2)).astype(jnp.int32)
+                    contrib = jnp.sum(slab * m, axis=0, keepdims=True)
+                    acc = acc.at[j2 : j2 + 1, :].add(contrib)
+            outs.append(acc)
+        return jnp.concatenate(outs, axis=0)[:k_rows]
+
+    def funnel(w_rows, sh):
+        """out[k] = 4 bytes of the stream starting at byte ``sh`` (0..3 per
+        lane) of word k; input has one extra row."""
+        k = w_rows.shape[0] - 1
+        cur = w_rows[:k]
+        nxt = w_rows[1 : k + 1]
+        shb = jnp.broadcast_to((sh & 3)[0:1, :], (k, LANES)) * 8
+        lo = jax.lax.shift_right_logical(cur, shb)
+        hi = jnp.where(shb == 0, 0, nxt << ((32 - shb) & 31))
+        return lo | hi
+
+    def place(ring, bytes_w, dst, take):
+        """Select-merge ``take`` bytes (word-packed, byte-0-aligned chunk)
+        into the ring at per-lane byte position ``dst``."""
+        sh = (dst & 3)[0:1, :]
+        z = jnp.zeros((1, LANES), jnp.int32)
+        ext = jnp.concatenate([bytes_w, z], axis=0)  # CW+1 rows
+        prev = jnp.concatenate([z, bytes_w], axis=0)
+        shb = jnp.broadcast_to(sh, (CW + 1, LANES)) * 8
+        shifted = jnp.where(
+            shb == 0,
+            ext,
+            (ext << shb) | jax.lax.shift_right_logical(prev, (32 - shb) & 31),
+        )
+        # per-byte validity: byte j of output word k is chunk byte 4k+j-sh
+        wordpos = jax.lax.broadcasted_iota(jnp.int32, (CW + 1, LANES), 0)
+        takeb = jnp.broadcast_to(take[0:1, :], (CW + 1, LANES))
+        shw = jnp.broadcast_to(sh, (CW + 1, LANES))
+        wmask = jnp.zeros((CW + 1, LANES), jnp.int32)
+        for j in range(4):
+            cbyte = 4 * wordpos + j - shw
+            valid = (cbyte >= 0) & (cbyte < takeb)
+            lane_mask = jnp.int32(np.int32(np.uint32(0xFF) << (8 * j)))
+            wmask = wmask | jnp.where(valid, lane_mask, 0)
+
+        base = jax.lax.rem(dst >> 2, RING_W)[0:1, :]
+        ringi = jax.lax.broadcasted_iota(jnp.int32, (RING_W, LANES), 0)
+        newring = ring
+        for k in range(CW + 1):
+            t = jax.lax.rem(base + k, RING_W)
+            m = (ringi == t).astype(jnp.int32) * jnp.broadcast_to(
+                wmask[k : k + 1], (RING_W, LANES)
+            )
+            v = jnp.broadcast_to(shifted[k : k + 1], (RING_W, LANES))
+            newring = (newring & ~m) | (v & m)
+        return newring
+
+    def sweep_flush(ring, fw, nwords):
+        """out[p, l] = ring[p mod RING_W, l] for fw_l <= p < fw_l+nwords_l.
+
+        The ring address (p mod RING_W) is uniform across lanes, so this
+        is a plain masked sweep: no per-lane gather."""
+        for b0 in range(0, ro, RING_W):
+            blk = out_words_ref[b0 : b0 + RING_W, :]
+            p = jax.lax.broadcasted_iota(jnp.int32, (RING_W, LANES), 0) + b0
+            m = (p >= fw[0:1, :]) & (p < (fw + nwords)[0:1, :])
+            out_words_ref[b0 : b0 + RING_W, :] = jnp.where(m, ring, blk)
+
+    # ---------------- main loop ----------------------------------------
+    def round_body(r, _):
+        st = state_ref[:, :]
+
+        def row(i):
+            return jnp.broadcast_to(st[i : i + 1], S8)
+
+        pos, out, status, done = row(R_POS), row(R_OUT), row(R_ST), row(R_DONE) != 0
+        gbase, flushed = row(R_GB), row(R_FLUSH)
+        lit_rem, lit_src = row(R_LREM), row(R_LSRC)
+        m_rem, m_off, m_lag = row(R_MREM), row(R_MOFF), row(R_MLAG)
+        tail_only, fgb = row(R_TAIL), row(R_FGB)
+
+        active = (~done) & (status == OK)
+
+        # ---- parse a new sequence when the current record is drained ----
+        need_rec = active & (lit_rem == 0) & (m_rem == 0)
+        parse_ok = need_rec & (pos < n)
+        gbase = ensure_page(
+            gbase, jnp.where(parse_ok, pos, jnp.where(lit_rem > 0, lit_src, pos)),
+            active,
+        )
+        page = page_ref[:, :]
+
+        tok = byte_at(page, gbase, jnp.where(parse_ok, pos, 0))
+        lit0 = jax.lax.shift_right_logical(tok, 4)
+        nib = tok & 0xF
+        p = pos + 1
+        litv, p, status = lsic(
+            page, gbase, jnp.where(parse_ok, lit0, 0), p, parse_ok, status
+        )
+        new_lsrc = p
+        p = p + jnp.where(parse_ok, litv, 0)
+        status = jnp.where(
+            parse_ok & (p > n) & (status == OK), ERR_UNEXPECTED_END, status
+        )
+
+        has_match = parse_ok & (status == OK) & (n - p >= 2)
+        gbase = ensure_page(gbase, jnp.where(has_match, p, pos), has_match)
+        page = page_ref[:, :]
+        b0 = byte_at(page, gbase, jnp.where(has_match, p, 0))
+        b1 = byte_at(page, gbase, jnp.where(has_match, p + 1, 0))
+        offv = jnp.where(has_match, b0 | (b1 << 8), 1)
+        p = p + 2 * has_match.astype(jnp.int32)
+        mv, p, status = lsic(
+            page, gbase, jnp.where(has_match, nib, 0), p, has_match, status
+        )
+        mlenv = jnp.where(has_match, mv + 4, 0)
+
+        ok = status == OK
+        status = jnp.where(
+            has_match & ok & (out + litv + mlenv > output_limit),
+            ERR_MEMORY_LIMIT, status,
+        )
+        ok = status == OK
+        status = jnp.where(has_match & ok & (offv == 0), ERR_ZERO_OFFSET, status)
+        ok = status == OK
+        status = jnp.where(
+            has_match & ok & (offv > out + litv), ERR_INVALID_OFFSET, status
+        )
+        accept = parse_ok & (status == OK)
+
+        lit_rem = jnp.where(accept, litv, lit_rem)
+        lit_src = jnp.where(accept, new_lsrc, lit_src)
+        m_rem = jnp.where(accept, mlenv, m_rem)
+        m_off = jnp.where(accept, offv, m_off)
+        m_lag = jnp.where(accept, offv, m_lag)
+        tail_only = jnp.where(accept, (~has_match).astype(jnp.int32), tail_only)
+        pos = jnp.where(accept, p, pos)
+
+        active = active & (status == OK)
+
+        # ---- ring flush (before placement so space always suffices) ----
+        ring0 = ring_ref[:, :]
+        do_flush = active & (out - flushed >= FLUSH_THRESH)
+
+        @pl.when(jnp.any(do_flush))
+        def _():
+            fw = flushed >> 2
+            nw = jnp.where(do_flush, FLUSH_B >> 2, 0)
+            sweep_flush(ring0, fw, nw)
+
+        flushed = jnp.where(do_flush, flushed + FLUSH_B, flushed)
+
+        # ---- literal chunk ----
+        lit_take = jnp.clip(lit_rem, 0, CB)
+        gbase = ensure_page(
+            gbase, jnp.where(lit_take > 0, lit_src, pos), active & (lit_take > 0)
+        )
+        page = page_ref[:, :]
+        lsrc_row = jnp.clip((lit_src >> 2) - gbase * GROUP_W, 0, PAGE_W - CW - 2)
+        litw = gather_rows(page, PAGE_W, lsrc_row, CW + 2, 0)
+        lit_bytes = funnel(litw, lit_src)[:CW]
+
+        # ---- place literals FIRST: the match source may include bytes
+        # from this very round's literal chunk ----
+        ring1 = place(ring0, lit_bytes, out, jnp.where(active, lit_take, 0))
+
+        # ---- match chunk ----
+        m_ready = active & (lit_rem - lit_take == 0) & (m_rem > 0)
+        src_abs = out + lit_take - m_lag
+        near = m_ready & (src_abs >= flushed)
+        far = m_ready & (src_abs < flushed)
+
+        nsrc_row = jax.lax.rem(jnp.clip(src_abs, 0, None) >> 2, RING_W)
+        nearw = gather_rows(ring1, RING_W, nsrc_row, CW + 2, RING_W)
+        near_bytes = funnel(nearw, src_abs)[:CW]
+
+        @pl.when(jnp.any(far))
+        def _():
+            fwant = jnp.clip(
+                (jnp.clip(src_abs, 0, None) >> 2) // FAR_G, 0, far_groups - 1
+            )
+            fw1 = jnp.where(far, fwant, fgb)[0:1, :]
+            acc = jnp.zeros((FAR_W, LANES), jnp.int32)
+            for g in range(far_groups):
+                mask = (fw1 == g).astype(jnp.int32)
+                acc = acc + out_words_ref[g * FAR_G : g * FAR_G + FAR_W, :] * mask
+            far_ref[:, :] = acc
+
+        fgb = jnp.where(
+            far,
+            jnp.clip((jnp.clip(src_abs, 0, None) >> 2) // FAR_G, 0, far_groups - 1),
+            fgb,
+        )
+        farp = far_ref[:, :]
+        fsrc_row = jnp.clip((src_abs >> 2) - fgb * FAR_G, 0, FAR_W - CW - 2)
+        farw = gather_rows(farp, FAR_W, fsrc_row, CW + 2, 0)
+        far_bytes = funnel(farw, src_abs)[:CW]
+
+        m_bytes = jnp.where(jnp.broadcast_to(near[0:1], (CW, LANES)),
+                            near_bytes, far_bytes)
+        m_take = jnp.where(m_ready, jnp.minimum(jnp.minimum(m_rem, CB), m_lag), 0)
+        # far sources must stay inside flushed bytes (the page reads the
+        # main output); the remainder of the match continues next round,
+        # usually as a near chunk — the v3/v4 invariant
+        m_take = jnp.where(far, jnp.minimum(m_take, flushed - src_abs), m_take)
+
+        ring2 = place(ring1, m_bytes, out + lit_take, m_take)
+        ring_ref[:, :] = ring2
+
+        out = out + jnp.where(active, lit_take, 0) + m_take
+        lit_rem = lit_rem - jnp.where(active, lit_take, 0)
+        lit_src = lit_src + jnp.where(active, lit_take, 0)
+        m_rem = m_rem - m_take
+        m_lag = jnp.where(
+            (m_take > 0) & (m_take == m_lag) & (m_lag < CB), m_lag * 2, m_lag
+        )
+
+        done = done | (
+            active & (tail_only != 0) & (lit_rem == 0)
+        ) | ((pos >= n) & (lit_rem == 0) & (m_rem == 0))
+
+        new_rows = [pos, out, status, done.astype(jnp.int32), gbase, flushed,
+                    lit_rem, lit_src, m_rem, m_off, m_lag, tail_only, fgb]
+        state_ref[:, :] = jnp.concatenate(
+            [x[0:1] for x in new_rows]
+            + [jnp.zeros((NSTATE - len(new_rows), LANES), jnp.int32)],
+            axis=0,
+        )
+        return 0
+
+    # ---- init + run + final drain ----
+    z1 = jnp.zeros((1, LANES), jnp.int32)
+    one = jnp.full((1, LANES), 1, jnp.int32)
+    state_ref[:, :] = jnp.concatenate(
+        [z1, z1, jnp.full((1, LANES), OK, jnp.int32),
+         (0 >= n[0:1]).astype(jnp.int32), jnp.full((1, LANES), -1, jnp.int32),
+         z1, z1, z1, z1, one, one, z1, jnp.full((1, LANES), -1, jnp.int32),
+         jnp.zeros((NSTATE - 13, LANES), jnp.int32)],
+        axis=0,
+    )
+    ring_ref[:, :] = jnp.zeros((RING_W, LANES), jnp.int32)
+    jax.lax.fori_loop(0, max_rounds, round_body, 0)
+
+    st = state_ref[:, :]
+    out_f = jnp.broadcast_to(st[R_OUT : R_OUT + 1], S8)
+    flushed_f = jnp.broadcast_to(st[R_FLUSH : R_FLUSH + 1], S8)
+    # drain whatever is still staged (up to RING_W words per lane)
+    sweep_flush(
+        ring_ref[:, :], flushed_f >> 2,
+        jnp.clip(((out_f - flushed_f) + 3) >> 2, 0, RING_W),
+    )
+    out_len_ref[:, :] = st[R_OUT : R_OUT + 1]
+    status_ref[:, :] = st[R_ST : R_ST + 1]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rw", "ro", "max_rounds", "output_limit")
+)
+def _decode128_jit(words, n, *, rw, ro, max_rounds, output_limit):
+    return pl.pallas_call(
+        functools.partial(
+            _decode128_kernel,
+            rw=rw, ro=ro, max_rounds=max_rounds, output_limit=output_limit,
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((ro, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((PAGE_W, LANES), jnp.int32),
+            pltpu.VMEM((FAR_W, LANES), jnp.int32),
+            pltpu.VMEM((RING_W, LANES), jnp.int32),
+            pltpu.VMEM((NSTATE, LANES), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(words, n)
+
+
+def decompress_blocks_128(blocks, block_maxsize: int = 1 << 14):
+    """Decode up to 128 independent raw blocks lane-parallel; lanes that
+    error with real format errors raise ``DecodeError`` (first blocking
+    lane); lanes flagged with the fallback sentinel re-decode through the
+    scalar v4 kernel."""
+    assert len(blocks) <= LANES
+    blocks = [bytes(b) for b in blocks]
+    nb = len(blocks)
+    if nb == 0:
+        return []
+    maxlen = max(max(len(b) for b in blocks), 4)
+    rw = -(-maxlen // 4)
+    rw = -(-rw // GROUP_W) * GROUP_W + 2 * PAGE_W
+    ro = -(-block_maxsize // 4)
+    ro = -(-ro // FAR_G) * FAR_G + 2 * FAR_W
+    # rounds: one sequence per round plus chunking slack
+    max_rounds = maxlen // 3 + block_maxsize // CB // 4 + 64
+
+    arr = np.zeros((LANES, rw * 4), np.uint8)
+    n = np.zeros((1, LANES), np.int32)
+    for i, b in enumerate(blocks):
+        arr[i, : len(b)] = np.frombuffer(b, np.uint8)
+        n[0, i] = len(b)
+    w = arr.reshape(LANES, rw, 4).astype(np.uint32)
+    words = (
+        w[:, :, 0] | (w[:, :, 1] << 8) | (w[:, :, 2] << 16) | (w[:, :, 3] << 24)
+    ).astype(np.int32).T
+
+    out_w, out_len, status = _decode128_jit(
+        jnp.asarray(np.ascontiguousarray(words)),
+        jnp.asarray(n),
+        rw=rw, ro=ro, max_rounds=max_rounds, output_limit=block_maxsize,
+    )
+    out_w = np.asarray(out_w)
+    out_len = np.asarray(out_len)[0]
+    status = np.asarray(status)[0]
+
+    results = []
+    for i in range(nb):
+        s = int(status[i])
+        if s == OK:
+            ww = out_w[:, i].astype(np.uint32)
+            by = np.empty((ro, 4), np.uint8)
+            by[:, 0] = ww & 0xFF
+            by[:, 1] = (ww >> 8) & 0xFF
+            by[:, 2] = (ww >> 16) & 0xFF
+            by[:, 3] = (ww >> 24) & 0xFF
+            results.append(by.reshape(-1)[: out_len[i]].tobytes())
+        elif s == STATUS_FALLBACK:
+            from .decompress_v4 import decompress_blocks_v4
+
+            results.append(
+                decompress_blocks_v4([blocks[i]], block_maxsize=block_maxsize)[0]
+            )
+        else:
+            raise DecodeError(STATUS_TO_KIND[s])
+    return results
