@@ -266,6 +266,28 @@ def main() -> None:
                     extra[f"tpu_decode_{name}_error"] = str(e)[:160]
         if profile:
             extra["profile_trace"] = "/tmp/lz4tpu_trace"
+        # lane-parallel decoder (128 blocks per kernel step)
+        try:
+            import time as _t
+
+            from lz4tpu.kernels.decode128 import decompress_blocks_128
+
+            sub = blocks[:128]
+            subc = comp[:128]
+            out = decompress_blocks_128(subc, block_maxsize=BLOCK)
+            assert out == sub, "decode128 mismatch"
+            best = 0.0
+            for _ in range(3):
+                t0 = _t.perf_counter()
+                decompress_blocks_128(subc, block_maxsize=BLOCK)
+                dt = _t.perf_counter() - t0
+                best = max(best, sum(len(b) for b in sub) / dt)
+            extra["tpu_decode128_mbps"] = round(best / 1e6, 1)
+            if tpu_best is None or best > tpu_best:
+                tpu_best = best
+        except Exception as e:  # pragma: no cover
+            extra["tpu_decode128_error"] = str(e)[:160]
+
         try:
             extra["tpu_compress_mbps"] = round(
                 bench_tpu_compress(blocks, comp) / 1e6, 1

@@ -142,21 +142,17 @@ def _decode128_kernel(
     def gather_rows(src, src_rows, base_row, k_rows, modulo):
         """out[k, l] = src[(base_row[l] + k) (mod modulo), l], k < k_rows."""
         b = base_row[0:1, :]
-        outs = []
-        for k0 in range(0, k_rows, 8):
-            acc = jnp.zeros(S8, jnp.int32)
-            for r0 in range(0, src_rows, 8):
-                slab = src[r0 : r0 + 8, :]
-                srcrow = rowi8 + r0
-                t = srcrow - b
-                if modulo:
-                    t = jax.lax.rem(t + 2 * modulo, modulo)
-                for j2 in range(min(8, k_rows - k0)):
-                    m = (t == (k0 + j2)).astype(jnp.int32)
-                    contrib = jnp.sum(slab * m, axis=0, keepdims=True)
-                    acc = acc.at[j2 : j2 + 1, :].add(contrib)
-            outs.append(acc)
-        return jnp.concatenate(outs, axis=0)[:k_rows]
+        rows_out = [jnp.zeros((1, LANES), jnp.int32) for _ in range(k_rows)]
+        for r0 in range(0, src_rows, 8):
+            slab = src[r0 : r0 + 8, :]
+            srcrow = rowi8 + r0
+            t = srcrow - b
+            if modulo:
+                t = jax.lax.rem(t + 2 * modulo, modulo)
+            for k in range(k_rows):
+                m = (t == k).astype(jnp.int32)
+                rows_out[k] = rows_out[k] + jnp.sum(slab * m, axis=0, keepdims=True)
+        return jnp.concatenate(rows_out, axis=0)
 
     def funnel(w_rows, sh):
         """out[k] = 4 bytes of the stream starting at byte ``sh`` (0..3 per
@@ -389,7 +385,25 @@ def _decode128_kernel(
         axis=0,
     )
     ring_ref[:, :] = jnp.zeros((RING_W, LANES), jnp.int32)
-    jax.lax.fori_loop(0, max_rounds, round_body, 0)
+
+    # early exit: chunks of 64 rounds under a while with SCALAR-only carry
+    # (vector carries fail Mosaic layout legalization; predicated no-op
+    # rounds cost the same as real ones, so a loose static bound would
+    # waste most of the runtime)
+    n_chunks = -(-max_rounds // 64)
+
+    def chunk_cond(c):
+        i, all_done = c
+        return (i < n_chunks) & (~all_done)
+
+    def chunk_body(c):
+        i, _ = c
+        jax.lax.fori_loop(0, 64, round_body, 0)
+        st = state_ref[:, :]
+        lane_live = (st[R_DONE : R_DONE + 1] == 0) & (st[R_ST : R_ST + 1] == OK)
+        return i + 1, ~jnp.any(lane_live)
+
+    jax.lax.while_loop(chunk_cond, chunk_body, (jnp.int32(0), jnp.bool_(False)))
 
     st = state_ref[:, :]
     out_f = jnp.broadcast_to(st[R_OUT : R_OUT + 1], S8)
