@@ -215,7 +215,10 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     full = "--full" in sys.argv
     profile = "--profile" in sys.argv
-    size_mb = float(args[0]) if args else 2.0
+    # default 8 MiB = 128 x 64 KiB blocks: fills the lane-parallel
+    # decoder's 128-lane batches (a 2 MiB corpus leaves 3/4 of its lanes
+    # idle)
+    size_mb = float(args[0]) if args else 8.0
     data = make_corpus(size_mb)
     blocks = [data[i : i + BLOCK] for i in range(0, len(data), BLOCK)]
     while len(blocks) % 4:
