@@ -66,7 +66,7 @@ STATUS_FALLBACK = 100  # lane needs the scalar fallback (not an error kind)
 
 # state rows
 (R_POS, R_OUT, R_ST, R_DONE, R_GB, R_FLUSH,
- R_LREM, R_LSRC, R_MREM, R_MOFF, R_MLAG, R_TAIL, R_FGB) = range(13)
+ R_LREM, R_LSRC, R_MREM, R_MOFF, R_MLAG, R_TAIL, R_FGB, R_PGF) = range(14)
 NSTATE = 16
 
 
@@ -224,6 +224,7 @@ def _decode128_kernel(
         lit_rem, lit_src = row(R_LREM), row(R_LSRC)
         m_rem, m_off, m_lag = row(R_MREM), row(R_MOFF), row(R_MLAG)
         tail_only, fgb = row(R_TAIL), row(R_FGB)
+        pgf = row(R_PGF)
 
         active = (~done) & (status == OK)
 
@@ -320,11 +321,16 @@ def _decode128_kernel(
         nearw = gather_rows(ring1, RING_W, nsrc_row, CW + 2, RING_W)
         near_bytes = funnel(nearw, src_abs)[:CW]
 
-        @pl.when(jnp.any(far))
+        fwant = jnp.clip(
+            (jnp.clip(src_abs, 0, None) >> 2) // FAR_G, 0, far_groups - 1
+        )
+        # a reused page is valid only for rows flushed BEFORE it was built
+        # (the main output is append-only); rebuild when a lane moved
+        # groups or wants bytes beyond its page's build watermark
+        rebuild = far & ((fwant != fgb) | (src_abs + CB > pgf))
+
+        @pl.when(jnp.any(rebuild))
         def _():
-            fwant = jnp.clip(
-                (jnp.clip(src_abs, 0, None) >> 2) // FAR_G, 0, far_groups - 1
-            )
             fw1 = jnp.where(far, fwant, fgb)[0:1, :]
             acc = jnp.zeros((FAR_W, LANES), jnp.int32)
             for g in range(far_groups):
@@ -332,11 +338,8 @@ def _decode128_kernel(
                 acc = acc + out_words_ref[g * FAR_G : g * FAR_G + FAR_W, :] * mask
             far_ref[:, :] = acc
 
-        fgb = jnp.where(
-            far,
-            jnp.clip((jnp.clip(src_abs, 0, None) >> 2) // FAR_G, 0, far_groups - 1),
-            fgb,
-        )
+        fgb = jnp.where(far, fwant, fgb)
+        pgf = jnp.where(rebuild, flushed, pgf)
         farp = far_ref[:, :]
         fsrc_row = jnp.clip((src_abs >> 2) - fgb * FAR_G, 0, FAR_W - CW - 2)
         farw = gather_rows(farp, FAR_W, fsrc_row, CW + 2, 0)
@@ -348,7 +351,7 @@ def _decode128_kernel(
         # far sources must stay inside flushed bytes (the page reads the
         # main output); the remainder of the match continues next round,
         # usually as a near chunk — the v3/v4 invariant
-        m_take = jnp.where(far, jnp.minimum(m_take, flushed - src_abs), m_take)
+        m_take = jnp.where(far, jnp.minimum(m_take, pgf - src_abs), m_take)
 
         ring2 = place(ring1, m_bytes, out + lit_take, m_take)
         ring_ref[:, :] = ring2
@@ -366,7 +369,7 @@ def _decode128_kernel(
         ) | ((pos >= n) & (lit_rem == 0) & (m_rem == 0))
 
         new_rows = [pos, out, status, done.astype(jnp.int32), gbase, flushed,
-                    lit_rem, lit_src, m_rem, m_off, m_lag, tail_only, fgb]
+                    lit_rem, lit_src, m_rem, m_off, m_lag, tail_only, fgb, pgf]
         state_ref[:, :] = jnp.concatenate(
             [x[0:1] for x in new_rows]
             + [jnp.zeros((NSTATE - len(new_rows), LANES), jnp.int32)],
@@ -381,7 +384,7 @@ def _decode128_kernel(
         [z1, z1, jnp.full((1, LANES), OK, jnp.int32),
          (0 >= n[0:1]).astype(jnp.int32), jnp.full((1, LANES), -1, jnp.int32),
          z1, z1, z1, z1, one, one, z1, jnp.full((1, LANES), -1, jnp.int32),
-         jnp.zeros((NSTATE - 13, LANES), jnp.int32)],
+         z1, jnp.zeros((NSTATE - 14, LANES), jnp.int32)],
         axis=0,
     )
     ring_ref[:, :] = jnp.zeros((RING_W, LANES), jnp.int32)
