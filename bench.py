@@ -14,7 +14,11 @@ The ``extra`` dict reports the BASELINE.md configurations:
   unpacked-int32 layout, so the on-chip frame configs use 64 KiB blocks
   and the 4 MiB-block frame numbers come from the native host engine.
 * config #3 (linked + dictionary): ``frame_linked_dict_ratio`` from the
-  ring-halo parallel-linked mode with a broadcast dictionary.
+  ring-halo parallel-linked mode with a broadcast dictionary.  KNOWN
+  LIMIT: on the chip this cell fails to compile at 64 KiB blocks — the
+  linked window doubles the compress kernel's SMEM-resident data
+  (in+out+hashes ≈ 350 KB > SMEM); the CPU-mesh tests cover the
+  semantics and the section is guarded so the headline survives.
 * config #4 (levels): ``hc_level9_*`` host HC parse vs greedy.
 * config #5 (sharded corpus): exercised by tests/test_multiprocess.py and
   the resumable runner; not timed here (single chip).
