@@ -420,7 +420,32 @@ def decompress_frame_parallel(
 
     to_decode = [p for c, p, _ in blocks if c]
     outputs = {}
-    if to_decode:
+    # single-device path: the lane-parallel decoder (128 blocks per kernel
+    # step, one per SIMD lane) is ~5x the per-block scalar pipeline; it
+    # covers independent blocks without dictionaries within its
+    # transposed-VMEM budget, with a per-lane scalar fallback inside
+    use_lanes = (
+        to_decode
+        and n_dev == 1
+        and not dictionary
+        and reader.block_maxsize <= (1 << 16)
+        and max(len(p) for p in to_decode) <= (48 << 10)
+    )
+    if use_lanes:
+        from ..kernels.decode128 import decompress_blocks_128
+
+        for base in range(0, len(to_decode), 128):
+            chunk = to_decode[base : base + 128]
+            outs = decompress_blocks_128(
+                chunk, block_maxsize=reader.block_maxsize
+            )
+            for j, o in enumerate(outs):
+                if len(o) > reader.block_maxsize:
+                    raise BlockSizeOverflow(
+                        "a block decompressed to more data than allowed"
+                    )
+                outputs[base + j] = o
+    elif to_decode:
         need = max(len(p) for p in to_decode)
         comp_capacity = 4096
         while comp_capacity < need:

@@ -46,3 +46,23 @@ def test_decode128_sentinel_fallback():
     data = b"\x00" * 12_000  # match LSIC chain beyond the static bound
     comp = bytes(compress_block(data, 0, U16Table()))
     assert decompress_blocks_128([comp], block_maxsize=1 << 14) == [data]
+
+
+def test_frame_parallel_uses_lane_decoder_on_single_device(corpus_sample):
+    """decompress_frame_parallel routes through decode128 on a 1-device
+    mesh; output must match the streaming reader."""
+    import jax
+
+    from lz4tpu import decompress_frame
+    from lz4tpu.parallel.mesh import make_mesh
+    from lz4tpu.parallel.pipeline import (
+        compress_frame_parallel,
+        decompress_frame_parallel,
+    )
+
+    mesh = make_mesh(1)
+    # compressible content keeps interpret-mode round counts small
+    data = (b"lane parallel frames! " * 4000)[: 80_000]
+    frame = compress_frame_parallel(data, block_size=1 << 16, mesh=mesh)
+    assert decompress_frame_parallel(frame, mesh=mesh) == data
+    assert decompress_frame(frame, engine="native") == data
