@@ -89,6 +89,7 @@ def _decode128_kernel(
     ro: int,
     max_rounds: int,
     output_limit: int,
+    variant: str = "full",
 ):
     S8 = (8, LANES)
     n = jnp.broadcast_to(n_ref[0:1, :], S8)
@@ -304,12 +305,18 @@ def _decode128_kernel(
         )
         page = page_ref[:, :]
         lsrc_row = jnp.clip((lit_src >> 2) - gbase * GROUP_W, 0, PAGE_W - CW - 2)
-        litw = gather_rows(page, PAGE_W, lsrc_row, CW + 2, 0)
-        lit_bytes = funnel(litw, lit_src)[:CW]
+        if variant == "nogather":
+            lit_bytes = jnp.zeros((CW, LANES), jnp.int32)
+        else:
+            litw = gather_rows(page, PAGE_W, lsrc_row, CW + 2, 0)
+            lit_bytes = funnel(litw, lit_src)[:CW]
 
         # ---- place literals FIRST: the match source may include bytes
         # from this very round's literal chunk ----
-        ring1 = place(ring0, lit_bytes, out, jnp.where(active, lit_take, 0))
+        if variant == "noplace":
+            ring1 = ring0
+        else:
+            ring1 = place(ring0, lit_bytes, out, jnp.where(active, lit_take, 0))
 
         # ---- match chunk ----
         m_ready = active & (lit_rem - lit_take == 0) & (m_rem > 0)
@@ -318,8 +325,11 @@ def _decode128_kernel(
         far = m_ready & (src_abs < flushed)
 
         nsrc_row = jax.lax.rem(jnp.clip(src_abs, 0, None) >> 2, RING_W)
-        nearw = gather_rows(ring1, RING_W, nsrc_row, CW + 2, RING_W)
-        near_bytes = funnel(nearw, src_abs)[:CW]
+        if variant in ("nogather", "nonear"):
+            near_bytes = jnp.zeros((CW, LANES), jnp.int32)
+        else:
+            nearw = gather_rows(ring1, RING_W, nsrc_row, CW + 2, RING_W)
+            near_bytes = funnel(nearw, src_abs)[:CW]
 
         fwant = jnp.clip(
             (jnp.clip(src_abs, 0, None) >> 2) // FAR_G, 0, far_groups - 1
@@ -328,6 +338,9 @@ def _decode128_kernel(
         # (the main output is append-only); rebuild when a lane moved
         # groups or wants bytes beyond its page's build watermark
         rebuild = far & ((fwant != fgb) | (src_abs + CB > pgf))
+
+        if variant == "nofar":
+            rebuild = rebuild & False
 
         @pl.when(jnp.any(rebuild))
         def _():
@@ -340,10 +353,13 @@ def _decode128_kernel(
 
         fgb = jnp.where(far, fwant, fgb)
         pgf = jnp.where(rebuild, flushed, pgf)
-        farp = far_ref[:, :]
-        fsrc_row = jnp.clip((src_abs >> 2) - fgb * FAR_G, 0, FAR_W - CW - 2)
-        farw = gather_rows(farp, FAR_W, fsrc_row, CW + 2, 0)
-        far_bytes = funnel(farw, src_abs)[:CW]
+        if variant in ("nofar", "nogather"):
+            far_bytes = jnp.zeros((CW, LANES), jnp.int32)
+        else:
+            farp = far_ref[:, :]
+            fsrc_row = jnp.clip((src_abs >> 2) - fgb * FAR_G, 0, FAR_W - CW - 2)
+            farw = gather_rows(farp, FAR_W, fsrc_row, CW + 2, 0)
+            far_bytes = funnel(farw, src_abs)[:CW]
 
         m_bytes = jnp.where(jnp.broadcast_to(near[0:1], (CW, LANES)),
                             near_bytes, far_bytes)
@@ -351,9 +367,13 @@ def _decode128_kernel(
         # far sources must stay inside flushed bytes (the page reads the
         # main output); the remainder of the match continues next round,
         # usually as a near chunk — the v3/v4 invariant
-        m_take = jnp.where(far, jnp.minimum(m_take, pgf - src_abs), m_take)
+        if variant != "nofar":  # timing variant: keep progress guaranteed
+            m_take = jnp.where(far, jnp.minimum(m_take, pgf - src_abs), m_take)
 
-        ring2 = place(ring1, m_bytes, out + lit_take, m_take)
+        if variant == "noplace":
+            ring2 = ring1
+        else:
+            ring2 = place(ring1, m_bytes, out + lit_take, m_take)
         ring_ref[:, :] = ring2
 
         out = out + jnp.where(active, lit_take, 0) + m_take
@@ -421,13 +441,15 @@ def _decode128_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rw", "ro", "max_rounds", "output_limit")
+    jax.jit,
+    static_argnames=("rw", "ro", "max_rounds", "output_limit", "variant"),
 )
-def _decode128_jit(words, n, *, rw, ro, max_rounds, output_limit):
+def _decode128_jit(words, n, *, rw, ro, max_rounds, output_limit, variant="full"):
     return pl.pallas_call(
         functools.partial(
             _decode128_kernel,
             rw=rw, ro=ro, max_rounds=max_rounds, output_limit=output_limit,
+            variant=variant,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
