@@ -206,12 +206,29 @@ def _decode128_kernel(
         """out[p, l] = ring[p mod RING_W, l] for fw_l <= p < fw_l+nwords_l.
 
         The ring address (p mod RING_W) is uniform across lanes, so this
-        is a plain masked sweep: no per-lane gather."""
-        for b0 in range(0, ro, RING_W):
-            blk = out_words_ref[b0 : b0 + RING_W, :]
-            p = jax.lax.broadcasted_iota(jnp.int32, (RING_W, LANES), 0) + b0
-            m = (p >= fw[0:1, :]) & (p < (fw + nwords)[0:1, :])
-            out_words_ref[b0 : b0 + RING_W, :] = jnp.where(m, ring, blk)
+        is a masked sweep with no per-lane gather; the sweep covers only
+        the dynamic row range [min fw, max fw+nwords) — lanes progress at
+        similar rates, so the range is a handful of RING_W blocks, not
+        the whole output."""
+        fwr = fw[0:1, :]
+        nwr = nwords[0:1, :]
+        act = nwr > 0
+        lo = jnp.min(jnp.where(act, fwr, jnp.int32(1 << 30)))
+        hi = jnp.max(jnp.where(act, fwr + nwr, 0))
+        nblk = ro // RING_W
+        b_lo = jnp.clip(lo // RING_W, 0, nblk - 1)
+        b_hi = jnp.clip((hi + RING_W - 1) // RING_W, 0, nblk)
+        piota = jax.lax.broadcasted_iota(jnp.int32, (RING_W, LANES), 0)
+
+        def body(i, _):
+            base = (b_lo + i) * RING_W
+            blk = out_words_ref[pl.ds(base, RING_W), :]
+            p = piota + base
+            m = (p >= fwr) & (p < fwr + nwr)
+            out_words_ref[pl.ds(base, RING_W), :] = jnp.where(m, ring, blk)
+            return 0
+
+        jax.lax.fori_loop(0, jnp.maximum(b_hi - b_lo, 0), body, 0)
 
     # ---------------- main loop ----------------------------------------
     def round_body(r, _):
