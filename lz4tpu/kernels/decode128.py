@@ -125,14 +125,32 @@ def _decode128_kernel(
         word = jnp.broadcast_to(jnp.sum(page * sel, axis=0, keepdims=True), S8)
         return jax.lax.shift_right_logical(word, (pos & 3) * 8) & 0xFF
 
-    def lsic(page, gbase, initial, p, enable, status):
+    def read_span12(page, gbase, p):
+        """12 consecutive bytes starting at per-lane byte position ``p``
+        as a list of (8,128) byte values — ONE bounded row gather + word
+        funnel instead of 12 separate one-hot byte reads (the parse's
+        header bytes are contiguous, so this is the parse hot path)."""
+        base_row = jnp.clip((p >> 2) - gbase * GROUP_W, 0, PAGE_W - 5)
+        w4 = gather_rows(page, PAGE_W, base_row, 4, 0)
+        ws = funnel(w4, p)  # 3 word rows = 12 bytes from p
+        out = []
+        for k in range(12):
+            word = jnp.broadcast_to(ws[k // 4 : k // 4 + 1], S8)
+            out.append(
+                jax.lax.shift_right_logical(word, (k % 4) * 8) & 0xFF
+            )
+        return out
+
+    def lsic_from(span, k0, initial, p, enable, status):
+        """Branchless LSIC over pre-gathered continuation bytes
+        span[k0:k0+LSIC_STEPS]."""
         need = (initial == 0xF) & enable
         v = initial
-        for _ in range(LSIC_STEPS):
+        for k in range(LSIC_STEPS):
             eof = need & (p >= n)
             status = jnp.where((eof != 0) & (status == OK), ERR_UNEXPECTED_END, status)
             need = need & (~eof)
-            b = byte_at(page, gbase, jnp.where(need, p, 0))
+            b = span[k0 + k]
             v = v + jnp.where(need, b, 0)
             p = p + need.astype(jnp.int32)
             need = need & (b == 0xFF)
@@ -255,12 +273,13 @@ def _decode128_kernel(
         )
         page = page_ref[:, :]
 
-        tok = byte_at(page, gbase, jnp.where(parse_ok, pos, 0))
+        span1 = read_span12(page, gbase, jnp.where(parse_ok, pos, 0))
+        tok = span1[0]
         lit0 = jax.lax.shift_right_logical(tok, 4)
         nib = tok & 0xF
         p = pos + 1
-        litv, p, status = lsic(
-            page, gbase, jnp.where(parse_ok, lit0, 0), p, parse_ok, status
+        litv, p, status = lsic_from(
+            span1, 1, jnp.where(parse_ok, lit0, 0), p, parse_ok, status
         )
         new_lsrc = p
         p = p + jnp.where(parse_ok, litv, 0)
@@ -271,12 +290,11 @@ def _decode128_kernel(
         has_match = parse_ok & (status == OK) & (n - p >= 2)
         gbase = ensure_page(gbase, jnp.where(has_match, p, pos), has_match)
         page = page_ref[:, :]
-        b0 = byte_at(page, gbase, jnp.where(has_match, p, 0))
-        b1 = byte_at(page, gbase, jnp.where(has_match, p + 1, 0))
-        offv = jnp.where(has_match, b0 | (b1 << 8), 1)
+        span2 = read_span12(page, gbase, jnp.where(has_match, p, 0))
+        offv = jnp.where(has_match, span2[0] | (span2[1] << 8), 1)
         p = p + 2 * has_match.astype(jnp.int32)
-        mv, p, status = lsic(
-            page, gbase, jnp.where(has_match, nib, 0), p, has_match, status
+        mv, p, status = lsic_from(
+            span2, 2, jnp.where(has_match, nib, 0), p, has_match, status
         )
         mlenv = jnp.where(has_match, mv + 4, 0)
 
