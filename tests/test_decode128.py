@@ -66,3 +66,75 @@ def test_frame_parallel_uses_lane_decoder_on_single_device(corpus_sample):
     frame = compress_frame_parallel(data, block_size=1 << 16, mesh=mesh)
     assert decompress_frame_parallel(frame, mesh=mesh) == data
     assert decompress_frame(frame, engine="native") == data
+
+
+def test_decode128_hostile_corpus_safety():
+    """Raw-block decode of arbitrary bytes through the lane decoder must
+    produce per-lane typed statuses or valid output, never crash — and
+    must agree with the spec engine (one batched kernel call; statuses
+    read directly so per-lane outcomes are observable)."""
+    import pathlib
+
+    import numpy as np
+
+    from lz4tpu.kernels import decode128 as d128
+    from lz4tpu.kernels.status import OK
+    from lz4tpu.spec.block import decompress_block
+
+    corpus = pathlib.Path("/root/reference/fuzz/corpus/decode")
+    if not corpus.exists():
+        import pytest as _pytest
+
+        _pytest.skip("reference corpus not mounted")
+    files = sorted(corpus.iterdir())[::17]
+    payloads = [p.read_bytes()[: 8 << 10] for p in files if p.stat().st_size > 0]
+    payloads = payloads[:128]
+    maxsize = 1 << 14
+
+    import jax.numpy as jnp
+
+    maxlen = max(max(len(b) for b in payloads), 4)
+    rw = -(-maxlen // 4)
+    rw = -(-rw // d128.GROUP_W) * d128.GROUP_W + 2 * d128.PAGE_W
+    ro = -(-maxsize // 4)
+    ro = -(-ro // d128.FAR_G) * d128.FAR_G + 2 * d128.FAR_W
+    max_rounds = maxlen // 3 + maxsize // d128.CB // 4 + 64
+    arr = np.zeros((d128.LANES, rw * 4), np.uint8)
+    n = np.zeros((1, d128.LANES), np.int32)
+    for i, b in enumerate(payloads):
+        arr[i, : len(b)] = np.frombuffer(b, np.uint8)
+        n[0, i] = len(b)
+    w = arr.reshape(d128.LANES, rw, 4).astype(np.uint32)
+    words = (
+        w[:, :, 0] | (w[:, :, 1] << 8) | (w[:, :, 2] << 16) | (w[:, :, 3] << 24)
+    ).astype(np.int32).T
+    out_w, out_len, status = d128._decode128_jit(
+        jnp.asarray(np.ascontiguousarray(words)), jnp.asarray(n),
+        rw=rw, ro=ro, max_rounds=max_rounds, output_limit=maxsize,
+    )
+    out_w = np.asarray(out_w)
+    out_len = np.asarray(out_len)[0]
+    status = np.asarray(status)[0]
+
+    agree = 0
+    for i, raw in enumerate(payloads):
+        try:
+            expected = bytes(decompress_block(raw, output_limit=maxsize))
+        except DecodeError:
+            expected = None
+        s = int(status[i])
+        if s == d128.STATUS_FALLBACK:
+            continue  # host falls back to the scalar engine for these
+        if expected is None:
+            assert s != OK, (i, s)
+        else:
+            assert s == OK, (i, s, len(expected))
+            ww = out_w[:, i].astype(np.uint32)
+            by = np.empty((ro, 4), np.uint8)
+            by[:, 0] = ww & 0xFF
+            by[:, 1] = (ww >> 8) & 0xFF
+            by[:, 2] = (ww >> 16) & 0xFF
+            by[:, 3] = (ww >> 24) & 0xFF
+            assert by.reshape(-1)[: out_len[i]].tobytes() == expected, i
+            agree += 1
+    assert agree >= 1
