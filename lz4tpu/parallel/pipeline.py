@@ -434,17 +434,27 @@ def decompress_frame_parallel(
     if use_lanes:
         from ..kernels.decode128 import decompress_blocks_128
 
-        for base in range(0, len(to_decode), 128):
-            chunk = to_decode[base : base + 128]
+        # batch-balance: the lockstep kernel runs until its SLOWEST lane
+        # finishes, so batches group blocks of similar compressed size
+        # (a proxy for sequence/round count) when more than one batch is
+        # needed
+        order = (
+            sorted(range(len(to_decode)), key=lambda i: len(to_decode[i]))
+            if len(to_decode) > 128
+            else list(range(len(to_decode)))
+        )
+        for base in range(0, len(order), 128):
+            idxs = order[base : base + 128]
             outs = decompress_blocks_128(
-                chunk, block_maxsize=reader.block_maxsize
+                [to_decode[i] for i in idxs],
+                block_maxsize=reader.block_maxsize,
             )
-            for j, o in enumerate(outs):
+            for i, o in zip(idxs, outs):
                 if len(o) > reader.block_maxsize:
                     raise BlockSizeOverflow(
                         "a block decompressed to more data than allowed"
                     )
-                outputs[base + j] = o
+                outputs[i] = o
     elif to_decode:
         need = max(len(p) for p in to_decode)
         comp_capacity = 4096
