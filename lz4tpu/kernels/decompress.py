@@ -32,7 +32,30 @@ def decompress_blocks(blocks, prefixes=None, block_maxsize: int = 1 << 16):
     """Decode a batch of raw LZ4 blocks on the TPU; returns a list of
     byte strings.  ``prefixes[i]`` is block *i*'s dictionary / carry-over
     window (only the trailing 64 KiB is addressable).  Raises
-    ``DecodeError`` for the first failed block."""
+    ``DecodeError`` for the first failed block.
+
+    Batches without prefixes route through the lane-parallel decoder
+    (``decode128``, 128 blocks per kernel step — the fast path measured
+    at ~160 MB/s mixed); prefixed or oversized batches use the scalar v4
+    pipeline."""
+    use_lanes = (
+        blocks
+        and (prefixes is None or not any(len(p) for p in prefixes))
+        and block_maxsize <= (1 << 16)
+        and max(len(b) for b in blocks) <= (48 << 10)
+    )
+    if use_lanes:
+        from .decode128 import decompress_blocks_128
+
+        out = []
+        for base in range(0, len(blocks), 128):
+            out.extend(
+                decompress_blocks_128(
+                    blocks[base : base + 128], block_maxsize=block_maxsize
+                )
+            )
+        return out
+
     from .decompress_v4 import decompress_blocks_v4
 
     return decompress_blocks_v4(blocks, prefixes, block_maxsize=block_maxsize)
