@@ -57,10 +57,15 @@ GROUP_W = 32  # comp page refill granularity
 FAR_W = 64  # far page rows (words)
 FAR_G = 32  # far page group granularity
 RING_W = 64  # output staging ring rows (words) = 256 B per lane
-CB = 32  # max bytes moved per lane per chunk per round
+import os as _os
+
+CB = int(_os.environ.get("LZ4TPU_D128_CB", "32"))  # bytes per chunk per round
 CW = CB // 4  # chunk words
+assert CB in (16, 32, 64), CB  # ring invariant: flush 128B covers 2*CB inflow
 FLUSH_B = 128  # ring flush granularity (bytes; 32 word rows)
-FLUSH_THRESH = 176  # flush lanes whose ring holds >= this many bytes
+# ring invariant: post-flush fill (< FLUSH_THRESH, minus 128 if flushed)
+# plus one round's inflow (2*CB) must stay below the ring's 256 B
+FLUSH_THRESH = min(176, RING_W * 4 - 2 * CB)
 LSIC_STEPS = 8
 STATUS_FALLBACK = 100  # lane needs the scalar fallback (not an error kind)
 
