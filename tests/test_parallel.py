@@ -118,15 +118,18 @@ def test_runner_rejects_truncated_archive(mesh, tmp_path):
         run_sharded_decompress(trunc, tmp_path / "x.bin", mesh=mesh)
 
 
-def test_parallel_decode_corpus_safety(mesh):
-    """Replay the reference decode fuzz corpus through the parallel path:
-    typed errors or success, never a crash; successes must match the spec
+@pytest.mark.parametrize("n_dev", [1, 8])
+def test_parallel_decode_corpus_safety(n_dev):
+    """Replay the reference decode fuzz corpus through the parallel path
+    (1-device mesh = the lane decoder; 8-device = shard_map/v4): typed
+    errors or success, never a crash; successes must match the spec
     engine's output."""
     import pathlib
 
     from lz4tpu.frame.errors import LZ4Error
     from lz4tpu.spec.block import DecodeError
 
+    mesh = make_mesh(min(n_dev, len(jax.devices())))
     corpus = pathlib.Path("/root/reference/fuzz/corpus/decode")
     if not corpus.exists():
         pytest.skip("reference corpus not mounted")
