@@ -56,7 +56,7 @@ _M1 = HASH64_MUL >> 32  # high limb (= 207)
 STATUS_OK = 0
 STATUS_INCOMPRESSIBLE = 1
 
-FIND_UNROLL = 1  # probes per while iteration in the match-find loop
+FIND_UNROLL = 4  # probes per fori chunk inside the find while-loop
 
 
 def _interpret() -> bool:
@@ -370,12 +370,13 @@ def _compress_kernel(
             )
 
         def find_body_k(fc):
-            # small unroll only: the find loop often exits after 1-3
-            # probes (matchy data), and dead unrolled slots still execute
-            # their predicated ops — measured: x8 unroll HURTS 2x
-            for _ in range(FIND_UNROLL):
-                fc = find_body(fc)
-            return fc
+            # inner fori amortizes the ~894ns while-iteration cost over 4
+            # probes; the find body is fully predicated, and fori
+            # iterations cost the cheap (~140ns) loop class.  All carries
+            # are scalars, so Mosaic layout legalization is unaffected.
+            return jax.lax.fori_loop(
+                0, FIND_UNROLL, lambda i, c: find_body(c), fc
+            )
 
         cursor2, _, _, found, offset, extra, tail = jax.lax.while_loop(
             find_cond,

@@ -348,8 +348,8 @@ def _decode128_kernel(
         if variant == "nogather":
             lit_bytes = jnp.zeros((CW, LANES), jnp.int32)
         else:
-            litw = gather_rows(page, PAGE_W, lsrc_row, CW + 2, 0)
-            lit_bytes = funnel(litw, lit_src)[:CW]
+            litw = gather_rows(page, PAGE_W, lsrc_row, CW + 1, 0)
+            lit_bytes = funnel(litw, lit_src)
 
         # ---- place literals FIRST: the match source may include bytes
         # from this very round's literal chunk ----
@@ -368,8 +368,8 @@ def _decode128_kernel(
         if variant in ("nogather", "nonear"):
             near_bytes = jnp.zeros((CW, LANES), jnp.int32)
         else:
-            nearw = gather_rows(ring1, RING_W, nsrc_row, CW + 2, RING_W)
-            near_bytes = funnel(nearw, src_abs)[:CW]
+            nearw = gather_rows(ring1, RING_W, nsrc_row, CW + 1, RING_W)
+            near_bytes = funnel(nearw, src_abs)
 
         fwant = jnp.clip(
             (jnp.clip(src_abs, 0, None) >> 2) // FAR_G, 0, far_groups - 1
@@ -398,8 +398,8 @@ def _decode128_kernel(
         else:
             farp = far_ref[:, :]
             fsrc_row = jnp.clip((src_abs >> 2) - fgb * FAR_G, 0, FAR_W - CW - 2)
-            farw = gather_rows(farp, FAR_W, fsrc_row, CW + 2, 0)
-            far_bytes = funnel(farw, src_abs)[:CW]
+            farw = gather_rows(farp, FAR_W, fsrc_row, CW + 1, 0)
+            far_bytes = funnel(farw, src_abs)
 
         m_bytes = jnp.where(jnp.broadcast_to(near[0:1], (CW, LANES)),
                             near_bytes, far_bytes)
