@@ -469,6 +469,13 @@ def _decode128_kernel(
     jax.lax.while_loop(chunk_cond, chunk_body, (jnp.int32(0), jnp.bool_(False)))
 
     st = state_ref[:, :]
+    # defense in depth: a lane still live at the round cap must never
+    # pass off truncated output as success — flag the scalar fallback
+    live = (st[R_DONE : R_DONE + 1] == 0) & (st[R_ST : R_ST + 1] == OK)
+    state_ref[R_ST : R_ST + 1, :] = jnp.where(
+        live, STATUS_FALLBACK, st[R_ST : R_ST + 1]
+    )
+    st = state_ref[:, :]
     out_f = jnp.broadcast_to(st[R_OUT : R_OUT + 1], S8)
     flushed_f = jnp.broadcast_to(st[R_FLUSH : R_FLUSH + 1], S8)
     # drain whatever is still staged (up to RING_W words per lane)
@@ -527,7 +534,9 @@ def decompress_blocks_128(blocks, block_maxsize: int = 1 << 14):
     ro = -(-block_maxsize // 4)
     ro = -(-ro // FAR_G) * FAR_G + 2 * FAR_W
     # rounds: one sequence per round plus chunking slack
-    max_rounds = maxlen // 3 + block_maxsize // CB // 4 + 64
+    # one parse round per sequence plus one extra round per CB bytes of
+    # chunked output (worst case both terms are maximal)
+    max_rounds = maxlen // 3 + block_maxsize // CB + 64
 
     arr = np.zeros((LANES, rw * 4), np.uint8)
     n = np.zeros((1, LANES), np.int32)
