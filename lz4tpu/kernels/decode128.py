@@ -54,8 +54,10 @@ from .status import (
 LANES = 128
 PAGE_W = 64  # comp page rows (words per lane)
 GROUP_W = 32  # comp page refill granularity
-FAR_W = 64  # far page rows (words)
-FAR_G = 32  # far page group granularity
+import os as _os2
+
+FAR_G = int(_os2.environ.get("LZ4TPU_D128_FARG", "32"))  # far group granularity
+FAR_W = FAR_G + 32  # far page rows: group + chunk margin
 RING_W = 64  # output staging ring rows (words) = 256 B per lane
 import os as _os
 
