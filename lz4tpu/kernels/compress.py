@@ -56,7 +56,7 @@ _M1 = HASH64_MUL >> 32  # high limb (= 207)
 STATUS_OK = 0
 STATUS_INCOMPRESSIBLE = 1
 
-FIND_UNROLL = 4  # probes per fori chunk inside the find while-loop
+FIND_UNROLL = 1  # probes per fori chunk (4 measured 2x WORSE: typical find trip is ~1)
 
 
 def _interpret() -> bool:
