@@ -58,7 +58,7 @@ GROUP_W = int(_os1.environ.get("LZ4TPU_D128_GROUPW", "128"))  # comp page group
 PAGE_W = GROUP_W + 32  # comp page rows: group + parse/chunk margin
 import os as _os2
 
-FAR_G = int(_os2.environ.get("LZ4TPU_D128_FARG", "128"))  # far group granularity (measured best)
+FAR_G = int(_os2.environ.get("LZ4TPU_D128_FARG", "256"))  # far group granularity (measured best)
 FAR_W = FAR_G + 32  # far page rows: group + chunk margin
 RING_W = 64  # output staging ring rows (words) = 256 B per lane
 import os as _os
