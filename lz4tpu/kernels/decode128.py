@@ -60,7 +60,7 @@ import os as _os2
 
 FAR_G = int(_os2.environ.get("LZ4TPU_D128_FARG", "256"))  # far group granularity (measured best)
 FAR_W = FAR_G + 32  # far page rows: group + chunk margin
-RING_W = 64  # output staging ring rows (words) = 256 B per lane
+RING_W = int(_os1.environ.get("LZ4TPU_D128_RINGW", "64"))  # staging ring rows (words)
 import os as _os
 
 CB = int(_os.environ.get("LZ4TPU_D128_CB", "32"))  # bytes per chunk per round
