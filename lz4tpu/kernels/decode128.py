@@ -70,7 +70,8 @@ FLUSH_B = 128  # ring flush granularity (bytes; 32 word rows)
 # ring invariant: post-flush fill (< FLUSH_THRESH, minus 128 if flushed)
 # plus one round's inflow (2*CB) must stay below the ring's 256 B
 FLUSH_THRESH = min(176, RING_W * 4 - 2 * CB)
-LSIC_STEPS = 8
+LSIC_STEPS = int(_os.environ.get("LZ4TPU_D128_LSIC", "8"))  # max LSIC ext bytes/field; longer -> host fallback
+assert 2 + LSIC_STEPS <= 12  # read_span12 provides 12 bytes
 STATUS_FALLBACK = 100  # lane needs the scalar fallback (not an error kind)
 
 # state rows
@@ -168,15 +169,34 @@ def _decode128_kernel(
 
     # -------- per-lane bounded row gather (one-hot over a window) -------
     def gather_rows(src, src_rows, base_row, k_rows, modulo):
-        """out[k, l] = src[(base_row[l] + k) (mod modulo), l], k < k_rows."""
+        """out[k, l] = src[(base_row[l] + k) (mod modulo), l], k < k_rows.
+
+        Two-level one-hot: level 1 selects the aligned 8-row slabs that
+        contain the window (ONE vreg FMA per source slab instead of one
+        per (slab, output-row) pair), level 2 gathers the k_rows from
+        that small window at offset base&7.  Cuts the cost from
+        n_slabs*k_rows to ~n_slabs + 2*k_rows vreg ops (~5x on the
+        far page)."""
+        assert src_rows % 8 == 0 and (not modulo or modulo % 8 == 0)
         b = base_row[0:1, :]
+        n_slabs = src_rows // 8
+        l1 = (k_rows + 6) // 8 + 1  # slabs spanned at worst offset 7
+        sb = b >> 3
+        accs = [jnp.zeros((8, LANES), jnp.int32) for _ in range(l1)]
+        for s in range(n_slabs):
+            slab = src[s * 8 : s * 8 + 8, :]
+            for j in range(l1):
+                t = sb + j
+                if modulo:
+                    t = jax.lax.rem(t, modulo // 8)
+                m = jnp.broadcast_to((t == s).astype(jnp.int32), (8, LANES))
+                accs[j] = accs[j] + slab * m
+        lvl1 = jnp.concatenate(accs, axis=0)
+        off = b & 7
         rows_out = [jnp.zeros((1, LANES), jnp.int32) for _ in range(k_rows)]
-        for r0 in range(0, src_rows, 8):
-            slab = src[r0 : r0 + 8, :]
-            srcrow = rowi8 + r0
-            t = srcrow - b
-            if modulo:
-                t = jax.lax.rem(t + 2 * modulo, modulo)
+        for r0 in range(0, 8 * l1, 8):
+            slab = lvl1[r0 : r0 + 8, :]
+            t = rowi8 + r0 - off
             for k in range(k_rows):
                 m = (t == k).astype(jnp.int32)
                 rows_out[k] = rows_out[k] + jnp.sum(slab * m, axis=0, keepdims=True)
@@ -522,6 +542,26 @@ def _decode128_jit(words, n, *, rw, ro, max_rounds, output_limit, variant="full"
     )(words, n)
 
 
+def buffer_rows(max_comp_len: int, block_maxsize: int):
+    """(rw, ro) buffer row counts for a batch shape (shared with the
+    eligibility check so callers and the wrapper agree)."""
+    rw = -(-max(max_comp_len, 4) // 4)
+    rw = -(-rw // GROUP_W) * GROUP_W + 2 * PAGE_W
+    ro = -(-block_maxsize // 4)
+    ro = -(-ro // FAR_G) * FAR_G + 2 * FAR_W
+    return rw, ro
+
+
+def lanes_eligible(max_comp_len: int, block_maxsize: int) -> bool:
+    """True when the 128-lane kernel's transposed VMEM footprint for this
+    batch shape (comp streams + outputs + pages/ring/state scratch) fits
+    the ~16 MB/core budget with headroom; bigger shapes use the scalar
+    v4 pipeline (or its host fallback for huge blocks)."""
+    rw, ro = buffer_rows(max_comp_len, block_maxsize)
+    rows = rw + ro + PAGE_W + FAR_W + RING_W + NSTATE
+    return rows * LANES * 4 <= 14_500_000
+
+
 def decompress_blocks_128(blocks, block_maxsize: int = 1 << 14):
     """Decode up to 128 independent raw blocks lane-parallel; lanes that
     error with real format errors raise ``DecodeError`` (first blocking
@@ -533,10 +573,7 @@ def decompress_blocks_128(blocks, block_maxsize: int = 1 << 14):
     if nb == 0:
         return []
     maxlen = max(max(len(b) for b in blocks), 4)
-    rw = -(-maxlen // 4)
-    rw = -(-rw // GROUP_W) * GROUP_W + 2 * PAGE_W
-    ro = -(-block_maxsize // 4)
-    ro = -(-ro // FAR_G) * FAR_G + 2 * FAR_W
+    rw, ro = buffer_rows(maxlen, block_maxsize)
     # rounds: one sequence per round plus chunking slack
     # one parse round per sequence plus one extra round per CB bytes of
     # chunked output (worst case both terms are maximal)
