@@ -38,14 +38,14 @@ def decompress_blocks(blocks, prefixes=None, block_maxsize: int = 1 << 16):
     (``decode128``, 128 blocks per kernel step — the fast path measured
     at ~160 MB/s mixed); prefixed or oversized batches use the scalar v4
     pipeline."""
+    from .decode128 import decompress_blocks_128, lanes_eligible
+
     use_lanes = (
         blocks
         and (prefixes is None or not any(len(p) for p in prefixes))
-        and block_maxsize <= (1 << 16)
-        and max(len(b) for b in blocks) <= (48 << 10)
+        and lanes_eligible(max(len(b) for b in blocks), block_maxsize)
     )
     if use_lanes:
-        from .decode128 import decompress_blocks_128
 
         out = []
         for base in range(0, len(blocks), 128):

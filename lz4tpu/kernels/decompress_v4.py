@@ -521,14 +521,51 @@ def _decompress_batch_v4_jit(
     return out_u8, out_len.reshape(n_blocks), status.reshape(n_blocks)
 
 
+# the kernel streams each block's compressed words from an SMEM window, so
+# a block's compressed size is capped by the ~1 MiB/core SMEM budget; the
+# transposed VMEM output window similarly caps the per-block output buffer.
+# Blocks beyond either cap (only reachable with frame block sizes >= 1 MiB)
+# decode through the native engine — same typed-error contract.
+V4_MAX_COMP = 512 << 10
+V4_MAX_OUT = 2 << 20
+
+
 def decompress_blocks_v4(blocks, prefixes=None, block_maxsize: int = 1 << 16):
-    """Batch decode on the v4 kernel; same contract as v3."""
+    """Batch decode on the v4 kernel; same contract as v3.  Blocks whose
+    compressed size exceeds ``V4_MAX_COMP`` (SMEM streaming window), or
+    whose output exceeds ``V4_MAX_OUT`` when ``block_maxsize`` allows
+    more, fall back to the native engine per block."""
     n = len(blocks)
     if n == 0:
         return []
+    blocks = [bytes(b) for b in blocks]
     if prefixes is None:
         prefixes = [b""] * n
     prefixes = [bytes(p)[-65536:] for p in prefixes]
+
+    big = [i for i in range(n) if len(blocks[i]) > V4_MAX_COMP]
+    if big:
+        from ..native import decompress_block as _native_decompress
+
+        by_i = {}
+        for i in big:
+            by_i[i] = bytes(
+                _native_decompress(
+                    blocks[i], prefixes[i], output_limit=block_maxsize
+                )
+            )
+        small = [i for i in range(n) if i not in by_i]
+        if small:
+            outs = decompress_blocks_v4(
+                [blocks[i] for i in small],
+                [prefixes[i] for i in small],
+                block_maxsize=block_maxsize,
+            )
+            for i, o in zip(small, outs):
+                by_i[i] = o
+        return [by_i[i] for i in range(n)]
+
+    eff_maxsize = min(block_maxsize, V4_MAX_OUT)
     any_prefix = any(len(p) for p in prefixes)
 
     need = max(max(len(b) for b in blocks), 4)
@@ -561,7 +598,7 @@ def decompress_blocks_v4(blocks, prefixes=None, block_maxsize: int = 1 << 16):
         jnp.asarray(comp_len),
         jnp.asarray(pref),
         jnp.asarray(pref_len),
-        block_maxsize=block_maxsize,
+        block_maxsize=eff_maxsize,
         comp_capacity=comp_capacity,
         prefix_rows=rp,
     )
@@ -571,7 +608,19 @@ def decompress_blocks_v4(blocks, prefixes=None, block_maxsize: int = 1 << 16):
 
     results = []
     for i in range(n):
-        if status[i] != OK:
+        if status[i] == ERR_MEMORY_LIMIT and eff_maxsize < block_maxsize:
+            # the real limit is beyond the VMEM output cap: host fallback
+            from ..native import decompress_block as _native_decompress
+
+            results.append(
+                bytes(
+                    _native_decompress(
+                        blocks[i], prefixes[i], output_limit=block_maxsize
+                    )
+                )
+            )
+        elif status[i] != OK:
             raise DecodeError(STATUS_TO_KIND[int(status[i])])
-        results.append(out_u8[i, : out_len[i]].tobytes())
+        else:
+            results.append(out_u8[i, : out_len[i]].tobytes())
     return results

@@ -424,15 +424,15 @@ def decompress_frame_parallel(
     # step, one per SIMD lane) is ~5x the per-block scalar pipeline; it
     # covers independent blocks without dictionaries within its
     # transposed-VMEM budget, with a per-lane scalar fallback inside
+    from ..kernels.decode128 import decompress_blocks_128, lanes_eligible
+
     use_lanes = (
         to_decode
         and n_dev == 1
         and not dictionary
-        and reader.block_maxsize <= (1 << 16)
-        and max(len(p) for p in to_decode) <= (48 << 10)
+        and lanes_eligible(max(len(p) for p in to_decode), reader.block_maxsize)
     )
     if use_lanes:
-        from ..kernels.decode128 import decompress_blocks_128
 
         # batch-balance: the lockstep kernel runs until its SLOWEST lane
         # finishes, so batches group blocks of similar compressed size
@@ -456,39 +456,75 @@ def decompress_frame_parallel(
                     )
                 outputs[i] = o
     elif to_decode:
-        need = max(len(p) for p in to_decode)
-        comp_capacity = 4096
-        while comp_capacity < need:
-            comp_capacity *= 2
-        comp_capacity = _round_up(comp_capacity, 128)
-        n = len(to_decode)
-        n_padded = _round_up(n, n_dev)
-        comp = np.zeros((n_padded, comp_capacity), np.uint8)
-        clens = np.zeros(n_padded, np.int32)
-        for i, p in enumerate(to_decode):
-            comp[i, : len(p)] = np.frombuffer(p, np.uint8)
-            clens[i] = len(p)
-        out_u8, out_len, statuses = _decompress_sharded(
-            jnp.asarray(comp),
-            jnp.asarray(clens),
-            jnp.asarray(np.frombuffer(dictionary or b"\x00", np.uint8)),
-            jnp.asarray(np.array([len(dictionary)], np.int32)),
-            mesh=mesh,
-            block_maxsize=reader.block_maxsize,
-            comp_capacity=comp_capacity,
-            has_dict=bool(dictionary),
-        )
-        out_u8 = np.asarray(out_u8)
-        out_len = np.asarray(out_len)
-        statuses = np.asarray(statuses)
-        for i in range(n):
-            if statuses[i] != kdecompress.OK:
-                raise DecodeError(kdecompress.STATUS_TO_KIND[int(statuses[i])])
-            if int(out_len[i]) > reader.block_maxsize:
+        from ..kernels.decompress_v4 import V4_MAX_COMP, V4_MAX_OUT
+
+        def _native_fallback(i):
+            # beyond the kernels' SMEM/VMEM windows (frame block sizes
+            # >= 1 MiB): per-block native decode, same typed errors
+            from ..native import decompress_block as _native_decompress
+
+            o = bytes(
+                _native_decompress(
+                    to_decode[i],
+                    dictionary or b"",
+                    output_limit=reader.block_maxsize,
+                )
+            )
+            if len(o) > reader.block_maxsize:
                 raise BlockSizeOverflow(
                     "a block decompressed to more data than allowed"
                 )
-            outputs[i] = out_u8[i, : out_len[i]].tobytes()
+            outputs[i] = o
+
+        small = []
+        for i, p in enumerate(to_decode):
+            if len(p) > V4_MAX_COMP:
+                _native_fallback(i)
+            else:
+                small.append(i)
+        eff_maxsize = min(reader.block_maxsize, V4_MAX_OUT)
+        if small:
+            need = max(len(to_decode[i]) for i in small)
+            comp_capacity = 4096
+            while comp_capacity < need:
+                comp_capacity *= 2
+            comp_capacity = _round_up(comp_capacity, 128)
+            n = len(small)
+            n_padded = _round_up(n, n_dev)
+            comp = np.zeros((n_padded, comp_capacity), np.uint8)
+            clens = np.zeros(n_padded, np.int32)
+            for j, i in enumerate(small):
+                p = to_decode[i]
+                comp[j, : len(p)] = np.frombuffer(p, np.uint8)
+                clens[j] = len(p)
+            out_u8, out_len, statuses = _decompress_sharded(
+                jnp.asarray(comp),
+                jnp.asarray(clens),
+                jnp.asarray(np.frombuffer(dictionary or b"\x00", np.uint8)),
+                jnp.asarray(np.array([len(dictionary)], np.int32)),
+                mesh=mesh,
+                block_maxsize=eff_maxsize,
+                comp_capacity=comp_capacity,
+                has_dict=bool(dictionary),
+            )
+            out_u8 = np.asarray(out_u8)
+            out_len = np.asarray(out_len)
+            statuses = np.asarray(statuses)
+            for j, i in enumerate(small):
+                st = int(statuses[j])
+                if (
+                    st == kdecompress.ERR_MEMORY_LIMIT
+                    and eff_maxsize < reader.block_maxsize
+                ):
+                    _native_fallback(i)
+                    continue
+                if st != kdecompress.OK:
+                    raise DecodeError(kdecompress.STATUS_TO_KIND[st])
+                if int(out_len[j]) > reader.block_maxsize:
+                    raise BlockSizeOverflow(
+                        "a block decompressed to more data than allowed"
+                    )
+                outputs[i] = out_u8[j, : out_len[j]].tobytes()
 
     parts = []
     k = 0

@@ -125,3 +125,31 @@ def test_decode_prefix_differential_on_tpu(decomp, corpus_sample):
         prefixes.append(dictionary)
     out = decomp(comp, prefixes, block_maxsize=1 << 16)
     assert out == payloads
+
+
+def test_v4_big_block_native_fallback():
+    """Compressed blocks beyond the SMEM streaming window (only reachable
+    with frame block sizes >= 1 MiB) must decode through the per-block
+    native fallback with identical results."""
+    import numpy as np
+
+    import lz4tpu
+    from lz4tpu.kernels.decompress import decompress_blocks
+    from lz4tpu.kernels.decompress_v4 import V4_MAX_COMP
+
+    rng = np.random.default_rng(7)
+    part = rng.integers(0, 256, 700 << 10, dtype=np.uint8).tobytes()
+    data = part + part[: 300 << 10]  # ~1 MiB block: noisy head, matchy tail
+    block = compress_block(data)
+    assert len(block) > V4_MAX_COMP  # the case under test
+    out = decompress_blocks([block], block_maxsize=1 << 20)[0]
+    assert out == data
+
+    frame = (
+        lz4tpu.CompressionSettings().block_size(1 << 20).compress_bytes(data)
+    )
+    assert lz4tpu.decompress_frame(frame) == data
+
+    from lz4tpu.parallel.pipeline import decompress_frame_parallel
+
+    assert bytes(decompress_frame_parallel(frame)) == data
