@@ -54,7 +54,7 @@ from .status import (
 import os as _os1
 
 LANES = 128
-GROUP_W = int(_os1.environ.get("LZ4TPU_D128_GROUPW", "128"))  # comp page group
+GROUP_W = int(_os1.environ.get("LZ4TPU_D128_GROUPW", "256"))  # comp page group
 PAGE_W = GROUP_W + 32  # comp page rows: group + parse/chunk margin
 import os as _os2
 
@@ -125,6 +125,8 @@ def _decode128_kernel(
         @pl.when(need)
         def _():
             refill_page(new_gbase)
+            if variant == "refill2x":  # timing probe: pay refill twice,
+                refill_page(new_gbase)  # delta vs full = refill share
 
         return new_gbase
 
@@ -559,7 +561,11 @@ def lanes_eligible(max_comp_len: int, block_maxsize: int) -> bool:
     v4 pipeline (or its host fallback for huge blocks)."""
     rw, ro = buffer_rows(max_comp_len, block_maxsize)
     rows = rw + ro + PAGE_W + FAR_W + RING_W + NSTATE
-    return rows * LANES * 4 <= 14_500_000
+    # empirical anchors (GROUP_W=256, FAR_G=256, 64 KiB blocks): a
+    # 16.26 MB row sum (54 KB max comp) compiles and runs on v5e (the
+    # compiler reports ~15.7 MB actual demand); 16.65 MB fails by 87 KB.
+    # 16.3 MB keeps ~2% margin below the observed failure point.
+    return rows * LANES * 4 <= 16_300_000
 
 
 def decompress_blocks_128(blocks, block_maxsize: int = 1 << 14):

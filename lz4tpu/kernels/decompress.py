@@ -34,31 +34,47 @@ def decompress_blocks(blocks, prefixes=None, block_maxsize: int = 1 << 16):
     window (only the trailing 64 KiB is addressable).  Raises
     ``DecodeError`` for the first failed block.
 
-    Batches without prefixes route through the lane-parallel decoder
-    (``decode128``, 128 blocks per kernel step — the fast path measured
-    at ~160 MB/s mixed); prefixed or oversized batches use the scalar v4
-    pipeline."""
+    Routing is per block: prefix-free blocks within the lane decoder's
+    VMEM budget (``lanes_eligible``) ride ``decode128`` (128 blocks per
+    kernel step — the fast path); prefixed or oversized blocks use the
+    scalar v4 pipeline (which itself host-falls-back past its SMEM
+    window)."""
     from .decode128 import decompress_blocks_128, lanes_eligible
 
-    use_lanes = (
-        blocks
-        and (prefixes is None or not any(len(p) for p in prefixes))
-        and lanes_eligible(max(len(b) for b in blocks), block_maxsize)
+    no_prefix = prefixes is None or not any(len(p) for p in prefixes)
+    lane_idx = (
+        [
+            i
+            for i, b in enumerate(blocks)
+            if lanes_eligible(len(b), block_maxsize)
+        ]
+        if no_prefix
+        else []
     )
-    if use_lanes:
+    out = [None] * len(blocks)
+    for base in range(0, len(lane_idx), 128):
+        idxs = lane_idx[base : base + 128]
+        for i, o in zip(
+            idxs,
+            decompress_blocks_128(
+                [blocks[i] for i in idxs], block_maxsize=block_maxsize
+            ),
+        ):
+            out[i] = o
+    rest = [i for i in range(len(blocks)) if out[i] is None]
+    if rest:
+        from .decompress_v4 import decompress_blocks_v4
 
-        out = []
-        for base in range(0, len(blocks), 128):
-            out.extend(
-                decompress_blocks_128(
-                    blocks[base : base + 128], block_maxsize=block_maxsize
-                )
-            )
-        return out
-
-    from .decompress_v4 import decompress_blocks_v4
-
-    return decompress_blocks_v4(blocks, prefixes, block_maxsize=block_maxsize)
+        for i, o in zip(
+            rest,
+            decompress_blocks_v4(
+                [blocks[i] for i in rest],
+                [bytes(prefixes[i]) for i in rest] if prefixes else None,
+                block_maxsize=block_maxsize,
+            ),
+        ):
+            out[i] = o
+    return out
 
 
 def _round_up(x: int, m: int) -> int:

@@ -426,22 +426,22 @@ def decompress_frame_parallel(
     # transposed-VMEM budget, with a per-lane scalar fallback inside
     from ..kernels.decode128 import decompress_blocks_128, lanes_eligible
 
-    use_lanes = (
-        to_decode
-        and n_dev == 1
-        and not dictionary
-        and lanes_eligible(max(len(p) for p in to_decode), reader.block_maxsize)
-    )
-    if use_lanes:
-
+    lane_idx = []
+    if to_decode and n_dev == 1 and not dictionary:
+        lane_idx = [
+            i
+            for i, p in enumerate(to_decode)
+            if lanes_eligible(len(p), reader.block_maxsize)
+        ]
+    if lane_idx:
         # batch-balance: the lockstep kernel runs until its SLOWEST lane
         # finishes, so batches group blocks of similar compressed size
         # (a proxy for sequence/round count) when more than one batch is
         # needed
         order = (
-            sorted(range(len(to_decode)), key=lambda i: len(to_decode[i]))
-            if len(to_decode) > 128
-            else list(range(len(to_decode)))
+            sorted(lane_idx, key=lambda i: len(to_decode[i]))
+            if len(lane_idx) > 128
+            else lane_idx
         )
         for base in range(0, len(order), 128):
             idxs = order[base : base + 128]
@@ -455,7 +455,8 @@ def decompress_frame_parallel(
                         "a block decompressed to more data than allowed"
                     )
                 outputs[i] = o
-    elif to_decode:
+    rest = [i for i in range(len(to_decode)) if i not in outputs]
+    if rest:
         from ..kernels.decompress_v4 import V4_MAX_COMP, V4_MAX_OUT
 
         def _native_fallback(i):
@@ -477,8 +478,8 @@ def decompress_frame_parallel(
             outputs[i] = o
 
         small = []
-        for i, p in enumerate(to_decode):
-            if len(p) > V4_MAX_COMP:
+        for i in rest:
+            if len(to_decode[i]) > V4_MAX_COMP:
                 _native_fallback(i)
             else:
                 small.append(i)
