@@ -22,9 +22,11 @@ round with no per-lane dynamic addressing:
 
 Per round each lane advances: one parsed sequence, up to CB literal
 bytes and up to CB match bytes (longer runs take extra rounds;
-tiny-offset RLE uses the v2/v3 lag-doubling bootstrap).  Erroring or
-LSIC-sentinel lanes fall back to the scalar v4 kernel on the host —
-same typed error kinds (``decompress_blocks_128`` wrapper).
+tiny-offset RLE uses the v2/v3 lag-doubling bootstrap).  LSIC chains
+longer than the unrolled window continue in an in-kernel byte loop
+(``lsic_slow``), so there is no length cliff; lanes that still hit the
+round cap fall back to the scalar v4 kernel on the host — same typed
+error kinds (``decompress_blocks_128`` wrapper).
 
 Scope (prototype): independent blocks, no prefix/dictionary yet, block
 size bounded by the transposed-VMEM budget (~64 KiB output/lane).
@@ -61,6 +63,15 @@ import os as _os2
 FAR_G = int(_os2.environ.get("LZ4TPU_D128_FARG", "256"))  # far group granularity (measured best)
 FAR_W = FAR_G + 32  # far page rows: group + chunk margin
 RING_W = int(_os1.environ.get("LZ4TPU_D128_RINGW", "64"))  # staging ring rows (words)
+# mid-history page: a mod-addressed mirror of the last mid_w*4 flushed
+# bytes, written during the flush sweep at lane-uniform addresses (no
+# rebuild, unlike the far page); serves match offsets up to ~mid_w*4.
+# The actual mid_w is chosen PER BATCH SHAPE to fill the VMEM headroom
+# left by the comp/output buffers (pick_mid_w); this is the cap.
+MID_CAP = int(_os1.environ.get("LZ4TPU_D128_MIDW", "0"))  # measured -7% on mixed; opt-in for high-locality corpora
+# row-sum budget anchored on observed v5e compiles: 16.26 MB row sum
+# (53 KB comp, no mid) ran; 16.52 MB (mid 512) OOMed by 3 KB
+VMEM_ROWSUM_BUDGET = 16_300_000
 import os as _os
 
 CB = int(_os.environ.get("LZ4TPU_D128_CB", "32"))  # bytes per chunk per round
@@ -93,12 +104,15 @@ def _decode128_kernel(
     page_ref,  # scratch (PAGE_W, 128) — comp page
     far_ref,  # scratch (FAR_W, 128) — far-match page
     ring_ref,  # scratch (RING_W, 128) — output staging ring
+    mid_ref,  # scratch (max(mid_w,8), 128) — mod-addressed flush mirror
+    aux_ref,  # scratch (8, 128) — LSIC slow-path state round-trip
     state_ref,  # scratch (NSTATE, 128)
     *,
     rw: int,
     ro: int,
     max_rounds: int,
     output_limit: int,
+    mid_w: int,
     variant: str = "full",
 ):
     S8 = (8, LANES)
@@ -155,7 +169,8 @@ def _decode128_kernel(
 
     def lsic_from(span, k0, initial, p, enable, status):
         """Branchless LSIC over pre-gathered continuation bytes
-        span[k0:k0+LSIC_STEPS]."""
+        span[k0:k0+LSIC_STEPS]; lanes still hungry after the unrolled
+        steps (``need``) continue in ``lsic_slow``."""
         need = (initial == 0xF) & enable
         v = initial
         for k in range(LSIC_STEPS):
@@ -166,8 +181,56 @@ def _decode128_kernel(
             v = v + jnp.where(need, b, 0)
             p = p + need.astype(jnp.int32)
             need = need & (b == 0xFF)
-        status = jnp.where((need != 0) & (status == OK), STATUS_FALLBACK, status)
-        return v, p, status
+        return v, p, status, need
+
+    def lsic_slow(v, p, status, need, gbase):
+        """Rare-path LSIC continuation: byte-at-a-time loop for chains
+        longer than the unrolled window (e.g. RLE runs of tens of KB).
+        Vector state round-trips through scratch — while carries must be
+        scalar-only under Mosaic — and the loop only runs when some lane
+        actually needs it, so steady-state cost is two scratch I/Os."""
+        aux_ref[0:1, :] = v[0:1]
+        aux_ref[1:2, :] = p[0:1]
+        aux_ref[2:3, :] = status[0:1]
+        aux_ref[3:4, :] = need.astype(jnp.int32)[0:1]
+        aux_ref[4:5, :] = gbase[0:1]
+
+        @pl.when(jnp.any(need))
+        def _():
+            def cond(go):
+                return go != 0
+
+            def body(go):
+                a = aux_ref[:, :]
+                v2 = jnp.broadcast_to(a[0:1], S8)
+                p2 = jnp.broadcast_to(a[1:2], S8)
+                st2 = jnp.broadcast_to(a[2:3], S8)
+                nd2 = jnp.broadcast_to(a[3:4], S8) != 0
+                gb2 = jnp.broadcast_to(a[4:5], S8)
+                eof = nd2 & (p2 >= n)
+                st2 = jnp.where(eof & (st2 == OK), ERR_UNEXPECTED_END, st2)
+                nd2 = nd2 & ~eof
+                gb2 = ensure_page(gb2, p2, nd2)
+                b = byte_at(page_ref[:, :], gb2, p2)
+                v2 = v2 + jnp.where(nd2, b, 0)
+                p2 = p2 + nd2.astype(jnp.int32)
+                nd2 = nd2 & (b == 0xFF)
+                aux_ref[0:1, :] = v2[0:1]
+                aux_ref[1:2, :] = p2[0:1]
+                aux_ref[2:3, :] = st2[0:1]
+                aux_ref[3:4, :] = nd2.astype(jnp.int32)[0:1]
+                aux_ref[4:5, :] = gb2[0:1]
+                return jnp.any(nd2).astype(jnp.int32)
+
+            jax.lax.while_loop(cond, body, jnp.int32(1))
+
+        a = aux_ref[:, :]
+        return (
+            jnp.broadcast_to(a[0:1], S8),
+            jnp.broadcast_to(a[1:2], S8),
+            jnp.broadcast_to(a[2:3], S8),
+            jnp.broadcast_to(a[4:5], S8),
+        )
 
     # -------- per-lane bounded row gather (one-hot over a window) -------
     def gather_rows(src, src_rows, base_row, k_rows, modulo):
@@ -275,6 +338,13 @@ def _decode128_kernel(
             p = piota + base
             m = (p >= fwr) & (p < fwr + nwr)
             out_words_ref[pl.ds(base, RING_W), :] = jnp.where(m, ring, blk)
+            if mid_w and variant != "nomid":
+                # mirror the flushed rows into the mid page (lane-uniform
+                # mod address; preserve other lanes' rows — their eras
+                # differ)
+                mb = jax.lax.rem(base, mid_w)
+                mblk = mid_ref[pl.ds(mb, RING_W), :]
+                mid_ref[pl.ds(mb, RING_W), :] = jnp.where(m, ring, mblk)
             return 0
 
         jax.lax.fori_loop(0, jnp.maximum(b_hi - b_lo, 0), body, 0)
@@ -309,9 +379,10 @@ def _decode128_kernel(
         lit0 = jax.lax.shift_right_logical(tok, 4)
         nib = tok & 0xF
         p = pos + 1
-        litv, p, status = lsic_from(
+        litv, p, status, lneed = lsic_from(
             span1, 1, jnp.where(parse_ok, lit0, 0), p, parse_ok, status
         )
+        litv, p, status, gbase = lsic_slow(litv, p, status, lneed, gbase)
         new_lsrc = p
         p = p + jnp.where(parse_ok, litv, 0)
         status = jnp.where(
@@ -324,9 +395,10 @@ def _decode128_kernel(
         span2 = read_span12(page, gbase, jnp.where(has_match, p, 0))
         offv = jnp.where(has_match, span2[0] | (span2[1] << 8), 1)
         p = p + 2 * has_match.astype(jnp.int32)
-        mv, p, status = lsic_from(
+        mv, p, status, mneed = lsic_from(
             span2, 2, jnp.where(has_match, nib, 0), p, has_match, status
         )
+        mv, p, status, gbase = lsic_slow(mv, p, status, mneed, gbase)
         mlenv = jnp.where(has_match, mv + 4, 0)
 
         ok = status == OK
@@ -361,6 +433,8 @@ def _decode128_kernel(
             fw = flushed >> 2
             nw = jnp.where(do_flush, FLUSH_B >> 2, 0)
             sweep_flush(ring0, fw, nw)
+            if variant == "flush2x":  # timing probe: idempotent re-sweep,
+                sweep_flush(ring0, fw, nw)  # delta vs full = flush share
 
         flushed = jnp.where(do_flush, flushed + FLUSH_B, flushed)
 
@@ -389,6 +463,13 @@ def _decode128_kernel(
         src_abs = out + lit_take - m_lag
         near = m_ready & (src_abs >= flushed)
         far = m_ready & (src_abs < flushed)
+        if mid_w and variant != "nomid":
+            # flushed bytes within the mid mirror's window need no far
+            # page (and hence no rebuild) at all
+            midp = far & (src_abs >= flushed - (mid_w * 4 - 4))
+            far = far & ~midp
+        else:
+            midp = far & False
 
         nsrc_row = jax.lax.rem(jnp.clip(src_abs, 0, None) >> 2, RING_W)
         if variant in ("nogather", "nonear"):
@@ -396,6 +477,13 @@ def _decode128_kernel(
         else:
             nearw = gather_rows(ring1, RING_W, nsrc_row, CW + 1, RING_W)
             near_bytes = funnel(nearw, src_abs)
+
+        if mid_w and variant not in ("nomid", "nogather"):
+            msrc_row = jax.lax.rem(jnp.clip(src_abs, 0, None) >> 2, mid_w)
+            midw = gather_rows(mid_ref[:, :], mid_w, msrc_row, CW + 1, mid_w)
+            mid_bytes = funnel(midw, src_abs)
+        else:
+            mid_bytes = jnp.zeros((CW, LANES), jnp.int32)
 
         fwant = jnp.clip(
             (jnp.clip(src_abs, 0, None) >> 2) // FAR_G, 0, far_groups - 1
@@ -427,12 +515,18 @@ def _decode128_kernel(
             farw = gather_rows(farp, FAR_W, fsrc_row, CW + 1, 0)
             far_bytes = funnel(farw, src_abs)
 
-        m_bytes = jnp.where(jnp.broadcast_to(near[0:1], (CW, LANES)),
-                            near_bytes, far_bytes)
+        m_bytes = jnp.where(
+            jnp.broadcast_to(near[0:1], (CW, LANES)),
+            near_bytes,
+            jnp.where(
+                jnp.broadcast_to(midp[0:1], (CW, LANES)), mid_bytes, far_bytes
+            ),
+        )
         m_take = jnp.where(m_ready, jnp.minimum(jnp.minimum(m_rem, CB), m_lag), 0)
-        # far sources must stay inside flushed bytes (the page reads the
-        # main output); the remainder of the match continues next round,
-        # usually as a near chunk — the v3/v4 invariant
+        # mid/far sources must stay inside flushed bytes (both pages
+        # mirror the main output); the remainder of the match continues
+        # next round, usually as a near chunk — the v3/v4 invariant
+        m_take = jnp.where(midp, jnp.minimum(m_take, flushed - src_abs), m_take)
         if variant != "nofar":  # timing variant: keep progress guaranteed
             m_take = jnp.where(far, jnp.minimum(m_take, pgf - src_abs), m_take)
 
@@ -474,6 +568,7 @@ def _decode128_kernel(
         axis=0,
     )
     ring_ref[:, :] = jnp.zeros((RING_W, LANES), jnp.int32)
+    mid_ref[:, :] = jnp.zeros((max(mid_w, 8), LANES), jnp.int32)
 
     # early exit: chunks of 64 rounds under a while with SCALAR-only carry
     # (vector carries fail Mosaic layout legalization; predicated no-op
@@ -513,16 +608,29 @@ def _decode128_kernel(
     status_ref[:, :] = st[R_ST : R_ST + 1]
 
 
+def pick_mid_w(rw: int, ro: int) -> int:
+    """Largest mid-history size (rows, RING_W-aligned, <= MID_CAP) whose
+    VMEM row sum stays under the empirical budget for this batch shape."""
+    base = rw + ro + PAGE_W + FAR_W + RING_W + NSTATE
+    w = min(MID_CAP, max(VMEM_ROWSUM_BUDGET // (LANES * 4) - base, 0))
+    return (w // RING_W) * RING_W
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("rw", "ro", "max_rounds", "output_limit", "variant"),
+    static_argnames=("rw", "ro", "max_rounds", "output_limit", "mid_w", "variant"),
 )
-def _decode128_jit(words, n, *, rw, ro, max_rounds, output_limit, variant="full"):
+def _decode128_jit(
+    words, n, *, rw, ro, max_rounds, output_limit, mid_w=None, variant="full"
+):
+    if mid_w is None:
+        mid_w = pick_mid_w(rw, ro)
+    assert mid_w % RING_W == 0  # flush blocks never wrap the mid page
     return pl.pallas_call(
         functools.partial(
             _decode128_kernel,
             rw=rw, ro=ro, max_rounds=max_rounds, output_limit=output_limit,
-            variant=variant,
+            mid_w=mid_w, variant=variant,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -538,6 +646,8 @@ def _decode128_jit(words, n, *, rw, ro, max_rounds, output_limit, variant="full"
             pltpu.VMEM((PAGE_W, LANES), jnp.int32),
             pltpu.VMEM((FAR_W, LANES), jnp.int32),
             pltpu.VMEM((RING_W, LANES), jnp.int32),
+            pltpu.VMEM((max(mid_w, 8), LANES), jnp.int32),
+            pltpu.VMEM((8, LANES), jnp.int32),
             pltpu.VMEM((NSTATE, LANES), jnp.int32),
         ],
         interpret=_interpret(),
@@ -547,10 +657,12 @@ def _decode128_jit(words, n, *, rw, ro, max_rounds, output_limit, variant="full"
 def buffer_rows(max_comp_len: int, block_maxsize: int):
     """(rw, ro) buffer row counts for a batch shape (shared with the
     eligibility check so callers and the wrapper agree)."""
+    # pad = exactly one page beyond the last full group: the last group
+    # slice [C, C+PAGE_W) then ends exactly at rw (same for the far page)
     rw = -(-max(max_comp_len, 4) // 4)
-    rw = -(-rw // GROUP_W) * GROUP_W + 2 * PAGE_W
+    rw = -(-rw // GROUP_W) * GROUP_W + PAGE_W
     ro = -(-block_maxsize // 4)
-    ro = -(-ro // FAR_G) * FAR_G + 2 * FAR_W
+    ro = -(-ro // FAR_G) * FAR_G + FAR_W
     return rw, ro
 
 
@@ -560,12 +672,12 @@ def lanes_eligible(max_comp_len: int, block_maxsize: int) -> bool:
     the ~16 MB/core budget with headroom; bigger shapes use the scalar
     v4 pipeline (or its host fallback for huge blocks)."""
     rw, ro = buffer_rows(max_comp_len, block_maxsize)
-    rows = rw + ro + PAGE_W + FAR_W + RING_W + NSTATE
+    rows = rw + ro + PAGE_W + FAR_W + RING_W + NSTATE  # mid adapts to fit
     # empirical anchors (GROUP_W=256, FAR_G=256, 64 KiB blocks): a
-    # 16.26 MB row sum (54 KB max comp) compiles and runs on v5e (the
+    # 16.26 MB row sum (53 KB max comp) compiles and runs on v5e (the
     # compiler reports ~15.7 MB actual demand); 16.65 MB fails by 87 KB.
-    # 16.3 MB keeps ~2% margin below the observed failure point.
-    return rows * LANES * 4 <= 16_300_000
+    # The shared budget keeps ~2% margin below the observed failure.
+    return rows * LANES * 4 <= VMEM_ROWSUM_BUDGET
 
 
 def decompress_blocks_128(blocks, block_maxsize: int = 1 << 14):

@@ -69,9 +69,12 @@ def test_graft_entry_single_chip():
     import __graft_entry__ as g
 
     fn, args = g.entry()
-    out_u8, out_len, status = [np.asarray(x) for x in fn(*args)]
+    out_w, out_len, status = [np.asarray(x) for x in fn(*args)]
+    # decode128 contract: transposed words out, (1, LANES) lens/statuses
     assert (status == 0).all()
-    assert out_len.shape[0] == args[0].shape[0]
+    assert out_len.shape == status.shape == (1, out_w.shape[1])
+    n = np.asarray(args[1])
+    assert (out_len[0, n[0] > 0] > 0).all()  # real lanes decoded bytes
 
 
 # ---------------------------------------------------------------------------
