@@ -289,10 +289,7 @@ def main() -> None:
             assert out == sub, "decode128 mismatch"
 
             maxlen = max(len(b) for b in subc)
-            rw = -(-maxlen // 4)
-            rw = -(-rw // d128.GROUP_W) * d128.GROUP_W + 2 * d128.PAGE_W
-            ro = -(-BLOCK // 4)
-            ro = -(-ro // d128.FAR_G) * d128.FAR_G + 2 * d128.FAR_W
+            rw, ro = d128.buffer_rows(maxlen, BLOCK)
             max_rounds = maxlen // 3 + BLOCK // d128.CB + 64
             arr128 = np.zeros((128, rw * 4), np.uint8)
             n128 = np.zeros((1, 128), np.int32)

@@ -81,7 +81,12 @@ FLUSH_B = 128  # ring flush granularity (bytes; 32 word rows)
 # ring invariant: post-flush fill (< FLUSH_THRESH, minus 128 if flushed)
 # plus one round's inflow (2*CB) must stay below the ring's 256 B
 FLUSH_THRESH = min(176, RING_W * 4 - 2 * CB)
-LSIC_STEPS = int(_os.environ.get("LZ4TPU_D128_LSIC", "8"))  # max LSIC ext bytes/field; longer -> host fallback
+LSIC_STEPS = int(_os.environ.get("LZ4TPU_D128_LSIC", "8"))  # unrolled LSIC ext bytes/field
+# in-kernel byte-loop continuation for longer chains: removes the host
+# fallback for >LSIC_STEPS ext bytes but measured -15% on mixed (two
+# any() reductions + pl.when branches per round); default off — the
+# sentinel fallback handles the rare long chains correctly
+SLOW_LSIC = _os.environ.get("LZ4TPU_D128_SLOWLSIC", "0") == "1"
 assert 2 + LSIC_STEPS <= 12  # read_span12 provides 12 bytes
 STATUS_FALLBACK = 100  # lane needs the scalar fallback (not an error kind)
 
@@ -181,6 +186,10 @@ def _decode128_kernel(
             v = v + jnp.where(need, b, 0)
             p = p + need.astype(jnp.int32)
             need = need & (b == 0xFF)
+        if not SLOW_LSIC:
+            status = jnp.where(
+                (need != 0) & (status == OK), STATUS_FALLBACK, status
+            )
         return v, p, status, need
 
     def lsic_slow(v, p, status, need, gbase):
@@ -382,7 +391,8 @@ def _decode128_kernel(
         litv, p, status, lneed = lsic_from(
             span1, 1, jnp.where(parse_ok, lit0, 0), p, parse_ok, status
         )
-        litv, p, status, gbase = lsic_slow(litv, p, status, lneed, gbase)
+        if SLOW_LSIC:
+            litv, p, status, gbase = lsic_slow(litv, p, status, lneed, gbase)
         new_lsrc = p
         p = p + jnp.where(parse_ok, litv, 0)
         status = jnp.where(
@@ -398,7 +408,8 @@ def _decode128_kernel(
         mv, p, status, mneed = lsic_from(
             span2, 2, jnp.where(has_match, nib, 0), p, has_match, status
         )
-        mv, p, status, gbase = lsic_slow(mv, p, status, mneed, gbase)
+        if SLOW_LSIC:
+            mv, p, status, gbase = lsic_slow(mv, p, status, mneed, gbase)
         mlenv = jnp.where(has_match, mv + 4, 0)
 
         ok = status == OK
