@@ -37,6 +37,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="high-compression level (2-12): hash-chain + lazy parse")
     p.add_argument("--dictionary", help="preset dictionary file")
     p.add_argument("--dictionary-id", type=int, default=0)
+    p.add_argument(
+        "--lane-kernel",
+        action="store_true",
+        help="tpu-parallel only: lane-parallel compressor (128 blocks per "
+        "kernel step; valid LZ4, not byte-identical to the reference parse)",
+    )
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -67,6 +73,7 @@ def main(argv=None) -> int:
                 open(args.dictionary, "rb").read() if args.dictionary else None
             ),
             dictionary_id=args.dictionary_id if args.dictionary_id else None,
+            lane_kernel=args.lane_kernel,
         )
     else:
         from lz4tpu import CompressionSettings

@@ -1,0 +1,575 @@
+"""EXPERIMENTAL: lane-parallel LZ4 compressor — 128 blocks per step.
+
+decode128's lockstep-round machinery run in reverse: one block per SIMD
+lane, transposed VMEM streams, two-level one-hot slab gathers, and a
+mod-addressed output staging ring flushed by lane-uniform masked sweeps.
+Each lane is a small phase machine advanced once per round:
+
+* SEARCH — hash the 4 bytes at the cursor, probe + insert a per-lane
+  hash table held transposed in VMEM ((2^HASHLOG, 128); the probe and
+  the insert share one one-hot sweep over the table slabs), verify the
+  candidate bytes, miss => cursor+1;
+* EXTEND — CB-byte LCP steps: XOR the cursor/candidate windows, find
+  the first differing byte branchlessly;
+* TOK / EXT_L / LCOPY / MHDR / EXT_M — emit the sequence: token +
+  literal-LSIC, a 0xFF-run emitter for long LSIC chains, literal copy
+  from the input page, offset + match-LSIC.
+
+The hash table is per lane, so its size is the main VMEM/ratio knob:
+HASHLOG=10 measures ~0.64 vs 0.60 for the C-sized 2^12 table (see
+PERF_NOTES.md) — any table produces VALID LZ4, the table only affects
+match discovery.  v1 scope: step-1 scan (no skip acceleration), no
+backward match extension, blocks <= 32 KiB (wrapper contract; the
+frame layer may emit 32 KiB blocks inside any larger block-maxsize
+frame).  End rules mirror the reference encoder: no match starts past
+n-12 and matches stop at n-5 (/root/reference/src/raw/compress/mod.rs;
+spec/block.py `compress_block`).
+
+Shared-machinery note: gather/funnel/place/sweep are consciously
+duplicated from decode128.py for now — consolidating them into a
+module without disturbing decode128's measured compile artifacts is
+round-3 cleanup.
+"""
+
+from __future__ import annotations
+
+import functools
+import os as _os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+GROUP_W = 256  # input page group (words)
+PAGE_W = GROUP_W + 32
+HASHLOG = int(_os.environ.get("LZ4TPU_C128_HASHLOG", "10"))
+RING_W = 64  # output staging ring rows (words)
+CB = 32  # bytes per chunk per round
+CW = CB // 4
+FLUSH_B = 128
+FLUSH_THRESH = 176
+MAX_B = 32 << 10  # per-lane input cap (VMEM budget)
+
+# phases
+(PH_SEARCH, PH_EXTEND, PH_TOK, PH_EXT_L, PH_LCOPY, PH_MHDR, PH_EXT_M) = range(7)
+
+# state rows
+(C_CUR, C_ANCHOR, C_PH, C_OUT, C_FLUSH, C_GB, C_GB2, C_MOFF, C_MSTART,
+ C_MLEN, C_EMR, C_LREM, C_LSRC, C_TAIL, C_DONE, C_FAIL, C_MISS) = range(17)
+NSTATE = 17
+SKIP_TRIGGER = 6  # C-style skip acceleration (raw/compress/mod.rs:147-148)
+
+HASH_MUL = np.uint32(2654435761)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _compress128_kernel(
+    words_ref,  # VMEM (Ri, 128) int32 — transposed raw input
+    n_ref,  # VMEM (1, 128) int32 — input byte lengths
+    out_words_ref,  # VMEM (Ro, 128) int32 OUT — transposed comp streams
+    out_len_ref,  # VMEM (1, 128) int32 OUT
+    page_ref,  # scratch (PAGE_W, 128) — cursor-side input page
+    page2_ref,  # scratch (PAGE_W, 128) — candidate-side input page
+    table_ref,  # scratch (T_ROWS, 128) — per-lane hash table
+    ring_ref,  # scratch (RING_W, 128) — output staging ring
+    state_ref,  # scratch (NSTATE, 128)
+    *,
+    ri: int,
+    ro: int,
+    max_rounds: int,
+    hashlog: int,
+):
+    T_ROWS = 1 << hashlog
+    S8 = (8, LANES)
+    n = jnp.broadcast_to(n_ref[0:1, :], S8)
+    n_groups = max((ri - PAGE_W) // GROUP_W + 1, 1)
+    rowi8 = jax.lax.broadcasted_iota(jnp.int32, S8, 0)
+
+    # ---------------- shared gather/funnel/place/sweep ------------------
+    def gather_rows(src, src_rows, base_row, k_rows, modulo):
+        """Two-level one-hot windowed row gather (see decode128)."""
+        assert src_rows % 8 == 0 and (not modulo or modulo % 8 == 0)
+        b = base_row[0:1, :]
+        n_slabs = src_rows // 8
+        l1 = (k_rows + 6) // 8 + 1
+        sb = b >> 3
+        accs = [jnp.zeros((8, LANES), jnp.int32) for _ in range(l1)]
+        for s in range(n_slabs):
+            slab = src[s * 8 : s * 8 + 8, :]
+            for j in range(l1):
+                t = sb + j
+                if modulo:
+                    t = jax.lax.rem(t, modulo // 8)
+                m = jnp.broadcast_to((t == s).astype(jnp.int32), (8, LANES))
+                accs[j] = accs[j] + slab * m
+        lvl1 = jnp.concatenate(accs, axis=0)
+        off = b & 7
+        rows_out = [jnp.zeros((1, LANES), jnp.int32) for _ in range(k_rows)]
+        for r0 in range(0, 8 * l1, 8):
+            slab = lvl1[r0 : r0 + 8, :]
+            t = rowi8 + r0 - off
+            for k in range(k_rows):
+                m = (t == k).astype(jnp.int32)
+                rows_out[k] = rows_out[k] + jnp.sum(slab * m, axis=0, keepdims=True)
+        return jnp.concatenate(rows_out, axis=0)
+
+    def funnel(w_rows, sh):
+        k = w_rows.shape[0] - 1
+        cur = w_rows[:k]
+        nxt = w_rows[1 : k + 1]
+        shb = jnp.broadcast_to((sh & 3)[0:1, :], (k, LANES)) * 8
+        lo = jax.lax.shift_right_logical(cur, shb)
+        hi = jnp.where(shb == 0, 0, nxt << ((32 - shb) & 31))
+        return lo | hi
+
+    def place(ring, bytes_w, dst, take):
+        sh = (dst & 3)[0:1, :]
+        z = jnp.zeros((1, LANES), jnp.int32)
+        ext = jnp.concatenate([bytes_w, z], axis=0)
+        prev = jnp.concatenate([z, bytes_w], axis=0)
+        shb = jnp.broadcast_to(sh, (CW + 1, LANES)) * 8
+        shifted = jnp.where(
+            shb == 0,
+            ext,
+            (ext << shb) | jax.lax.shift_right_logical(prev, (32 - shb) & 31),
+        )
+        wordpos = jax.lax.broadcasted_iota(jnp.int32, (CW + 1, LANES), 0)
+        takeb = jnp.broadcast_to(take[0:1, :], (CW + 1, LANES))
+        shw = jnp.broadcast_to(sh, (CW + 1, LANES))
+        wmask = jnp.zeros((CW + 1, LANES), jnp.int32)
+        for j in range(4):
+            cbyte = 4 * wordpos + j - shw
+            valid = (cbyte >= 0) & (cbyte < takeb)
+            lane_mask = jnp.int32(np.int32(np.uint32(0xFF) << (8 * j)))
+            wmask = wmask | jnp.where(valid, lane_mask, 0)
+        base = jax.lax.rem(dst >> 2, RING_W)[0:1, :]
+        ringi = jax.lax.broadcasted_iota(jnp.int32, (RING_W, LANES), 0)
+        newring = ring
+        for k in range(CW + 1):
+            t = jax.lax.rem(base + k, RING_W)
+            m = (ringi == t).astype(jnp.int32) * jnp.broadcast_to(
+                wmask[k : k + 1], (RING_W, LANES)
+            )
+            v = jnp.broadcast_to(shifted[k : k + 1], (RING_W, LANES))
+            newring = (newring & ~m) | (v & m)
+        return newring
+
+    def sweep_flush(ring, fw, nwords):
+        fwr = fw[0:1, :]
+        nwr = nwords[0:1, :]
+        act = nwr > 0
+        lo = jnp.min(jnp.where(act, fwr, jnp.int32(1 << 30)))
+        hi = jnp.max(jnp.where(act, fwr + nwr, 0))
+        nblk = ro // RING_W
+        b_lo = jnp.clip(lo // RING_W, 0, nblk - 1)
+        b_hi = jnp.clip((hi + RING_W - 1) // RING_W, 0, nblk)
+        piota = jax.lax.broadcasted_iota(jnp.int32, (RING_W, LANES), 0)
+
+        def body(i, _):
+            base = (b_lo + i) * RING_W
+            blk = out_words_ref[pl.ds(base, RING_W), :]
+            p = piota + base
+            m = (p >= fwr) & (p < fwr + nwr)
+            out_words_ref[pl.ds(base, RING_W), :] = jnp.where(m, ring, blk)
+            return 0
+
+        jax.lax.fori_loop(0, jnp.maximum(b_hi - b_lo, 0), body, 0)
+
+    # ---------------- input page machinery ------------------------------
+    def refill(ref, gbase):
+        acc = jnp.zeros((PAGE_W, LANES), jnp.int32)
+        gb = gbase[0:1, :]
+        for g in range(n_groups):
+            mask = (gb == g).astype(jnp.int32)
+            acc = acc + words_ref[g * GROUP_W : g * GROUP_W + PAGE_W, :] * mask
+        ref[:, :] = acc
+
+    def ensure(ref, gbase, pos, active):
+        want = jnp.clip((pos >> 2) // GROUP_W, 0, n_groups - 1)
+        new_gbase = jnp.where(active, want, gbase)
+        need = jnp.any(new_gbase != gbase)
+
+        @pl.when(need)
+        def _():
+            refill(ref, new_gbase)
+
+        return new_gbase
+
+    def read_words(ref, gbase, p, k):
+        """k funneled words (4k bytes) of the input starting at byte p."""
+        base_row = jnp.clip((p >> 2) - gbase * GROUP_W, 0, PAGE_W - k - 2)
+        w = gather_rows(ref[:, :], PAGE_W, base_row, k + 1, 0)
+        return funnel(w, p)
+
+    # ---------------- round -------------------------------------------
+    def round_body(r, _):
+        st = state_ref[:, :]
+
+        def row(i):
+            return jnp.broadcast_to(st[i : i + 1], S8)
+
+        cur, anchor, ph, out = row(C_CUR), row(C_ANCHOR), row(C_PH), row(C_OUT)
+        flushed, gb, gb2 = row(C_FLUSH), row(C_GB), row(C_GB2)
+        moff, mstart, mlen = row(C_MOFF), row(C_MSTART), row(C_MLEN)
+        emr, lrem, lsrc = row(C_EMR), row(C_LREM), row(C_LSRC)
+        tail, done = row(C_TAIL) != 0, row(C_DONE) != 0
+        fail = row(C_FAIL) != 0
+        miss = row(C_MISS)
+
+        active = ~done
+
+        # ---- SEARCH ----------------------------------------------------
+        searching = active & (ph == PH_SEARCH)
+        ended = searching & (cur + 12 > n)
+        # tail: final literal-only sequence (always emitted, even empty)
+        lit_tail = n - anchor
+        tail = tail | ended
+        ph = jnp.where(ended, PH_TOK, ph)
+        mlen = jnp.where(ended, 4, mlen)  # match nibble contributes 0
+        mstart = jnp.where(ended, n, mstart)
+
+        probing = searching & ~ended
+        gb = ensure(page_ref, gb, cur, probing)
+        w2 = read_words(page_ref, gb, jnp.where(probing, cur, 0), 2)
+        v = jnp.broadcast_to(w2[0:1], S8)
+        h = jax.lax.shift_right_logical(
+            (v * jnp.int32(np.int32(HASH_MUL))), 32 - hashlog
+        ) & (T_ROWS - 1)
+        h = jnp.where(probing, h, 0)
+
+        # probe + insert share one sweep over the table slabs
+        hs = h[0:1, :]
+        sbh = hs >> 3
+        cand = jnp.zeros((1, LANES), jnp.int32)
+        curs = cur[0:1, :]
+        probe_m = probing[0:1, :]
+        rowin = hs & 7
+        for s in range(T_ROWS // 8):
+            slab = table_ref[s * 8 : s * 8 + 8, :]
+            inslab = jnp.broadcast_to((sbh == s).astype(jnp.int32), (8, LANES))
+            onehot = (rowi8 == jnp.broadcast_to(rowin, S8)).astype(jnp.int32) * inslab
+            cand = cand + jnp.sum(slab * onehot, axis=0, keepdims=True)
+            upd = onehot * jnp.broadcast_to(probe_m.astype(jnp.int32), (8, LANES))
+            table_ref[s * 8 : s * 8 + 8, :] = jnp.where(
+                upd != 0, jnp.broadcast_to(curs, (8, LANES)), slab
+            )
+        cand = jnp.broadcast_to(cand, S8)
+
+        maybe = probing & (cand >= 0) & (cur - cand <= 0xFFFF) & (cand < cur)
+        gb2 = ensure(page2_ref, gb2, cand, maybe)
+        cw2 = read_words(page2_ref, gb2, jnp.where(maybe, cand, 0), 2)
+        hit = maybe & (jnp.broadcast_to(cw2[0:1], S8) == v)
+
+        moff = jnp.where(hit, cur - cand, moff)
+        mstart = jnp.where(hit, cur, mstart)
+        mlen = jnp.where(hit, 4, mlen)
+        ph = jnp.where(hit, PH_EXTEND, ph)
+        # skip acceleration: step = miss_counter >> SKIP_TRIGGER, counter
+        # grows per miss (the C schedule; overshoot lands in the tail rule)
+        missed = probing & ~hit
+        step = jax.lax.shift_right_logical(miss, SKIP_TRIGGER)
+        cur = jnp.where(missed, cur + step, cur)
+        miss = jnp.where(missed, miss + 1, miss)
+
+        # ---- EXTEND ----------------------------------------------------
+        extending = active & (ph == PH_EXTEND)
+        a_pos = mstart + mlen
+        b_pos = mstart + mlen - moff
+        avail = jnp.clip((n - 5) - a_pos, 0, CB)
+        gb = ensure(page_ref, gb, a_pos, extending)
+        aw = read_words(page_ref, gb, jnp.where(extending, a_pos, 0), CW)
+        gb2 = ensure(page2_ref, gb2, b_pos, extending)
+        bw = read_words(page2_ref, gb2, jnp.where(extending, b_pos, 0), CW)
+        d = aw ^ bw
+        m1 = jnp.full(S8, CW, jnp.int32)
+        for k in range(CW - 1, -1, -1):
+            nz = jnp.broadcast_to(d[k : k + 1] != 0, S8)
+            m1 = jnp.where(nz, k, m1)
+        dw = jnp.zeros((1, LANES), jnp.int32)
+        for k in range(CW):
+            dw = dw + d[k : k + 1] * (m1[0:1] == k).astype(jnp.int32)
+        dwb = jnp.broadcast_to(dw, S8)
+        b0 = (dwb & 0xFF) == 0
+        b1 = (dwb & 0xFF00) == 0
+        b2 = (dwb & 0xFF0000) == 0
+        tz = jnp.where(b0, jnp.where(b1, jnp.where(b2, 3, 2), 1), 0)
+        lcp = jnp.minimum(m1 * 4 + jnp.where(m1 < CW, tz, 0), avail)
+        mlen = jnp.where(extending, mlen + lcp, mlen)
+        ext_done = extending & ((lcp < CB) | (avail < CB))
+        ph = jnp.where(ext_done, PH_TOK, ph)
+
+        # ---- emission --------------------------------------------------
+        lit = jnp.where(tail, n - anchor, mstart - anchor)
+        mv = mlen - 4
+        litx = jnp.clip(lit - 15, 0, None)
+        emr0_l = jnp.where(lit >= 15, litx // 255 + 1, 0)
+        rem_l = litx - 255 * (litx // 255)
+        mvx = jnp.clip(mv - 15, 0, None)
+        emr0_m = jnp.where(mv >= 15, mvx // 255 + 1, 0)
+        rem_m = mvx - 255 * (mvx // 255)
+        token = (jnp.minimum(lit, 15) << 4) | jnp.where(
+            tail, 0, jnp.minimum(mv, 15)
+        )
+
+        in_tok = active & (ph == PH_TOK)
+        in_extl = active & (ph == PH_EXT_L)
+        in_lcopy = active & (ph == PH_LCOPY)
+        in_mhdr = active & (ph == PH_MHDR)
+        in_extm = active & (ph == PH_EXT_M)
+        emitting = in_tok | in_extl | in_lcopy | in_mhdr | in_extm
+
+        # flush before placing (decode128 invariant)
+        ring0 = ring_ref[:, :]
+        do_flush = emitting & (out - flushed >= FLUSH_THRESH)
+
+        @pl.when(jnp.any(do_flush))
+        def _():
+            fw = flushed >> 2
+            nw = jnp.where(do_flush, FLUSH_B >> 2, 0)
+            sweep_flush(ring0, fw, nw)
+
+        flushed = jnp.where(do_flush, flushed + FLUSH_B, flushed)
+
+        # constructed header/run bytes (words 0..CW-1): byte i of the
+        # emitted span, by phase
+        take_tok = jnp.where(in_tok, 1 + jnp.minimum(emr0_l, 7), 0)
+        take_extl = jnp.where(in_extl, jnp.minimum(emr, CB), 0)
+        take_mhdr = jnp.where(in_mhdr, 2 + jnp.minimum(emr0_m, 6), 0)
+        take_extm = jnp.where(in_extm, jnp.minimum(emr, CB), 0)
+        take_lcopy = jnp.where(in_lcopy, jnp.minimum(lrem, CB), 0)
+        take = take_tok + take_extl + take_mhdr + take_extm + take_lcopy
+
+        # output-capacity guard: a lane about to overrun its transposed
+        # output column stops and reports failure (host falls back)
+        newfail = emitting & ((out + take) > (ro * 4 - 4))
+        take = jnp.where(newfail, 0, take)
+        take_lcopy = jnp.where(newfail, 0, take_lcopy)
+        fail = fail | newfail
+        done = done | newfail
+
+        gb = ensure(page_ref, gb, lsrc, in_lcopy & (take_lcopy > 0))
+        lit_w = read_words(page_ref, gb, jnp.where(in_lcopy, lsrc, 0), CW)
+
+        hdr_rows = []
+        tok1 = token[0:1, :]
+        off1 = moff[0:1, :]
+        emr1 = emr[0:1, :]
+        e0l1 = emr0_l[0:1, :]
+        e0m1 = emr0_m[0:1, :]
+        reml1 = rem_l[0:1, :]
+        remm1 = rem_m[0:1, :]
+        it1 = in_tok[0:1, :]
+        im1 = in_mhdr[0:1, :]
+        iel1 = in_extl[0:1, :]
+        for k in range(CW):
+            bs = []
+            for j in range(4):
+                i = 4 * k + j
+                # TOK: [token][lit-ext stream...]; MHDR: [off lo][off hi]
+                # [match-ext stream...]; EXT_*: pure stream at emr
+                si_t = i - 1
+                si_m = i - 2
+                b_tok = jnp.where(
+                    i == 0,
+                    tok1,
+                    jnp.where(si_t < e0l1 - 1, 0xFF, reml1),
+                )
+                b_mhdr = (
+                    (off1 & 0xFF)
+                    if i == 0
+                    else (
+                        jax.lax.shift_right_logical(off1, 8) & 0xFF
+                        if i == 1
+                        else jnp.where(si_m < e0m1 - 1, 0xFF, remm1)
+                    )
+                )
+                b_ext = jnp.where(
+                    i < emr1 - 1, 0xFF, jnp.where(iel1, reml1, remm1)
+                )
+                b = jnp.where(it1, b_tok, jnp.where(im1, b_mhdr, b_ext))
+                bs.append(b & 0xFF)
+            hdr_rows.append(
+                bs[0] | (bs[1] << 8) | (bs[2] << 16) | (bs[3] << 24)
+            )
+        hdr_w = jnp.concatenate(hdr_rows, axis=0)
+
+        span_w = jnp.where(
+            jnp.broadcast_to(in_lcopy[0:1], (CW, LANES)), lit_w, hdr_w
+        )
+        ring1 = place(ring0, span_w, out, take)
+        ring_ref[:, :] = ring1
+        out = out + take
+
+        # ---- phase transitions after the emit ---------------------------
+        # TOK -> EXT_L (leftover lit-ext) | LCOPY
+        tok_left = emr0_l - jnp.minimum(emr0_l, 7)
+        ph = jnp.where(
+            in_tok, jnp.where(tok_left > 0, PH_EXT_L, PH_LCOPY), ph
+        )
+        emr = jnp.where(in_tok, tok_left, emr)
+        lrem = jnp.where(in_tok, lit, lrem)
+        lsrc = jnp.where(in_tok, anchor, lsrc)
+        # EXT_L -> LCOPY
+        emr = jnp.where(in_extl, emr - take_extl, emr)
+        ph = jnp.where(in_extl & (emr == 0), PH_LCOPY, ph)
+        # LCOPY -> MHDR | DONE(tail)
+        lrem = jnp.where(in_lcopy, lrem - take_lcopy, lrem)
+        lsrc = jnp.where(in_lcopy, lsrc + take_lcopy, lsrc)
+        lc_done = in_lcopy & (lrem == 0)
+        done = done | (lc_done & tail)
+        ph = jnp.where(lc_done & ~tail, PH_MHDR, ph)
+        # MHDR -> EXT_M | SEARCH
+        mh_left = emr0_m - jnp.minimum(emr0_m, 6)
+        seq_end_m = in_mhdr & (mh_left == 0)
+        ph = jnp.where(in_mhdr, jnp.where(mh_left > 0, PH_EXT_M, PH_SEARCH), ph)
+        emr = jnp.where(in_mhdr, mh_left, emr)
+        # EXT_M -> SEARCH
+        emr = jnp.where(in_extm, emr - take_extm, emr)
+        seq_end_x = in_extm & (emr == 0)
+        ph = jnp.where(seq_end_x, PH_SEARCH, ph)
+        seq_end = seq_end_m | seq_end_x
+        cur = jnp.where(seq_end, mstart + mlen, cur)
+        anchor = jnp.where(seq_end, mstart + mlen, anchor)
+        miss = jnp.where(seq_end, 1 << SKIP_TRIGGER, miss)
+
+        new_rows = [cur, anchor, ph, out, flushed, gb, gb2, moff, mstart,
+                    mlen, emr, lrem, lsrc, tail.astype(jnp.int32),
+                    done.astype(jnp.int32), fail.astype(jnp.int32), miss]
+        assert len(new_rows) == NSTATE
+        state_ref[:, :] = jnp.concatenate([x[0:1] for x in new_rows], axis=0)
+        return 0
+
+    # ---- init + run + drain -------------------------------------------
+    z1 = jnp.zeros((1, LANES), jnp.int32)
+    state_ref[:, :] = jnp.concatenate(
+        [z1, z1, z1, z1, z1, jnp.full((1, LANES), -1, jnp.int32),
+         jnp.full((1, LANES), -1, jnp.int32), jnp.full((1, LANES), 1, jnp.int32),
+         z1, jnp.full((1, LANES), 4, jnp.int32), z1, z1, z1, z1,
+         z1, z1, jnp.full((1, LANES), 1 << SKIP_TRIGGER, jnp.int32)],
+        axis=0,
+    )
+    ring_ref[:, :] = jnp.zeros((RING_W, LANES), jnp.int32)
+    table_ref[:, :] = jnp.full((T_ROWS, LANES), -(1 << 20), jnp.int32)
+
+    n_chunks = -(-max_rounds // 64)
+
+    def chunk_cond(c):
+        i, all_done = c
+        return (i < n_chunks) & (~all_done)
+
+    def chunk_body(c):
+        i, _ = c
+        jax.lax.fori_loop(0, 64, round_body, 0)
+        st = state_ref[:, :]
+        return i + 1, ~jnp.any(st[C_DONE : C_DONE + 1] == 0)
+
+    jax.lax.while_loop(chunk_cond, chunk_body, (jnp.int32(0), jnp.bool_(False)))
+
+    st = state_ref[:, :]
+    out_f = jnp.broadcast_to(st[C_OUT : C_OUT + 1], S8)
+    flushed_f = jnp.broadcast_to(st[C_FLUSH : C_FLUSH + 1], S8)
+    sweep_flush(
+        ring_ref[:, :], flushed_f >> 2,
+        jnp.clip(((out_f - flushed_f) + 3) >> 2, 0, RING_W),
+    )
+    # lanes still live at the cap, or failed, report length 0 (host
+    # falls back to the native engine)
+    bad = (st[C_DONE : C_DONE + 1] == 0) | (st[C_FAIL : C_FAIL + 1] != 0)
+    out_len_ref[:, :] = jnp.where(bad, 0, st[C_OUT : C_OUT + 1])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ri", "ro", "max_rounds", "hashlog")
+)
+def _compress128_jit(words, n, *, ri, ro, max_rounds, hashlog):
+    return pl.pallas_call(
+        functools.partial(
+            _compress128_kernel,
+            ri=ri,
+            ro=ro,
+            max_rounds=max_rounds,
+            hashlog=hashlog,
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((ro, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((PAGE_W, LANES), jnp.int32),
+            pltpu.VMEM((PAGE_W, LANES), jnp.int32),
+            pltpu.VMEM((1 << hashlog, LANES), jnp.int32),
+            pltpu.VMEM((RING_W, LANES), jnp.int32),
+            pltpu.VMEM((NSTATE, LANES), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(words, n)
+
+
+def compress_blocks_128(blocks, *, hashlog: int | None = None):
+    """Compress up to 128 independent raw blocks (each <= 32 KiB) lane-
+    parallel; returns a list of LZ4 block byte strings.  Lanes that hit
+    the round cap (shouldn't happen for well-formed sizing) fall back to
+    the native engine."""
+    assert len(blocks) <= LANES
+    blocks = [bytes(b) for b in blocks]
+    nb = len(blocks)
+    if nb == 0:
+        return []
+    maxlen = max(max(len(b) for b in blocks), 4)
+    assert maxlen <= MAX_B, f"blocks must be <= {MAX_B} bytes"
+    ri = -(-maxlen // 4)
+    ri = -(-ri // GROUP_W) * GROUP_W + PAGE_W
+    maxout = maxlen + maxlen // 255 + 16
+    ro = (-(-maxout // 4) // RING_W + 2) * RING_W
+    # rounds: <= 1/input byte (search) + emission + extend slack
+    max_rounds = maxlen + maxout // CB + maxlen // CB + 256
+
+    arr = np.zeros((LANES, ri * 4), np.uint8)
+    n = np.zeros((1, LANES), np.int32)
+    for i, b in enumerate(blocks):
+        arr[i, : len(b)] = np.frombuffer(b, np.uint8)
+        n[0, i] = len(b)
+    w = arr.reshape(LANES, ri, 4).astype(np.uint32)
+    words = (
+        w[:, :, 0] | (w[:, :, 1] << 8) | (w[:, :, 2] << 16) | (w[:, :, 3] << 24)
+    ).astype(np.int32).T
+
+    out_w, out_len = _compress128_jit(
+        jnp.asarray(np.ascontiguousarray(words)), jnp.asarray(n),
+        ri=ri, ro=ro, max_rounds=max_rounds,
+        hashlog=HASHLOG if hashlog is None else hashlog,
+    )
+    out_w = np.asarray(out_w)
+    out_len = np.asarray(out_len)[0]
+
+    results = []
+    for i in range(nb):
+        ln = int(out_len[i])
+        if len(blocks[i]) == 0:
+            results.append(b"\x00")  # literal-only empty token
+            continue
+        if ln <= 0:
+            from ..native import compress_block as _native_compress
+            from ..spec.table import U32Table
+
+            results.append(bytes(_native_compress(blocks[i], 0, U32Table())))
+            continue
+        ww = out_w[:, i].astype(np.uint32)
+        by = np.empty((ro, 4), np.uint8)
+        by[:, 0] = ww & 0xFF
+        by[:, 1] = (ww >> 8) & 0xFF
+        by[:, 2] = (ww >> 16) & 0xFF
+        by[:, 3] = (ww >> 24) & 0xFF
+        results.append(by.reshape(-1)[:ln].tobytes())
+    return results

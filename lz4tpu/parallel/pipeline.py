@@ -265,6 +265,7 @@ def compress_frame_parallel(
     parallel_linked: bool = False,
     dictionary=None,
     dictionary_id: int | None = None,
+    lane_kernel: bool = False,
 ) -> bytes:
     """Compress one LZ4 frame with all blocks in parallel on the mesh.
 
@@ -276,6 +277,16 @@ def compress_frame_parallel(
     per-block ``[dictionary | block]`` buffer).  ``parallel_linked`` emits
     a valid linked-block frame (see module docstring); with a dictionary
     only the first block's window is seeded from the dictionary tail.
+
+    ``lane_kernel=True`` opts into the lane-parallel compressor
+    (``kernels/compress128.py``, 128 blocks per kernel step) when the
+    frame qualifies (independent blocks, no dictionary, 1-device mesh,
+    blocks within the lane kernel's VMEM budget).  The output is a fully
+    valid LZ4 frame decodable by any decoder, but NOT byte-identical to
+    the streaming writer: the lane parse uses a per-lane hash table (a
+    VMEM/ratio knob) and no skip acceleration, so it finds a slightly
+    different (still valid) match sequence.  Leave it off when byte
+    parity with the reference encoder matters.
     """
     data = bytes(data)
     if BlockDescriptor.for_block_maxsize(block_size) is None:
@@ -285,12 +296,39 @@ def compress_frame_parallel(
     n_dev = mesh.shape[BLOCK_AXIS]
     dictionary = bytes(dictionary) if dictionary is not None else None
 
-    arr, lens, n_blocks = _pad_blocks(data, block_size)
+    from ..kernels.compress128 import MAX_B as C128_MAX_B
+
+    use_lanes = (
+        lane_kernel
+        and not dictionary
+        and not parallel_linked
+        and n_dev == 1
+    )
+    # the lane kernel's VMEM budget caps per-block size; emitting smaller
+    # blocks under a larger declared block-maxsize is valid LZ4 (BD is a
+    # maximum, framed/header.rs:51-81)
+    chunk_size = min(block_size, C128_MAX_B) if use_lanes else block_size
+
+    arr, lens, n_blocks = _pad_blocks(data, chunk_size)
     # pad block count to a multiple of the mesh size with empty blocks
     n_padded = _round_up(n_blocks, n_dev)
     if n_padded != n_blocks:
-        arr = np.concatenate([arr, np.zeros((n_padded - n_blocks, block_size), np.uint8)])
+        arr = np.concatenate([arr, np.zeros((n_padded - n_blocks, chunk_size), np.uint8)])
         lens = np.concatenate([lens, np.zeros(n_padded - n_blocks, np.int32)])
+
+    lane_payloads = None
+    if use_lanes:
+        from ..kernels.compress128 import compress_blocks_128
+
+        raw_blocks = [
+            data[i * chunk_size : i * chunk_size + int(lens[i])]
+            for i in range(n_blocks)
+        ]
+        lane_payloads = []
+        for base in range(0, n_blocks, 128):
+            lane_payloads.extend(
+                compress_blocks_128(raw_blocks[base : base + 128])
+            )
 
     template = np.zeros(4096, np.int32)
     if dictionary:
@@ -302,23 +340,24 @@ def compress_frame_parallel(
     tables = np.broadcast_to(template, (n_padded, 4096)).copy()
     window = WINDOW_SIZE if parallel_linked else 0
 
-    dict_u8 = np.frombuffer(dictionary or b"\x00", np.uint8)
-    out_u8, out_len, status = _compress_sharded(
-        jnp.asarray(arr),
-        jnp.asarray(lens),
-        jnp.asarray(tables),
-        jnp.asarray(dict_u8),
-        jnp.asarray(np.array([len(dictionary or b"")], np.int32)),
-        mesh=mesh,
-        block_size=block_size,
-        window=window,
-        acceleration=acceleration,
-        u16_table=False,
-        has_dict=bool(dictionary),
-    )
-    out_u8 = np.asarray(out_u8)
-    out_len = np.asarray(out_len)
-    status = np.asarray(status)
+    if lane_payloads is None:
+        dict_u8 = np.frombuffer(dictionary or b"\x00", np.uint8)
+        out_u8, out_len, status = _compress_sharded(
+            jnp.asarray(arr),
+            jnp.asarray(lens),
+            jnp.asarray(tables),
+            jnp.asarray(dict_u8),
+            jnp.asarray(np.array([len(dictionary or b"")], np.int32)),
+            mesh=mesh,
+            block_size=chunk_size,
+            window=window,
+            acceleration=acceleration,
+            u16_table=False,
+            has_dict=bool(dictionary),
+        )
+        out_u8 = np.asarray(out_u8)
+        out_len = np.asarray(out_len)
+        status = np.asarray(status)
 
     # host-side ordered assembly (frame order)
     flags = Flags(
@@ -345,12 +384,19 @@ def compress_frame_parallel(
     for i in range(n_blocks):
         if lens[i] == 0:
             continue  # no zero-length blocks: 0 is the EndMark
-        raw = data[i * block_size : i * block_size + int(lens[i])]
-        if status[i] == kcompress.STATUS_INCOMPRESSIBLE:
-            payload = raw
+        raw = data[i * chunk_size : i * chunk_size + int(lens[i])]
+        if lane_payloads is not None:
+            # incompressible fallback applied host-side: the lane kernel
+            # has no emission cap, so the cap semantics (output <= input,
+            # framed/compress.rs NoPartialWrites) are enforced here
+            incompressible = len(lane_payloads[i]) > len(raw)
+            payload = raw if incompressible else lane_payloads[i]
+        else:
+            incompressible = status[i] == kcompress.STATUS_INCOMPRESSIBLE
+            payload = raw if incompressible else out_u8[i, : out_len[i]].tobytes()
+        if incompressible:
             parts.append((int(lens[i]) | INCOMPRESSIBLE).to_bytes(4, "little"))
         else:
-            payload = out_u8[i, : out_len[i]].tobytes()
             parts.append(len(payload).to_bytes(4, "little"))
         parts.append(payload)
         if block_checksums:
