@@ -155,6 +155,63 @@ def bench_tpu_compress(blocks, comp, m=6):
     return total / ((time.perf_counter() - t0) / m)
 
 
+def bench_tpu_compress128(data, m=4):
+    """Lane-parallel compressor: 128 x 32 KiB blocks per kernel step.
+    Correctness (valid LZ4, not reference-byte-exact) is checked through
+    the host wrapper once; timing uses the chained on-device protocol."""
+    import jax
+    import jax.numpy as jnp
+
+    from lz4tpu.kernels import compress128 as c128
+    from lz4tpu.native import decompress_block as native_decompress
+
+    blk = c128.MAX_B
+    blocks = [data[i : i + blk] for i in range(0, len(data), blk)][:128]
+    comp = c128.compress_blocks_128(blocks)
+    for b, c in zip(blocks, comp):
+        assert bytes(native_decompress(c, b"", output_limit=blk)) == b, (
+            "compress128 roundtrip mismatch"
+        )
+
+    maxlen = max(len(b) for b in blocks)
+    ri = -(-maxlen // 4)
+    ri = -(-ri // c128.GROUP_W) * c128.GROUP_W + c128.PAGE_W
+    maxout = maxlen + maxlen // 255 + 16
+    ro = (-(-maxout // 4) // c128.RING_W + 2) * c128.RING_W
+    max_rounds = maxlen + maxout // c128.CB + maxlen // c128.CB + 256
+    arr = np.zeros((c128.LANES, ri * 4), np.uint8)
+    n = np.zeros((1, c128.LANES), np.int32)
+    for i, b in enumerate(blocks):
+        arr[i, : len(b)] = np.frombuffer(b, np.uint8)
+        n[0, i] = len(b)
+    w = arr.reshape(c128.LANES, ri, 4).astype(np.uint32)
+    words = (
+        w[:, :, 0] | (w[:, :, 1] << 8) | (w[:, :, 2] << 16) | (w[:, :, 3] << 24)
+    ).astype(np.int32).T
+    d_words = jnp.asarray(np.ascontiguousarray(words))
+    d_n = jnp.asarray(n)
+    total = sum(len(b) for b in blocks)
+
+    @jax.jit
+    def chain(wds):
+        _, ol = c128._compress128_jit(
+            wds, d_n, ri=ri, ro=ro, max_rounds=max_rounds, hashlog=c128.HASHLOG
+        )
+        return wds ^ (ol.sum() * 0), ol
+
+    _, ol = chain(d_words)
+    np.asarray(ol)
+    best = 0.0
+    for _ in range(3):
+        a = d_words
+        t0 = time.perf_counter()
+        for _ in range(m):
+            a, ol = chain(a)
+        np.asarray(ol[:1])
+        best = max(best, total / ((time.perf_counter() - t0) / m))
+    return best
+
+
 def bench_frame_parallel(data, extra):
     """Whole-frame pipeline on the chip (config #1/#2/#3 shapes)."""
     from lz4tpu.parallel.mesh import make_mesh
@@ -335,6 +392,12 @@ def main() -> None:
             )
         except Exception as e:  # pragma: no cover
             extra["tpu_compress_error"] = str(e)[:160]
+        try:
+            extra["tpu_compress128_mbps"] = round(
+                bench_tpu_compress128(data) / 1e6, 1
+            )
+        except Exception as e:  # pragma: no cover
+            extra["tpu_compress128_error"] = str(e)[:160]
         try:
             bench_frame_parallel(data, extra)
         except Exception as e:  # pragma: no cover

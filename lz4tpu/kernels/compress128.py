@@ -76,7 +76,8 @@ def _compress128_kernel(
     out_len_ref,  # VMEM (1, 128) int32 OUT
     page_ref,  # scratch (PAGE_W, 128) — cursor-side input page
     page2_ref,  # scratch (PAGE_W, 128) — candidate-side input page
-    table_ref,  # scratch (T_ROWS, 128) — per-lane hash table
+    table_ref,  # scratch (T_ROWS, 128) — per-lane hash table: positions
+    tablew_ref,  # scratch (T_ROWS, 128) — per-lane hash table: 4-byte keys
     ring_ref,  # scratch (RING_W, 128) — output staging ring
     state_ref,  # scratch (NSTATE, 128)
     *,
@@ -243,28 +244,34 @@ def _compress128_kernel(
         ) & (T_ROWS - 1)
         h = jnp.where(probing, h, 0)
 
-        # probe + insert share one sweep over the table slabs
+        # probe + insert share one sweep over the table slabs; each entry
+        # carries (position, 4-byte key) so the match check needs no
+        # gather from the input — page2 is only touched while EXTENDing
         hs = h[0:1, :]
         sbh = hs >> 3
         cand = jnp.zeros((1, LANES), jnp.int32)
+        candw = jnp.zeros((1, LANES), jnp.int32)
         curs = cur[0:1, :]
         probe_m = probing[0:1, :]
         rowin = hs & 7
+        vb = jnp.broadcast_to(v[0:1], (8, LANES))
         for s in range(T_ROWS // 8):
             slab = table_ref[s * 8 : s * 8 + 8, :]
+            slabw = tablew_ref[s * 8 : s * 8 + 8, :]
             inslab = jnp.broadcast_to((sbh == s).astype(jnp.int32), (8, LANES))
             onehot = (rowi8 == jnp.broadcast_to(rowin, S8)).astype(jnp.int32) * inslab
             cand = cand + jnp.sum(slab * onehot, axis=0, keepdims=True)
+            candw = candw + jnp.sum(slabw * onehot, axis=0, keepdims=True)
             upd = onehot * jnp.broadcast_to(probe_m.astype(jnp.int32), (8, LANES))
             table_ref[s * 8 : s * 8 + 8, :] = jnp.where(
                 upd != 0, jnp.broadcast_to(curs, (8, LANES)), slab
             )
+            tablew_ref[s * 8 : s * 8 + 8, :] = jnp.where(upd != 0, vb, slabw)
         cand = jnp.broadcast_to(cand, S8)
+        candw = jnp.broadcast_to(candw, S8)
 
         maybe = probing & (cand >= 0) & (cur - cand <= 0xFFFF) & (cand < cur)
-        gb2 = ensure(page2_ref, gb2, cand, maybe)
-        cw2 = read_words(page2_ref, gb2, jnp.where(maybe, cand, 0), 2)
-        hit = maybe & (jnp.broadcast_to(cw2[0:1], S8) == v)
+        hit = maybe & (candw == v)
 
         moff = jnp.where(hit, cur - cand, moff)
         mstart = jnp.where(hit, cur, mstart)
@@ -317,12 +324,19 @@ def _compress128_kernel(
             tail, 0, jnp.minimum(mv, 15)
         )
 
-        in_tok = active & (ph == PH_TOK)
+        at_tok = active & (ph == PH_TOK)
+        # fused single-round emission for the common compact sequence:
+        # token + <=15 literals + offset all in one <=18-byte span (and
+        # the analogous short tail).  Longer sequences take the phase
+        # path (TOK -> EXT_L -> LCOPY -> MHDR -> EXT_M).
+        fusible = (lit < 15) & (tail | (mv < 15))
+        in_fuse = at_tok & fusible
+        in_tok = at_tok & ~fusible
         in_extl = active & (ph == PH_EXT_L)
         in_lcopy = active & (ph == PH_LCOPY)
         in_mhdr = active & (ph == PH_MHDR)
         in_extm = active & (ph == PH_EXT_M)
-        emitting = in_tok | in_extl | in_lcopy | in_mhdr | in_extm
+        emitting = in_fuse | in_tok | in_extl | in_lcopy | in_mhdr | in_extm
 
         # flush before placing (decode128 invariant)
         ring0 = ring_ref[:, :]
@@ -343,7 +357,9 @@ def _compress128_kernel(
         take_mhdr = jnp.where(in_mhdr, 2 + jnp.minimum(emr0_m, 6), 0)
         take_extm = jnp.where(in_extm, jnp.minimum(emr, CB), 0)
         take_lcopy = jnp.where(in_lcopy, jnp.minimum(lrem, CB), 0)
-        take = take_tok + take_extl + take_mhdr + take_extm + take_lcopy
+        take_fuse = jnp.where(in_fuse, 1 + lit + jnp.where(tail, 0, 2), 0)
+        take = (take_tok + take_extl + take_mhdr + take_extm + take_lcopy
+                + take_fuse)
 
         # output-capacity guard: a lane about to overrun its transposed
         # output column stops and reports failure (host falls back)
@@ -353,8 +369,12 @@ def _compress128_kernel(
         fail = fail | newfail
         done = done | newfail
 
-        gb = ensure(page_ref, gb, lsrc, in_lcopy & (take_lcopy > 0))
-        lit_w = read_words(page_ref, gb, jnp.where(in_lcopy, lsrc, 0), CW)
+        lit_pos = jnp.where(in_fuse, anchor, lsrc)
+        need_lits = (in_lcopy & (take_lcopy > 0)) | (in_fuse & (lit > 0))
+        gb = ensure(page_ref, gb, lit_pos, need_lits)
+        lit_w = read_words(
+            page_ref, gb, jnp.where(in_lcopy | in_fuse, lit_pos, 0), CW
+        )
 
         hdr_rows = []
         tok1 = token[0:1, :]
@@ -399,8 +419,38 @@ def _compress128_kernel(
             )
         hdr_w = jnp.concatenate(hdr_rows, axis=0)
 
+        # fused span: [token][<=15 literal bytes][off lo][off hi] —
+        # literals statically shifted right one byte; token and the two
+        # offset bytes (at the per-lane variable position 1+lit) overlaid
+        b2f = (1 + lit)[0:1, :]
+        offl = (moff & 0xFF)[0:1, :]
+        offh = (jax.lax.shift_right_logical(moff, 8) & 0xFF)[0:1, :]
+        ntail1 = ~tail[0:1, :]
+        fused_rows = []
+        prev = jnp.zeros((1, LANES), jnp.int32)
+        for k in range(CW):
+            w = (lit_w[k : k + 1] << 8) | jax.lax.shift_right_logical(
+                prev, 24
+            ) & 0xFF
+            prev = lit_w[k : k + 1]
+            if k == 0:
+                w = (w & ~0xFF) | tok1
+            for j in range(4):
+                idx = 4 * k + j
+                bytemask = jnp.int32(np.int32(np.uint32(0xFF) << (8 * j)))
+                m_lo = (idx == b2f) & ntail1
+                m_hi = (idx == b2f + 1) & ntail1
+                w = jnp.where(m_lo, (w & ~bytemask) | (offl << (8 * j)), w)
+                w = jnp.where(m_hi, (w & ~bytemask) | (offh << (8 * j)), w)
+            fused_rows.append(w)
+        fused_w = jnp.concatenate(fused_rows, axis=0)
+
         span_w = jnp.where(
-            jnp.broadcast_to(in_lcopy[0:1], (CW, LANES)), lit_w, hdr_w
+            jnp.broadcast_to(in_lcopy[0:1], (CW, LANES)),
+            lit_w,
+            jnp.where(
+                jnp.broadcast_to(in_fuse[0:1], (CW, LANES)), fused_w, hdr_w
+            ),
         )
         ring1 = place(ring0, span_w, out, take)
         ring_ref[:, :] = ring1
@@ -422,7 +472,7 @@ def _compress128_kernel(
         lrem = jnp.where(in_lcopy, lrem - take_lcopy, lrem)
         lsrc = jnp.where(in_lcopy, lsrc + take_lcopy, lsrc)
         lc_done = in_lcopy & (lrem == 0)
-        done = done | (lc_done & tail)
+        done = done | (lc_done & tail) | (in_fuse & tail)
         ph = jnp.where(lc_done & ~tail, PH_MHDR, ph)
         # MHDR -> EXT_M | SEARCH
         mh_left = emr0_m - jnp.minimum(emr0_m, 6)
@@ -433,7 +483,8 @@ def _compress128_kernel(
         emr = jnp.where(in_extm, emr - take_extm, emr)
         seq_end_x = in_extm & (emr == 0)
         ph = jnp.where(seq_end_x, PH_SEARCH, ph)
-        seq_end = seq_end_m | seq_end_x
+        seq_end = seq_end_m | seq_end_x | (in_fuse & ~tail)
+        ph = jnp.where(in_fuse & ~tail, PH_SEARCH, ph)
         cur = jnp.where(seq_end, mstart + mlen, cur)
         anchor = jnp.where(seq_end, mstart + mlen, anchor)
         miss = jnp.where(seq_end, 1 << SKIP_TRIGGER, miss)
@@ -456,6 +507,7 @@ def _compress128_kernel(
     )
     ring_ref[:, :] = jnp.zeros((RING_W, LANES), jnp.int32)
     table_ref[:, :] = jnp.full((T_ROWS, LANES), -(1 << 20), jnp.int32)
+    tablew_ref[:, :] = jnp.zeros((T_ROWS, LANES), jnp.int32)
 
     n_chunks = -(-max_rounds // 64)
 
@@ -508,6 +560,7 @@ def _compress128_jit(words, n, *, ri, ro, max_rounds, hashlog):
         scratch_shapes=[
             pltpu.VMEM((PAGE_W, LANES), jnp.int32),
             pltpu.VMEM((PAGE_W, LANES), jnp.int32),
+            pltpu.VMEM((1 << hashlog, LANES), jnp.int32),
             pltpu.VMEM((1 << hashlog, LANES), jnp.int32),
             pltpu.VMEM((RING_W, LANES), jnp.int32),
             pltpu.VMEM((NSTATE, LANES), jnp.int32),
