@@ -46,6 +46,13 @@ LANES = 128
 GROUP_W = 256  # input page group (words)
 PAGE_W = GROUP_W + 32
 HASHLOG = int(_os.environ.get("LZ4TPU_C128_HASHLOG", "10"))
+# positions probed per SEARCH round (1, 2 or 4).  The greedy scan is 71%
+# of all rounds on mixed data (simulated round counts; PERF_NOTES.md), so
+# probing K positions per round against one shared table sweep cuts total
+# rounds ~2x at K=4 with measurably unchanged ratio.  All K probes insert
+# (position, key) regardless of earlier hits in the round ("insert-all"
+# semantics — simulated ratio 0.6100 vs 0.6112 for strict C ordering).
+PROBES = int(_os.environ.get("LZ4TPU_C128_PROBES", "4"))
 RING_W = 64  # output staging ring rows (words)
 CB = 32  # bytes per chunk per round
 CW = CB // 4
@@ -237,52 +244,129 @@ def _compress128_kernel(
 
         probing = searching & ~ended
         gb = ensure(page_ref, gb, cur, probing)
-        w2 = read_words(page_ref, gb, jnp.where(probing, cur, 0), 2)
-        v = jnp.broadcast_to(w2[0:1], S8)
-        h = jax.lax.shift_right_logical(
-            (v * jnp.int32(np.int32(HASH_MUL))), 32 - hashlog
-        ) & (T_ROWS - 1)
-        h = jnp.where(probing, h, 0)
+        # one CW-word (32 B) read at the cursor covers every probe word:
+        # the probe schedule is span-capped at CB-8 bytes below
+        RW = 2 if PROBES == 1 else CW
+        wv = read_words(page_ref, gb, jnp.where(probing, cur, 0), RW)
+
+        # probe schedule: q0 = cur, q[j+1] = q[j] + ((miss+j) >> TRIGGER)
+        # (the C skip-acceleration walk, K steps per round); a probe is
+        # valid while within the read span and the n-12 end rule.  valid
+        # is prefix-shaped (positions are monotone), so on all-miss the
+        # cursor advances to the first unprobed position.
+        curs1 = cur[0:1, :]
+        probe1 = probing[0:1, :]
+        n1 = n[0:1, :]
+        qs = [curs1]
+        m_ctr = miss[0:1, :]
+        for j in range(1, PROBES):
+            st = jax.lax.shift_right_logical(m_ctr, SKIP_TRIGGER)
+            qs.append(qs[-1] + st)
+            m_ctr = m_ctr + 1
+        nxt = qs[-1] + jax.lax.shift_right_logical(m_ctr, SKIP_TRIGGER)
+        valids = [probe1]
+        for j in range(1, PROBES):
+            valids.append(
+                probe1
+                & (qs[j] + 12 <= n1)
+                & (qs[j] - curs1 <= RW * 4 - 8)
+            )
+
+        # probe words: funnel 4 bytes at q[j] out of the cursor read
+        vs = [wv[0:1]]
+        for j in range(1, PROBES):
+            d = jnp.where(valids[j], qs[j] - curs1, 0)
+            wi = d >> 2
+            sh = (d & 3) * 8
+            lo = jnp.zeros((1, LANES), jnp.int32)
+            hi = jnp.zeros((1, LANES), jnp.int32)
+            for k in range(RW):
+                lo = lo + wv[k : k + 1] * (wi == k).astype(jnp.int32)
+                if k >= 1:
+                    hi = hi + wv[k : k + 1] * (wi == k - 1).astype(jnp.int32)
+            vs.append(
+                jnp.where(
+                    sh == 0,
+                    lo,
+                    jax.lax.shift_right_logical(lo, sh) | (hi << ((32 - sh) & 31)),
+                )
+            )
+        hsj = []
+        for j in range(PROBES):
+            hj = jax.lax.shift_right_logical(
+                vs[j] * jnp.int32(np.int32(HASH_MUL)), 32 - hashlog
+            ) & (T_ROWS - 1)
+            hsj.append(jnp.where(valids[j], hj, 0))
 
         # probe + insert share one sweep over the table slabs; each entry
         # carries (position, 4-byte key) so the match check needs no
-        # gather from the input — page2 is only touched while EXTENDing
-        hs = h[0:1, :]
-        sbh = hs >> 3
-        cand = jnp.zeros((1, LANES), jnp.int32)
-        candw = jnp.zeros((1, LANES), jnp.int32)
-        curs = cur[0:1, :]
-        probe_m = probing[0:1, :]
-        rowin = hs & 7
-        vb = jnp.broadcast_to(v[0:1], (8, LANES))
+        # gather from the input — page2 is only touched while EXTENDing.
+        # Gathers read the pre-round table; same-bucket collisions between
+        # this round's probes are fixed up after the sweep.
+        rowcmps = [
+            (rowi8 == jnp.broadcast_to(hsj[j] & 7, S8)) for j in range(PROBES)
+        ]
+        sbhs = [hsj[j] >> 3 for j in range(PROBES)]
+        qb = [jnp.broadcast_to(q, S8) for q in qs]
+        vwb = [jnp.broadcast_to(v1, S8) for v1 in vs]
+        validb = [jnp.broadcast_to(valids[j], S8) for j in range(PROBES)]
+        accp = [jnp.zeros(S8, jnp.int32) for _ in range(PROBES)]
+        accw = [jnp.zeros(S8, jnp.int32) for _ in range(PROBES)]
         for s in range(T_ROWS // 8):
             slab = table_ref[s * 8 : s * 8 + 8, :]
             slabw = tablew_ref[s * 8 : s * 8 + 8, :]
-            inslab = jnp.broadcast_to((sbh == s).astype(jnp.int32), (8, LANES))
-            onehot = (rowi8 == jnp.broadcast_to(rowin, S8)).astype(jnp.int32) * inslab
-            cand = cand + jnp.sum(slab * onehot, axis=0, keepdims=True)
-            candw = candw + jnp.sum(slabw * onehot, axis=0, keepdims=True)
-            upd = onehot * jnp.broadcast_to(probe_m.astype(jnp.int32), (8, LANES))
-            table_ref[s * 8 : s * 8 + 8, :] = jnp.where(
-                upd != 0, jnp.broadcast_to(curs, (8, LANES)), slab
+            news, newsw = slab, slabw
+            for j in range(PROBES):
+                oh = rowcmps[j] & jnp.broadcast_to(sbhs[j] == s, S8)
+                ohi = oh.astype(jnp.int32)
+                accp[j] = accp[j] + slab * ohi
+                accw[j] = accw[j] + slabw * ohi
+                ins = oh & validb[j]
+                news = jnp.where(ins, qb[j], news)
+                newsw = jnp.where(ins, vwb[j], newsw)
+            table_ref[s * 8 : s * 8 + 8, :] = news
+            tablew_ref[s * 8 : s * 8 + 8, :] = newsw
+        cands = [jnp.sum(accp[j], axis=0, keepdims=True) for j in range(PROBES)]
+        candws = [jnp.sum(accw[j], axis=0, keepdims=True) for j in range(PROBES)]
+        # same-bucket fix-up: probe j must see probe i<j's insert
+        for j in range(1, PROBES):
+            for i in range(j):
+                eq = valids[i] & valids[j] & (hsj[i] == hsj[j])
+                cands[j] = jnp.where(eq, qs[i], cands[j])
+                candws[j] = jnp.where(eq, vs[i], candws[j])
+
+        hits = []
+        for j in range(PROBES):
+            hits.append(
+                valids[j]
+                & (cands[j] >= 0)
+                & (qs[j] - cands[j] <= 0xFFFF)
+                & (cands[j] < qs[j])
+                & (candws[j] == vs[j])
             )
-            tablew_ref[s * 8 : s * 8 + 8, :] = jnp.where(upd != 0, vb, slabw)
-        cand = jnp.broadcast_to(cand, S8)
-        candw = jnp.broadcast_to(candw, S8)
+        anyhit1 = hits[0]
+        for j in range(1, PROBES):
+            anyhit1 = anyhit1 | hits[j]
+        hitq, hitc = qs[0], cands[0]
+        for j in range(PROBES - 1, -1, -1):  # earliest hit wins (greedy)
+            hitq = jnp.where(hits[j], qs[j], hitq)
+            hitc = jnp.where(hits[j], cands[j], hitc)
+        nvalid = valids[0].astype(jnp.int32)
+        for j in range(1, PROBES):
+            nvalid = nvalid + valids[j].astype(jnp.int32)
+        for j in range(PROBES - 1, 0, -1):  # stop at first unprobed position
+            nxt = jnp.where(~valids[j], qs[j], nxt)
 
-        maybe = probing & (cand >= 0) & (cur - cand <= 0xFFFF) & (cand < cur)
-        hit = maybe & (candw == v)
-
-        moff = jnp.where(hit, cur - cand, moff)
-        mstart = jnp.where(hit, cur, mstart)
+        hit = jnp.broadcast_to(anyhit1, S8)
+        hq8 = jnp.broadcast_to(hitq, S8)
+        hc8 = jnp.broadcast_to(hitc, S8)
+        moff = jnp.where(hit, hq8 - hc8, moff)
+        mstart = jnp.where(hit, hq8, mstart)
         mlen = jnp.where(hit, 4, mlen)
         ph = jnp.where(hit, PH_EXTEND, ph)
-        # skip acceleration: step = miss_counter >> SKIP_TRIGGER, counter
-        # grows per miss (the C schedule; overshoot lands in the tail rule)
         missed = probing & ~hit
-        step = jax.lax.shift_right_logical(miss, SKIP_TRIGGER)
-        cur = jnp.where(missed, cur + step, cur)
-        miss = jnp.where(missed, miss + 1, miss)
+        cur = jnp.where(missed, jnp.broadcast_to(nxt, S8), cur)
+        miss = jnp.where(missed, miss + jnp.broadcast_to(nvalid, S8), miss)
 
         # ---- EXTEND ----------------------------------------------------
         extending = active & (ph == PH_EXTEND)
