@@ -53,6 +53,27 @@ HASHLOG = int(_os.environ.get("LZ4TPU_C128_HASHLOG", "10"))
 # (position, key) regardless of earlier hits in the round ("insert-all"
 # semantics — simulated ratio 0.6100 vs 0.6112 for strict C ordering).
 PROBES = int(_os.environ.get("LZ4TPU_C128_PROBES", "4"))
+# timing decomposition (debug only, output is wrong): comma list of
+# {fixed,nosweep,noplace,noflush,noextend,noprobeword,nolit}; "fixed"
+# runs exactly max_rounds rounds (no early exit) so variant deltas give
+# clean per-round component costs (predicated vector work costs full
+# price on this core, so the phase mix does not matter)
+TIMING = frozenset(
+    f for f in _os.environ.get("LZ4TPU_C128_TIMING", "").split(",") if f
+)
+# cursor-side page refill gating: refills are granted only on rounds
+# r % K == 0; a lane whose page is absent stalls (its phase work is
+# masked for the round and retried after the next refill).  Measured on
+# the bench corpus (gbok-fixed build): K=1 143.5 MB/s, K=2 137.4,
+# K=4 121.7, K=8 83.6 with page2 gated too — the candidate-side stalls
+# dominate, so page2 is ungated by default (GATE2) and K=1 (gating off,
+# but the ensure sites stay coalesced into one round-start site, which
+# alone was worth +12.5% over per-phase ensures).
+REFILL_K = int(_os.environ.get("LZ4TPU_C128_REFILL_K", "1"))
+# gate the candidate-side (page2) ensure too — measured a loss (page2
+# groups are random-access per fresh hit); kept as a knob for corpora
+# with very few matches
+GATE2 = _os.environ.get("LZ4TPU_C128_GATE2", "0") == "1"
 RING_W = 64  # output staging ring rows (words)
 CB = 32  # bytes per chunk per round
 CW = CB // 4
@@ -198,16 +219,22 @@ def _compress128_kernel(
             acc = acc + words_ref[g * GROUP_W : g * GROUP_W + PAGE_W, :] * mask
         ref[:, :] = acc
 
-    def ensure(ref, gbase, pos, active):
+    def ensure(ref, gbase, pos, active, granted):
+        """Gated page ensure: lanes whose wanted group is absent refill
+        only when ``granted``; otherwise they are reported as stalled.
+        Returns (new_gbase, stalled)."""
         want = jnp.clip((pos >> 2) // GROUP_W, 0, n_groups - 1)
-        new_gbase = jnp.where(active, want, gbase)
-        need = jnp.any(new_gbase != gbase)
+        need = active & (want != gbase)
+        if "norefill" in TIMING:
+            return jnp.where(need, want, gbase), need & (want != want)
+        take = need & granted
+        new_gbase = jnp.where(take, want, gbase)
 
-        @pl.when(need)
+        @pl.when(jnp.any(take))
         def _():
             refill(ref, new_gbase)
 
-        return new_gbase
+        return new_gbase, need & ~take
 
     def read_words(ref, gbase, p, k):
         """k funneled words (4k bytes) of the input starting at byte p."""
@@ -232,8 +259,31 @@ def _compress128_kernel(
 
         active = ~done
 
+        # ---- coalesced cursor-side page ensure (one site per round) ----
+        # Every page_ref consumer this round reads within [want_pos,
+        # want_pos + ~100 B], which the page's 128-byte margin covers:
+        # probe/extend reads run ahead of the cursor by <= ~44 B.  The
+        # fused-emission literal read (<= 14 B back to the anchor) does
+        # NOT request a group: fusion is opportunistic — it only fires
+        # when the anchor's group is already resident (``gbok`` below),
+        # else the sequence takes the constructed TOK/LCOPY path, whose
+        # LCOPY rounds request their own lsrc group.  (A stalled lane may
+        # reach TOK via a short gated EXTEND with its anchor in an older
+        # group; fusing there would read a non-resident group.)
+        granted = jax.lax.rem(r, REFILL_K) == 0
+        e_search = active & (ph == PH_SEARCH)
+        e_extend = active & (ph == PH_EXTEND)
+        e_lcopy = active & (ph == PH_LCOPY)
+        near_anchor = (cur - anchor) < 15
+        want_pos = cur
+        want_pos = jnp.where(e_search & near_anchor, anchor, want_pos)
+        want_pos = jnp.where(e_extend, mstart + mlen, want_pos)
+        want_pos = jnp.where(e_lcopy, lsrc, want_pos)
+        reads_page = e_search | e_extend | e_lcopy
+        gb, stall = ensure(page_ref, gb, want_pos, reads_page, granted)
+
         # ---- SEARCH ----------------------------------------------------
-        searching = active & (ph == PH_SEARCH)
+        searching = e_search
         ended = searching & (cur + 12 > n)
         # tail: final literal-only sequence (always emitted, even empty)
         lit_tail = n - anchor
@@ -242,12 +292,14 @@ def _compress128_kernel(
         mlen = jnp.where(ended, 4, mlen)  # match nibble contributes 0
         mstart = jnp.where(ended, n, mstart)
 
-        probing = searching & ~ended
-        gb = ensure(page_ref, gb, cur, probing)
+        probing = searching & ~ended & ~stall
         # one CW-word (32 B) read at the cursor covers every probe word:
         # the probe schedule is span-capped at CB-8 bytes below
         RW = 2 if PROBES == 1 else CW
-        wv = read_words(page_ref, gb, jnp.where(probing, cur, 0), RW)
+        if "noprobeword" in TIMING:
+            wv = jnp.zeros((RW, LANES), jnp.int32)
+        else:
+            wv = read_words(page_ref, gb, jnp.where(probing, cur, 0), RW)
 
         # probe schedule: q0 = cur, q[j+1] = q[j] + ((miss+j) >> TRIGGER)
         # (the C skip-acceleration walk, K steps per round); a probe is
@@ -312,7 +364,7 @@ def _compress128_kernel(
         validb = [jnp.broadcast_to(valids[j], S8) for j in range(PROBES)]
         accp = [jnp.zeros(S8, jnp.int32) for _ in range(PROBES)]
         accw = [jnp.zeros(S8, jnp.int32) for _ in range(PROBES)]
-        for s in range(T_ROWS // 8):
+        for s in range(0 if "nosweep" in TIMING else T_ROWS // 8):
             slab = table_ref[s * 8 : s * 8 + 8, :]
             slabw = tablew_ref[s * 8 : s * 8 + 8, :]
             news, newsw = slab, slabw
@@ -369,15 +421,22 @@ def _compress128_kernel(
         miss = jnp.where(missed, miss + jnp.broadcast_to(nvalid, S8), miss)
 
         # ---- EXTEND ----------------------------------------------------
-        extending = active & (ph == PH_EXTEND)
+        extending = active & (ph == PH_EXTEND) & ~stall
         a_pos = mstart + mlen
         b_pos = mstart + mlen - moff
         avail = jnp.clip((n - 5) - a_pos, 0, CB)
-        gb = ensure(page_ref, gb, a_pos, extending)
-        aw = read_words(page_ref, gb, jnp.where(extending, a_pos, 0), CW)
-        gb2 = ensure(page2_ref, gb2, b_pos, extending)
-        bw = read_words(page2_ref, gb2, jnp.where(extending, b_pos, 0), CW)
-        d = aw ^ bw
+        if "noextend" in TIMING:
+            d = jnp.ones((CW, LANES), jnp.int32)
+        else:
+            # candidate-side page: ungated by default (candidate groups
+            # are random-access per fresh hit, so gating stalls nearly
+            # every sequence — measured 121.7 vs 143.5 MB/s at K=4)
+            g2 = granted if GATE2 else jnp.bool_(True)
+            gb2, stall2 = ensure(page2_ref, gb2, b_pos, extending, g2)
+            extending = extending & ~stall2
+            aw = read_words(page_ref, gb, jnp.where(extending, a_pos, 0), CW)
+            bw = read_words(page2_ref, gb2, jnp.where(extending, b_pos, 0), CW)
+            d = aw ^ bw
         m1 = jnp.full(S8, CW, jnp.int32)
         for k in range(CW - 1, -1, -1):
             nz = jnp.broadcast_to(d[k : k + 1] != 0, S8)
@@ -414,10 +473,16 @@ def _compress128_kernel(
         # the analogous short tail).  Longer sequences take the phase
         # path (TOK -> EXT_L -> LCOPY -> MHDR -> EXT_M).
         fusible = (lit < 15) & (tail | (mv < 15))
-        in_fuse = at_tok & fusible
-        in_tok = at_tok & ~fusible
+        # opportunistic fusion: the fused literal read at ``anchor`` is
+        # only legal when the anchor's group is the resident page group
+        # (cascade lanes from SEARCH/ended ensured it; a gated lane that
+        # reached TOK through a stalled EXTEND may not have it — those
+        # take the constructed TOK path, which reads no page)
+        gbok = ((anchor >> 2) // GROUP_W) == gb
+        in_fuse = at_tok & fusible & gbok
+        in_tok = at_tok & ~(fusible & gbok)
         in_extl = active & (ph == PH_EXT_L)
-        in_lcopy = active & (ph == PH_LCOPY)
+        in_lcopy = active & (ph == PH_LCOPY) & ~stall
         in_mhdr = active & (ph == PH_MHDR)
         in_extm = active & (ph == PH_EXT_M)
         emitting = in_fuse | in_tok | in_extl | in_lcopy | in_mhdr | in_extm
@@ -426,11 +491,13 @@ def _compress128_kernel(
         ring0 = ring_ref[:, :]
         do_flush = emitting & (out - flushed >= FLUSH_THRESH)
 
-        @pl.when(jnp.any(do_flush))
-        def _():
-            fw = flushed >> 2
-            nw = jnp.where(do_flush, FLUSH_B >> 2, 0)
-            sweep_flush(ring0, fw, nw)
+        if "noflush" not in TIMING:
+
+            @pl.when(jnp.any(do_flush))
+            def _():
+                fw = flushed >> 2
+                nw = jnp.where(do_flush, FLUSH_B >> 2, 0)
+                sweep_flush(ring0, fw, nw)
 
         flushed = jnp.where(do_flush, flushed + FLUSH_B, flushed)
 
@@ -454,11 +521,12 @@ def _compress128_kernel(
         done = done | newfail
 
         lit_pos = jnp.where(in_fuse, anchor, lsrc)
-        need_lits = (in_lcopy & (take_lcopy > 0)) | (in_fuse & (lit > 0))
-        gb = ensure(page_ref, gb, lit_pos, need_lits)
-        lit_w = read_words(
-            page_ref, gb, jnp.where(in_lcopy | in_fuse, lit_pos, 0), CW
-        )
+        if "nolit" in TIMING:
+            lit_w = jnp.zeros((CW, LANES), jnp.int32)
+        else:
+            lit_w = read_words(
+                page_ref, gb, jnp.where(in_lcopy | in_fuse, lit_pos, 0), CW
+            )
 
         hdr_rows = []
         tok1 = token[0:1, :]
@@ -536,8 +604,8 @@ def _compress128_kernel(
                 jnp.broadcast_to(in_fuse[0:1], (CW, LANES)), fused_w, hdr_w
             ),
         )
-        ring1 = place(ring0, span_w, out, take)
-        ring_ref[:, :] = ring1
+        if "noplace" not in TIMING:
+            ring_ref[:, :] = place(ring0, span_w, out, take)
         out = out + take
 
         # ---- phase transitions after the emit ---------------------------
@@ -597,6 +665,8 @@ def _compress128_kernel(
 
     def chunk_cond(c):
         i, all_done = c
+        if "fixed" in TIMING:
+            return i < n_chunks
         return (i < n_chunks) & (~all_done)
 
     def chunk_body(c):

@@ -87,6 +87,17 @@ LSIC_STEPS = int(_os.environ.get("LZ4TPU_D128_LSIC", "8"))  # unrolled LSIC ext 
 # any() reductions + pl.when branches per round); default off — the
 # sentinel fallback handles the rare long chains correctly
 SLOW_LSIC = _os.environ.get("LZ4TPU_D128_SLOWLSIC", "0") == "1"
+# comp-page refill gating (same scheme as compress128): the cursor-side
+# page advances monotonically with the parse, so with 128 desynced lanes
+# some lane crosses a group boundary nearly every round and the one-hot
+# page rebuild (~n_groups * PAGE_W/8 vreg FMAs) fires almost always.
+# Refills are granted only on rounds r % K == 0; a lane whose round-start
+# group is absent idles its parse/literal work for the round.  The
+# mid-round ensure sites (match header after a long literal run, literal
+# source after a page move) stay ungated — they fire rarely.  K=1
+# disables gating.  The far page is NOT gated: far groups are
+# random-access per match, so stalls there would inflate rounds.
+REFILL_K = int(_os.environ.get("LZ4TPU_D128_REFILL_K", "4"))
 assert 2 + LSIC_STEPS <= 12  # read_span12 provides 12 bytes
 STATUS_FALLBACK = 100  # lane needs the scalar fallback (not an error kind)
 
@@ -148,6 +159,23 @@ def _decode128_kernel(
                 refill_page(new_gbase)  # delta vs full = refill share
 
         return new_gbase
+
+    def ensure_page_gated(gbase, pos, active, granted):
+        """Round-start gated ensure: refill only when ``granted``; lanes
+        whose wanted group is absent otherwise report ``stalled`` and idle
+        this round.  Returns (new_gbase, stalled)."""
+        want = jnp.clip((pos >> 2) // GROUP_W, 0, n_groups - 1)
+        need = active & (want != gbase)
+        take = need & granted
+        new_gbase = jnp.where(take, want, gbase)
+
+        @pl.when(jnp.any(take))
+        def _():
+            refill_page(new_gbase)
+            if variant == "refill2x":
+                refill_page(new_gbase)
+
+        return new_gbase, need & ~take
 
     def byte_at(page, gbase, pos):
         rel = jnp.clip((pos >> 2) - gbase * GROUP_W, 0, PAGE_W - 1)
@@ -375,12 +403,16 @@ def _decode128_kernel(
         active = (~done) & (status == OK)
 
         # ---- parse a new sequence when the current record is drained ----
+        # round-start gated ensure: parsing lanes want their cursor group,
+        # literal-copy lanes their literal-source group; match-only lanes
+        # read no comp bytes this round and never stall
         need_rec = active & (lit_rem == 0) & (m_rem == 0)
-        parse_ok = need_rec & (pos < n)
-        gbase = ensure_page(
-            gbase, jnp.where(parse_ok, pos, jnp.where(lit_rem > 0, lit_src, pos)),
-            active,
+        granted = jax.lax.rem(r, REFILL_K) == 0
+        reads_page = active & (need_rec | (lit_rem > 0))
+        gbase, pstall = ensure_page_gated(
+            gbase, jnp.where(need_rec, pos, lit_src), reads_page, granted
         )
+        parse_ok = need_rec & (pos < n) & ~pstall
         page = page_ref[:, :]
 
         span1 = read_span12(page, gbase, jnp.where(parse_ok, pos, 0))
@@ -450,7 +482,8 @@ def _decode128_kernel(
         flushed = jnp.where(do_flush, flushed + FLUSH_B, flushed)
 
         # ---- literal chunk ----
-        lit_take = jnp.clip(lit_rem, 0, CB)
+        # a lane stalled on its literal-source group idles its copy too
+        lit_take = jnp.where(pstall, 0, jnp.clip(lit_rem, 0, CB))
         gbase = ensure_page(
             gbase, jnp.where(lit_take > 0, lit_src, pos), active & (lit_take > 0)
         )

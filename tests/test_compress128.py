@@ -94,6 +94,29 @@ def test_compress128_frame_lane_kernel(monkeypatch, corpus_sample):
     assert decompress_frame(frame) == data
 
 
+def test_compress128_gated_refill_stall_paths(monkeypatch, corpus_sample):
+    """Regression: with refill gating (REFILL_K > 1) a lane can stall in
+    EXTEND and later reach the fused emission with its anchor in a group
+    that is no longer resident; fusion must then fall back to the
+    constructed TOK path (gbok check) instead of reading a stale page.
+    Multi-KiB mixed payloads cross many GROUP_W*4 = 1 KiB group
+    boundaries, which is what fires the stall+fuse interaction."""
+    import lz4tpu.kernels.compress128 as c128
+
+    for K in (2, 4):
+        monkeypatch.setattr(c128, "REFILL_K", K)
+        c128._compress128_jit.clear_cache()
+        rng = np.random.default_rng(100 + K)
+        payloads = [
+            corpus_sample(400 + K, 6000),
+            corpus_sample(401 + K, 5000),
+            (b"abcdefgh" * 40 + rng.integers(0, 256, 90, dtype=np.uint8).tobytes()) * 24,
+            rng.integers(0, 256, 5500, dtype=np.uint8).tobytes(),
+        ]
+        _roundtrip(payloads, hashlog=6)
+    c128._compress128_jit.clear_cache()
+
+
 def test_compress128_ratio_vs_native(corpus_sample):
     """The small-table lane parse must stay within a sane ratio band of
     the reference-exact greedy parse (it misses some matches)."""

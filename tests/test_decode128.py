@@ -48,6 +48,31 @@ def test_decode128_sentinel_fallback():
     assert decompress_blocks_128([comp], block_maxsize=1 << 14) == [data]
 
 
+def test_decode128_gated_refill_stall_paths(monkeypatch, corpus_sample):
+    """Regression guard for comp-page refill gating (REFILL_K > 1): lanes
+    stalled at a group boundary must idle their parse AND literal copy
+    for the round and resume identically after the next granted refill.
+    Multi-KiB payloads cross several GROUP_W*4-byte comp groups."""
+    import numpy as np
+
+    import lz4tpu.kernels.decode128 as d128
+    from lz4tpu.spec.table import U32Table
+
+    rng = np.random.default_rng(55)
+    payloads = [
+        corpus_sample(150, 9000),
+        corpus_sample(151, 7000),
+        rng.integers(0, 256, 6000, dtype=np.uint8).tobytes(),  # incompressible
+        (b"abcdefgh" * 50 + rng.integers(0, 256, 120, dtype=np.uint8).tobytes()) * 14,
+    ]
+    comp = [bytes(compress_block(p, 0, U32Table())) for p in payloads]
+    for K in (2, 4):
+        monkeypatch.setattr(d128, "REFILL_K", K)
+        d128._decode128_jit.clear_cache()
+        assert d128.decompress_blocks_128(comp, block_maxsize=1 << 14) == payloads
+    d128._decode128_jit.clear_cache()
+
+
 def test_frame_parallel_uses_lane_decoder_on_single_device(corpus_sample):
     """decompress_frame_parallel routes through decode128 on a 1-device
     mesh; output must match the streaming reader."""
