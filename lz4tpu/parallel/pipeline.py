@@ -195,6 +195,155 @@ def _compress_sharded(
     )(blocks, lens, tables, dict_u8, dict_len)
 
 
+# ---------------------------------------------------------------------------
+# lane-parallel kernels under shard_map (128 blocks per lane-kernel step PER
+# DEVICE; the transposed (rows, lanes) buffers shard on the lane axis)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "rw", "ro", "max_rounds", "output_limit"),
+)
+def _decode128_sharded(words, n, *, mesh, rw, ro, max_rounds, output_limit):
+    from ..kernels.decode128 import _decode128_jit
+
+    def local(w, nn):
+        return _decode128_jit(
+            w, nn, rw=rw, ro=ro, max_rounds=max_rounds, output_limit=output_limit
+        )
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, BLOCK_AXIS), P(None, BLOCK_AXIS)),
+        out_specs=(P(None, BLOCK_AXIS), P(None, BLOCK_AXIS), P(None, BLOCK_AXIS)),
+        check_rep=False,
+    )(words, n)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "ri", "ro", "max_rounds", "hashlog")
+)
+def _compress128_sharded(words, n, *, mesh, ri, ro, max_rounds, hashlog):
+    from ..kernels.compress128 import _compress128_jit
+
+    def local(w, nn):
+        return _compress128_jit(
+            w, nn, ri=ri, ro=ro, max_rounds=max_rounds, hashlog=hashlog
+        )
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, BLOCK_AXIS), P(None, BLOCK_AXIS)),
+        out_specs=(P(None, BLOCK_AXIS), P(None, BLOCK_AXIS)),
+        check_rep=False,
+    )(words, n)
+
+
+def _pack_transposed(blocks, lanes: int, rows: int):
+    """Pack byte strings into the lane kernels' transposed word layout:
+    ``words[j, l]`` = little-endian word ``j`` of lane ``l``."""
+    arr = np.zeros((lanes, rows * 4), np.uint8)
+    n = np.zeros((1, lanes), np.int32)
+    for i, b in enumerate(blocks):
+        arr[i, : len(b)] = np.frombuffer(b, np.uint8)
+        n[0, i] = len(b)
+    w = arr.reshape(lanes, rows, 4).astype(np.uint32)
+    words = (
+        w[:, :, 0] | (w[:, :, 1] << 8) | (w[:, :, 2] << 16) | (w[:, :, 3] << 24)
+    ).astype(np.int32).T
+    return np.ascontiguousarray(words), n
+
+
+def _unpack_column(out_w, col: int, nbytes: int) -> bytes:
+    ww = out_w[:, col].astype(np.uint32)
+    by = np.empty((ww.shape[0], 4), np.uint8)
+    by[:, 0] = ww & 0xFF
+    by[:, 1] = (ww >> 8) & 0xFF
+    by[:, 2] = (ww >> 16) & 0xFF
+    by[:, 3] = (ww >> 24) & 0xFF
+    return by.reshape(-1)[:nbytes].tobytes()
+
+
+def _lane_decode_batch(blocks, block_maxsize: int, mesh):
+    """Decode up to ``128 * n_dev`` independent raw blocks with the lane
+    kernel sharded over the mesh; same status contract as
+    ``decode128.decompress_blocks_128`` (per-lane scalar/host fallback)."""
+    from ..kernels import decode128 as d128
+    from ..kernels.decode128 import STATUS_FALLBACK
+    from ..kernels.status import OK as ST_OK, STATUS_TO_KIND
+
+    n_dev = mesh.shape[BLOCK_AXIS]
+    lanes = 128 * n_dev
+    assert 0 < len(blocks) <= lanes
+    blocks = [bytes(b) for b in blocks]
+    maxlen = max(max(len(b) for b in blocks), 4)
+    rw, ro = d128.buffer_rows(maxlen, block_maxsize)
+    max_rounds = maxlen // 3 + block_maxsize // d128.CB + 64
+    words, n = _pack_transposed(blocks, lanes, rw)
+    out_w, out_len, status = _decode128_sharded(
+        jnp.asarray(words), jnp.asarray(n), mesh=mesh,
+        rw=rw, ro=ro, max_rounds=max_rounds, output_limit=block_maxsize,
+    )
+    out_w = np.asarray(out_w)
+    out_len = np.asarray(out_len)[0]
+    status = np.asarray(status)[0]
+    results = []
+    for i in range(len(blocks)):
+        s = int(status[i])
+        if s == ST_OK:
+            results.append(_unpack_column(out_w, i, int(out_len[i])))
+        elif s == STATUS_FALLBACK:
+            from ..kernels.decompress_v4 import decompress_blocks_v4
+
+            results.append(
+                decompress_blocks_v4([blocks[i]], block_maxsize=block_maxsize)[0]
+            )
+        else:
+            raise DecodeError(STATUS_TO_KIND[s])
+    return results
+
+
+def _lane_compress_batch(blocks, mesh):
+    """Compress up to ``128 * n_dev`` independent raw blocks (each <=
+    ``compress128.MAX_B``) with the lane kernel sharded over the mesh."""
+    from ..kernels import compress128 as c128
+
+    n_dev = mesh.shape[BLOCK_AXIS]
+    lanes = 128 * n_dev
+    assert 0 < len(blocks) <= lanes
+    blocks = [bytes(b) for b in blocks]
+    maxlen = max(max(len(b) for b in blocks), 4)
+    assert maxlen <= c128.MAX_B
+    ri = -(-maxlen // 4)
+    ri = -(-ri // c128.GROUP_W) * c128.GROUP_W + c128.PAGE_W
+    maxout = maxlen + maxlen // 255 + 16
+    ro = (-(-maxout // 4) // c128.RING_W + 2) * c128.RING_W
+    max_rounds = maxlen + maxout // c128.CB + maxlen // c128.CB + 256
+    words, n = _pack_transposed(blocks, lanes, ri)
+    out_w, out_len = _compress128_sharded(
+        jnp.asarray(words), jnp.asarray(n), mesh=mesh,
+        ri=ri, ro=ro, max_rounds=max_rounds, hashlog=c128.HASHLOG,
+    )
+    out_w = np.asarray(out_w)
+    out_len = np.asarray(out_len)[0]
+    results = []
+    for i, b in enumerate(blocks):
+        ln = int(out_len[i])
+        if len(b) == 0:
+            results.append(b"\x00")
+        elif ln <= 0:
+            from ..native import compress_block as _native_compress
+            from ..spec.table import U32Table
+
+            results.append(bytes(_native_compress(b, 0, U32Table())))
+        else:
+            results.append(_unpack_column(out_w, i, ln))
+    return results
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "block_maxsize", "comp_capacity", "has_dict"),
@@ -298,12 +447,7 @@ def compress_frame_parallel(
 
     from ..kernels.compress128 import MAX_B as C128_MAX_B
 
-    use_lanes = (
-        lane_kernel
-        and not dictionary
-        and not parallel_linked
-        and n_dev == 1
-    )
+    use_lanes = lane_kernel and not dictionary and not parallel_linked
     # the lane kernel's VMEM budget caps per-block size; emitting smaller
     # blocks under a larger declared block-maxsize is valid LZ4 (BD is a
     # maximum, framed/header.rs:51-81)
@@ -325,10 +469,13 @@ def compress_frame_parallel(
             for i in range(n_blocks)
         ]
         lane_payloads = []
-        for base in range(0, n_blocks, 128):
-            lane_payloads.extend(
-                compress_blocks_128(raw_blocks[base : base + 128])
-            )
+        batch = 128 * n_dev
+        for base in range(0, n_blocks, batch):
+            chunk = raw_blocks[base : base + batch]
+            if n_dev == 1:
+                lane_payloads.extend(compress_blocks_128(chunk))
+            else:
+                lane_payloads.extend(_lane_compress_batch(chunk, mesh))
 
     template = np.zeros(4096, np.int32)
     if dictionary:
@@ -408,13 +555,23 @@ def compress_frame_parallel(
 
 
 def decompress_frame_parallel(
-    frame, mesh=None, verify_checksums: bool = True, dictionary=None
+    frame,
+    mesh=None,
+    verify_checksums: bool = True,
+    dictionary=None,
+    lane_kernel: bool | None = None,
 ) -> bytes:
     """Decompress one LZ4 frame with all independent blocks in parallel.
 
     A preset dictionary is broadcast once and serves as every block's
     prefix.  Linked-block frames fall back to the (serial-by-nature)
     streaming reader with the native engine.
+
+    ``lane_kernel=None`` (auto) routes eligible blocks through the
+    lane-parallel decoder on single-device meshes always, and on
+    multi-device meshes only on the TPU backend (the sharded lockstep
+    kernel is far too slow under CPU interpret mode to be a sensible
+    default there); pass True/False to override.
     """
     from ..frame.decompress import LZ4FrameReader
 
@@ -466,35 +623,47 @@ def decompress_frame_parallel(
 
     to_decode = [p for c, p, _ in blocks if c]
     outputs = {}
-    # single-device path: the lane-parallel decoder (128 blocks per kernel
-    # step, one per SIMD lane) is ~5x the per-block scalar pipeline; it
-    # covers independent blocks without dictionaries within its
-    # transposed-VMEM budget, with a per-lane scalar fallback inside
+    # lane-parallel decoder (128 blocks per kernel step per device, one
+    # block per SIMD lane) — ~5x the per-block scalar pipeline; it covers
+    # independent blocks without dictionaries within its transposed-VMEM
+    # budget, with a per-lane scalar fallback inside.  On multi-device
+    # meshes the lane batches shard over the ``blocks`` axis
+    # (``_decode128_sharded``).
     from ..kernels.decode128 import decompress_blocks_128, lanes_eligible
 
+    if lane_kernel is None:
+        lane_kernel = n_dev == 1 or jax.default_backend() == "tpu"
     lane_idx = []
-    if to_decode and n_dev == 1 and not dictionary:
+    if to_decode and lane_kernel and not dictionary:
         lane_idx = [
             i
             for i, p in enumerate(to_decode)
             if lanes_eligible(len(p), reader.block_maxsize)
         ]
     if lane_idx:
+        batch = 128 * n_dev
         # batch-balance: the lockstep kernel runs until its SLOWEST lane
         # finishes, so batches group blocks of similar compressed size
         # (a proxy for sequence/round count) when more than one batch is
         # needed
         order = (
             sorted(lane_idx, key=lambda i: len(to_decode[i]))
-            if len(lane_idx) > 128
+            if len(lane_idx) > batch
             else lane_idx
         )
-        for base in range(0, len(order), 128):
-            idxs = order[base : base + 128]
-            outs = decompress_blocks_128(
-                [to_decode[i] for i in idxs],
-                block_maxsize=reader.block_maxsize,
-            )
+        for base in range(0, len(order), batch):
+            idxs = order[base : base + batch]
+            if n_dev == 1:
+                outs = decompress_blocks_128(
+                    [to_decode[i] for i in idxs],
+                    block_maxsize=reader.block_maxsize,
+                )
+            else:
+                outs = _lane_decode_batch(
+                    [to_decode[i] for i in idxs],
+                    reader.block_maxsize,
+                    mesh,
+                )
             for i, o in zip(idxs, outs):
                 if len(o) > reader.block_maxsize:
                     raise BlockSizeOverflow(

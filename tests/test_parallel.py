@@ -213,3 +213,24 @@ def test_parallel_linked_dictionary_first_window(mesh, corpus_sample):
         data, block_size=1 << 16, mesh=mesh, parallel_linked=True
     )
     assert len(frame) <= len(no_dict)
+
+
+def test_lane_kernels_sharded_roundtrip(mesh, corpus_sample):
+    """Lane-parallel codec under shard_map on the multi-device mesh:
+    tiny raw blocks spread one-per-SIMD-lane across every device."""
+    from lz4tpu.native import compress_block, decompress_block
+    from lz4tpu.parallel.pipeline import _lane_compress_batch, _lane_decode_batch
+    from lz4tpu.spec.table import U32Table
+
+    n_dev = mesh.shape["blocks"]
+    # more blocks than one device's 128 lanes only if the mesh is real;
+    # keep counts tiny — interpret mode runs the lockstep rounds eagerly
+    blocks = [corpus_sample(200 + i, 300 + 17 * i) for i in range(min(4 * n_dev, 12))]
+    blocks.append(b"")
+    comp = _lane_compress_batch(blocks, mesh)
+    for b, c in zip(blocks, comp):
+        assert bytes(decompress_block(c, b"", output_limit=max(len(b), 64))) == b
+
+    ref_comp = [bytes(compress_block(b, 0, U32Table())) for b in blocks if b]
+    outs = _lane_decode_batch(ref_comp, 1 << 10, mesh)
+    assert outs == [b for b in blocks if b]
