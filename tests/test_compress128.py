@@ -129,3 +129,21 @@ def test_compress128_ratio_vs_native(corpus_sample):
         ref = native_compress(p)
         # measured ~1.0-1.14x at hashlog 8 (1.01-1.08 at the default 10)
         assert len(c) <= max(int(len(ref) * 1.3), len(ref) + 64)
+
+
+def test_compress128_bucket_tag_collision():
+    """Two different 4-byte words whose hash agrees in BOTH the bucket
+    and the packed-entry tag bits (bits [6..31] of v*2654435761): a
+    packed-table probe accepts the candidate, and the EXTEND verify must
+    reject it (first-LCP < MINMATCH) without corrupting the stream.
+    Harmless for the word-key table (probe rejects directly)."""
+    v1 = bytes([99, 116, 232, 245])   # 0xf5e87463
+    v2 = bytes([180, 163, 115, 4])    # 0x0473a3b4 — same bucket+tag @ hl=10
+    rng = np.random.default_rng(11)
+    filler = lambda n, s: np.random.default_rng(s).integers(
+        0, 256, n, dtype=np.uint8
+    ).tobytes()
+    payload = filler(40, 1) + v1 + filler(40, 2) + v2 + filler(40, 3)
+    # and a variant where a real match follows the false candidate
+    payload2 = payload + payload[:60]
+    _roundtrip([payload, payload2], hashlog=10)
