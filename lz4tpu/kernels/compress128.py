@@ -183,17 +183,29 @@ def _compress128_kernel(
             valid = (cbyte >= 0) & (cbyte < takeb)
             lane_mask = jnp.int32(np.int32(np.uint32(0xFF) << (8 * j)))
             wmask = wmask | jnp.where(valid, lane_mask, 0)
+        # two-level placement (see decode128.place): chunk -> 16-row
+        # aligned window one-hot, then slab-granular window/ring merge
         base = jax.lax.rem(dst >> 2, RING_W)[0:1, :]
-        ringi = jax.lax.broadcasted_iota(jnp.int32, (RING_W, LANES), 0)
-        newring = ring
+        off = base & 7
+        sb = base >> 3
+        nsl = RING_W // 8
+        w16 = jax.lax.broadcasted_iota(jnp.int32, (16, LANES), 0)
+        win = jnp.zeros((16, LANES), jnp.int32)
+        winm = jnp.zeros((16, LANES), jnp.int32)
+        offb = jnp.broadcast_to(off, (16, LANES))
         for k in range(CW + 1):
-            t = jax.lax.rem(base + k, RING_W)
-            m = (ringi == t).astype(jnp.int32) * jnp.broadcast_to(
-                wmask[k : k + 1], (RING_W, LANES)
-            )
-            v = jnp.broadcast_to(shifted[k : k + 1], (RING_W, LANES))
-            newring = (newring & ~m) | (v & m)
-        return newring
+            sel = (w16 == offb + k).astype(jnp.int32)
+            win = win + jnp.broadcast_to(shifted[k : k + 1], (16, LANES)) * sel
+            winm = winm + jnp.broadcast_to(wmask[k : k + 1], (16, LANES)) * sel
+        out_slabs = []
+        for s in range(nsl):
+            acc = ring[s * 8 : s * 8 + 8, :]
+            for w in range(2):
+                sel = (jax.lax.rem(sb + w, nsl) == s).astype(jnp.int32)
+                mm = winm[w * 8 : w * 8 + 8, :] * jnp.broadcast_to(sel, (8, LANES))
+                acc = (acc & ~mm) | (win[w * 8 : w * 8 + 8, :] & mm)
+            out_slabs.append(acc)
+        return jnp.concatenate(out_slabs, axis=0)
 
     def sweep_flush(ring, fw, nwords):
         fwr = fw[0:1, :]

@@ -103,7 +103,8 @@ STATUS_FALLBACK = 100  # lane needs the scalar fallback (not an error kind)
 
 # state rows
 (R_POS, R_OUT, R_ST, R_DONE, R_GB, R_FLUSH,
- R_LREM, R_LSRC, R_MREM, R_MOFF, R_MLAG, R_TAIL, R_FGB, R_PGF) = range(14)
+ R_LREM, R_LSRC, R_MREM, R_MOFF, R_MLAG, R_TAIL, R_FGB, R_PGF,
+ R_RND, R_DONEAT) = range(16)
 NSTATE = 16
 
 
@@ -115,7 +116,7 @@ def _decode128_kernel(
     words_ref,  # VMEM (Rw, 128) int32 — transposed comp streams
     n_ref,  # VMEM (1, 128) int32
     out_words_ref,  # VMEM (Ro, 128) int32 OUT — transposed outputs
-    out_len_ref,  # VMEM (1, 128) int32 OUT
+    out_len_ref,  # VMEM (3, 128) int32 OUT: len / done-at-round / rounds run
     status_ref,  # VMEM (1, 128) int32 OUT
     page_ref,  # scratch (PAGE_W, 128) — comp page
     far_ref,  # scratch (FAR_W, 128) — far-match page
@@ -339,17 +340,33 @@ def _decode128_kernel(
             lane_mask = jnp.int32(np.int32(np.uint32(0xFF) << (8 * j)))
             wmask = wmask | jnp.where(valid, lane_mask, 0)
 
+        # two-level placement (measured: place was 29% of the round as a
+        # flat CW+1 x RING_W one-hot merge): scatter the chunk into a
+        # 16-row aligned window first, then merge the window into the
+        # ring at slab granularity.  Window row x <-> ring row sb*8 + x
+        # (slab-aligned), and row-level wrap coincides with slab-level
+        # wrap because RING_W is a multiple of 8.
         base = jax.lax.rem(dst >> 2, RING_W)[0:1, :]
-        ringi = jax.lax.broadcasted_iota(jnp.int32, (RING_W, LANES), 0)
-        newring = ring
+        off = base & 7
+        sb = base >> 3
+        nsl = RING_W // 8
+        w16 = jax.lax.broadcasted_iota(jnp.int32, (16, LANES), 0)
+        win = jnp.zeros((16, LANES), jnp.int32)
+        winm = jnp.zeros((16, LANES), jnp.int32)
+        offb = jnp.broadcast_to(off, (16, LANES))
         for k in range(CW + 1):
-            t = jax.lax.rem(base + k, RING_W)
-            m = (ringi == t).astype(jnp.int32) * jnp.broadcast_to(
-                wmask[k : k + 1], (RING_W, LANES)
-            )
-            v = jnp.broadcast_to(shifted[k : k + 1], (RING_W, LANES))
-            newring = (newring & ~m) | (v & m)
-        return newring
+            sel = (w16 == offb + k).astype(jnp.int32)
+            win = win + jnp.broadcast_to(shifted[k : k + 1], (16, LANES)) * sel
+            winm = winm + jnp.broadcast_to(wmask[k : k + 1], (16, LANES)) * sel
+        out_slabs = []
+        for s in range(nsl):
+            acc = ring[s * 8 : s * 8 + 8, :]
+            for w in range(2):
+                sel = (jax.lax.rem(sb + w, nsl) == s).astype(jnp.int32)
+                mm = winm[w * 8 : w * 8 + 8, :] * jnp.broadcast_to(sel, (8, LANES))
+                acc = (acc & ~mm) | (win[w * 8 : w * 8 + 8, :] & mm)
+            out_slabs.append(acc)
+        return jnp.concatenate(out_slabs, axis=0)
 
     def sweep_flush(ring, fw, nwords):
         """out[p, l] = ring[p mod RING_W, l] for fw_l <= p < fw_l+nwords_l.
@@ -399,6 +416,8 @@ def _decode128_kernel(
         m_rem, m_off, m_lag = row(R_MREM), row(R_MOFF), row(R_MLAG)
         tail_only, fgb = row(R_TAIL), row(R_FGB)
         pgf = row(R_PGF)
+        rnd, doneat = row(R_RND), row(R_DONEAT)
+        done0 = done
 
         active = (~done) & (status == OK)
 
@@ -592,13 +611,16 @@ def _decode128_kernel(
             active & (tail_only != 0) & (lit_rem == 0)
         ) | ((pos >= n) & (lit_rem == 0) & (m_rem == 0))
 
+        finished = done | (status != OK)
+        doneat = jnp.where(finished & ~done0 & (doneat == 0), rnd + 1, doneat)
         new_rows = [pos, out, status, done.astype(jnp.int32), gbase, flushed,
-                    lit_rem, lit_src, m_rem, m_off, m_lag, tail_only, fgb, pgf]
-        state_ref[:, :] = jnp.concatenate(
-            [x[0:1] for x in new_rows]
-            + [jnp.zeros((NSTATE - len(new_rows), LANES), jnp.int32)],
-            axis=0,
+                    lit_rem, lit_src, m_rem, m_off, m_lag, tail_only, fgb, pgf,
+                    rnd + 1, doneat]
+        pad = (
+            [jnp.zeros((NSTATE - len(new_rows), LANES), jnp.int32)]
+            if len(new_rows) < NSTATE else []
         )
+        state_ref[:, :] = jnp.concatenate([x[0:1] for x in new_rows] + pad, axis=0)
         return 0
 
     # ---- init + run + final drain ----
@@ -648,7 +670,10 @@ def _decode128_kernel(
         ring_ref[:, :], flushed_f >> 2,
         jnp.clip(((out_f - flushed_f) + 3) >> 2, 0, RING_W),
     )
-    out_len_ref[:, :] = st[R_OUT : R_OUT + 1]
+    out_len_ref[:, :] = jnp.concatenate(
+        [st[R_OUT : R_OUT + 1], st[R_DONEAT : R_DONEAT + 1],
+         st[R_RND : R_RND + 1]], axis=0,
+    )
     status_ref[:, :] = st[R_ST : R_ST + 1]
 
 
@@ -683,7 +708,7 @@ def _decode128_jit(
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_shape=[
             jax.ShapeDtypeStruct((ro, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((1, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((3, LANES), jnp.int32),  # len/done-at/rounds
             jax.ShapeDtypeStruct((1, LANES), jnp.int32),
         ],
         scratch_shapes=[

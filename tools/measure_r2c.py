@@ -126,6 +126,9 @@ elif mode == "decode128":
 """
 
 CONFIGS = [
+    # two-level place() in both kernels (uncommitted candidate)
+    ("d128_place2", "decode128", {}),
+    ("c128_place2", "compress128", {}),
     # packed-table candidate first (actionable), then decode decomposition,
     # then the remaining compress timing variants (each compile ~6-30 min)
     ("c128x_p4", "compress128x", {}),
