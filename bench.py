@@ -347,7 +347,7 @@ def main() -> None:
 
             maxlen = max(len(b) for b in subc)
             rw, ro = d128.buffer_rows(maxlen, BLOCK)
-            max_rounds = maxlen // 3 + BLOCK // d128.CB + 64
+            max_rounds = d128.round_bound(maxlen, BLOCK)
             arr128 = np.zeros((128, rw * 4), np.uint8)
             n128 = np.zeros((1, 128), np.int32)
             for i, b in enumerate(subc):
@@ -367,17 +367,21 @@ def main() -> None:
                     wds, d_n, rw=rw, ro=ro,
                     max_rounds=max_rounds, output_limit=BLOCK,
                 )
-                return wds ^ (st.sum() * 0), ol
+                return wds ^ (st.sum() * 0), ol, st
 
-            _, ol = chain128(d_words)
+            _, ol, st = chain128(d_words)
             np.asarray(ol)
+            # timing honesty: every lane must complete IN-KERNEL (a lane
+            # flagged for the host fallback did not decode its bytes)
+            st = np.asarray(st)[0][: len(subc)]
+            assert (st == 0).all(), f"non-OK lanes in timed batch: {st}"
             best = 0.0
             stot = sum(len(b) for b in sub)
             for _ in range(3):
                 a = d_words
                 t0 = time.perf_counter()
                 for _ in range(4):
-                    a, ol = chain128(a)
+                    a, ol, _st = chain128(a)
                 np.asarray(ol[:1])
                 best = max(best, stot / ((time.perf_counter() - t0) / 4))
             extra["tpu_decode128_mbps"] = round(best / 1e6, 1)

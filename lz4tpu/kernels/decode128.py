@@ -23,10 +23,12 @@ round with no per-lane dynamic addressing:
 Per round each lane advances: one parsed sequence, up to CB literal
 bytes and up to CB match bytes (longer runs take extra rounds;
 tiny-offset RLE uses the v2/v3 lag-doubling bootstrap).  LSIC chains
-longer than the unrolled window continue in an in-kernel byte loop
-(``lsic_slow``), so there is no length cliff; lanes that still hit the
-round cap fall back to the scalar v4 kernel on the host — same typed
-error kinds (``decompress_blocks_128`` wrapper).
+longer than the unrolled window suspend and RESUME next round through
+the same parse path (a per-lane phase: none / literal-length /
+match-length continuation), so arbitrarily long length fields cost one
+extra round per LSIC_STEPS continuation bytes with no per-round tax and
+no host fallback; the fallback sentinel remains only as the round-cap
+defense (``decompress_blocks_128`` wrapper).
 
 Scope (prototype): independent blocks, no prefix/dictionary yet, block
 size bounded by the transposed-VMEM budget (~64 KiB output/lane).
@@ -82,11 +84,6 @@ FLUSH_B = 128  # ring flush granularity (bytes; 32 word rows)
 # plus one round's inflow (2*CB) must stay below the ring's 256 B
 FLUSH_THRESH = min(176, RING_W * 4 - 2 * CB)
 LSIC_STEPS = int(_os.environ.get("LZ4TPU_D128_LSIC", "8"))  # unrolled LSIC ext bytes/field
-# in-kernel byte-loop continuation for longer chains: removes the host
-# fallback for >LSIC_STEPS ext bytes but measured -15% on mixed (two
-# any() reductions + pl.when branches per round); default off — the
-# sentinel fallback handles the rare long chains correctly
-SLOW_LSIC = _os.environ.get("LZ4TPU_D128_SLOWLSIC", "0") == "1"
 # comp-page refill gating (same scheme as compress128): the cursor-side
 # page advances monotonically with the parse, so with 128 desynced lanes
 # some lane crosses a group boundary nearly every round and the one-hot
@@ -101,11 +98,12 @@ REFILL_K = int(_os.environ.get("LZ4TPU_D128_REFILL_K", "4"))
 assert 2 + LSIC_STEPS <= 12  # read_span12 provides 12 bytes
 STATUS_FALLBACK = 100  # lane needs the scalar fallback (not an error kind)
 
-# state rows
+# state rows (R_PPH..R_SOFF: re-entrant LSIC parse continuation)
 (R_POS, R_OUT, R_ST, R_DONE, R_GB, R_FLUSH,
  R_LREM, R_LSRC, R_MREM, R_MOFF, R_MLAG, R_TAIL, R_FGB, R_PGF,
- R_RND, R_DONEAT) = range(16)
-NSTATE = 16
+ R_RND, R_DONEAT, R_PPH, R_PV, R_SLIT, R_SSRC, R_SOFF) = range(21)
+NSTATE = 24
+PH_NONE, PH_LIT, PH_MATCH = 0, 1, 2
 
 
 def _interpret() -> bool:
@@ -122,7 +120,6 @@ def _decode128_kernel(
     far_ref,  # scratch (FAR_W, 128) — far-match page
     ring_ref,  # scratch (RING_W, 128) — output staging ring
     mid_ref,  # scratch (max(mid_w,8), 128) — mod-addressed flush mirror
-    aux_ref,  # scratch (8, 128) — LSIC slow-path state round-trip
     state_ref,  # scratch (NSTATE, 128)
     *,
     rw: int,
@@ -178,13 +175,6 @@ def _decode128_kernel(
 
         return new_gbase, need & ~take
 
-    def byte_at(page, gbase, pos):
-        rel = jnp.clip((pos >> 2) - gbase * GROUP_W, 0, PAGE_W - 1)
-        sel = (jax.lax.broadcasted_iota(jnp.int32, (PAGE_W, LANES), 0)
-               == rel[0:1, :]).astype(jnp.int32)
-        word = jnp.broadcast_to(jnp.sum(page * sel, axis=0, keepdims=True), S8)
-        return jax.lax.shift_right_logical(word, (pos & 3) * 8) & 0xFF
-
     def read_span12(page, gbase, p):
         """12 consecutive bytes starting at per-lane byte position ``p``
         as a list of (8,128) byte values — ONE bounded row gather + word
@@ -201,11 +191,16 @@ def _decode128_kernel(
             )
         return out
 
-    def lsic_from(span, k0, initial, p, enable, status):
+    def lsic_from(span, k0, initial, p, enable, status, cont):
         """Branchless LSIC over pre-gathered continuation bytes
-        span[k0:k0+LSIC_STEPS]; lanes still hungry after the unrolled
-        steps (``need``) continue in ``lsic_slow``."""
-        need = (initial == 0xF) & enable
+        span[k0:k0+LSIC_STEPS].  ``cont`` lanes resume a field that was
+        suspended in an earlier round: ``initial`` is the saved
+        accumulator and continuation is unconditional (a lane only
+        suspends while its chain is still hungry).  Lanes still hungry
+        after the unrolled steps return ``need`` — the caller records
+        the phase/accumulator state rows and they re-enter here next
+        round with ``cont`` set."""
+        need = ((initial == 0xF) | cont) & enable
         v = initial
         for k in range(LSIC_STEPS):
             eof = need & (p >= n)
@@ -215,60 +210,7 @@ def _decode128_kernel(
             v = v + jnp.where(need, b, 0)
             p = p + need.astype(jnp.int32)
             need = need & (b == 0xFF)
-        if not SLOW_LSIC:
-            status = jnp.where(
-                (need != 0) & (status == OK), STATUS_FALLBACK, status
-            )
         return v, p, status, need
-
-    def lsic_slow(v, p, status, need, gbase):
-        """Rare-path LSIC continuation: byte-at-a-time loop for chains
-        longer than the unrolled window (e.g. RLE runs of tens of KB).
-        Vector state round-trips through scratch — while carries must be
-        scalar-only under Mosaic — and the loop only runs when some lane
-        actually needs it, so steady-state cost is two scratch I/Os."""
-        aux_ref[0:1, :] = v[0:1]
-        aux_ref[1:2, :] = p[0:1]
-        aux_ref[2:3, :] = status[0:1]
-        aux_ref[3:4, :] = need.astype(jnp.int32)[0:1]
-        aux_ref[4:5, :] = gbase[0:1]
-
-        @pl.when(jnp.any(need))
-        def _():
-            def cond(go):
-                return go != 0
-
-            def body(go):
-                a = aux_ref[:, :]
-                v2 = jnp.broadcast_to(a[0:1], S8)
-                p2 = jnp.broadcast_to(a[1:2], S8)
-                st2 = jnp.broadcast_to(a[2:3], S8)
-                nd2 = jnp.broadcast_to(a[3:4], S8) != 0
-                gb2 = jnp.broadcast_to(a[4:5], S8)
-                eof = nd2 & (p2 >= n)
-                st2 = jnp.where(eof & (st2 == OK), ERR_UNEXPECTED_END, st2)
-                nd2 = nd2 & ~eof
-                gb2 = ensure_page(gb2, p2, nd2)
-                b = byte_at(page_ref[:, :], gb2, p2)
-                v2 = v2 + jnp.where(nd2, b, 0)
-                p2 = p2 + nd2.astype(jnp.int32)
-                nd2 = nd2 & (b == 0xFF)
-                aux_ref[0:1, :] = v2[0:1]
-                aux_ref[1:2, :] = p2[0:1]
-                aux_ref[2:3, :] = st2[0:1]
-                aux_ref[3:4, :] = nd2.astype(jnp.int32)[0:1]
-                aux_ref[4:5, :] = gb2[0:1]
-                return jnp.any(nd2).astype(jnp.int32)
-
-            jax.lax.while_loop(cond, body, jnp.int32(1))
-
-        a = aux_ref[:, :]
-        return (
-            jnp.broadcast_to(a[0:1], S8),
-            jnp.broadcast_to(a[1:2], S8),
-            jnp.broadcast_to(a[2:3], S8),
-            jnp.broadcast_to(a[4:5], S8),
-        )
 
     # -------- per-lane bounded row gather (one-hot over a window) -------
     def gather_rows(src, src_rows, base_row, k_rows, modulo):
@@ -421,6 +363,9 @@ def _decode128_kernel(
 
         active = (~done) & (status == OK)
 
+        pph, pv = row(R_PPH), row(R_PV)
+        slit, ssrc, soff = row(R_SLIT), row(R_SSRC), row(R_SOFF)
+
         # ---- parse a new sequence when the current record is drained ----
         # round-start gated ensure: parsing lanes want their cursor group,
         # literal-copy lanes their literal-source group; match-only lanes
@@ -428,61 +373,105 @@ def _decode128_kernel(
         need_rec = active & (lit_rem == 0) & (m_rem == 0)
         granted = jax.lax.rem(r, REFILL_K) == 0
         reads_page = active & (need_rec | (lit_rem > 0))
+        # cont lanes re-read their span from 1 (PH_LIT) / 2 (PH_MATCH)
+        # bytes BEFORE the cursor so the unrolled span indices match the
+        # fresh path; the page must be ensured at that base — pages have
+        # forward margin only, so a cursor exactly on a group boundary
+        # would otherwise clip the span into the wrong group
+        pbase = (
+            pos
+            - (pph == PH_LIT).astype(jnp.int32)
+            - 2 * (pph == PH_MATCH).astype(jnp.int32)
+        )
         gbase, pstall = ensure_page_gated(
-            gbase, jnp.where(need_rec, pos, lit_src), reads_page, granted
+            gbase, jnp.where(need_rec, pbase, lit_src), reads_page, granted
         )
-        parse_ok = need_rec & (pos < n) & ~pstall
-        page = page_ref[:, :]
-
-        span1 = read_span12(page, gbase, jnp.where(parse_ok, pos, 0))
-        tok = span1[0]
-        lit0 = jax.lax.shift_right_logical(tok, 4)
-        nib = tok & 0xF
-        p = pos + 1
-        litv, p, status, lneed = lsic_from(
-            span1, 1, jnp.where(parse_ok, lit0, 0), p, parse_ok, status
-        )
-        if SLOW_LSIC:
-            litv, p, status, gbase = lsic_slow(litv, p, status, lneed, gbase)
-        new_lsrc = p
-        p = p + jnp.where(parse_ok, litv, 0)
+        # a lane suspended mid-LSIC whose cursor sits at EOF is a
+        # truncated stream, not a completed block
+        cont_pending = pph != PH_NONE
         status = jnp.where(
-            parse_ok & (p > n) & (status == OK), ERR_UNEXPECTED_END, status
+            need_rec & cont_pending & (pos >= n) & (status == OK),
+            ERR_UNEXPECTED_END, status,
         )
-
-        has_match = parse_ok & (status == OK) & (n - p >= 2)
-        gbase = ensure_page(gbase, jnp.where(has_match, p, pos), has_match)
+        parse_ok = need_rec & (pos < n) & ~pstall & (status == OK)
+        fresh = parse_ok & (pph == PH_NONE)
+        cont_lit = parse_ok & (pph == PH_LIT)
+        cont_match = parse_ok & (pph == PH_MATCH)
         page = page_ref[:, :]
-        span2 = read_span12(page, gbase, jnp.where(has_match, p, 0))
-        offv = jnp.where(has_match, span2[0] | (span2[1] << 8), 1)
-        p = p + 2 * has_match.astype(jnp.int32)
-        mv, p, status, mneed = lsic_from(
-            span2, 2, jnp.where(has_match, nib, 0), p, has_match, status
+
+        # literal-length field: fresh lanes read token+ext at pos;
+        # cont_lit lanes resume ext bytes AT pos (span base pos-1 keeps
+        # the unrolled span indices identical for both)
+        lit_en = fresh | cont_lit
+        span1 = read_span12(page, gbase, jnp.where(lit_en, pbase, 0))
+        tok = span1[0]
+        nib = jnp.where(cont_lit, soff, tok & 0xF)
+        lit_init = jnp.where(cont_lit, pv, jax.lax.shift_right_logical(tok, 4))
+        p = pos + fresh.astype(jnp.int32)
+        litv, p, status, lneed = lsic_from(
+            span1, 1, jnp.where(lit_en, lit_init, 0), p, lit_en, status,
+            cont=cont_lit,
         )
-        if SLOW_LSIC:
-            mv, p, status, gbase = lsic_slow(mv, p, status, mneed, gbase)
-        mlenv = jnp.where(has_match, mv + 4, 0)
+        susp_lit = lneed & (status == OK)
+        adv = lit_en & ~lneed & (status == OK)  # literal field complete
+        new_lsrc = jnp.where(cont_match, ssrc, p)
+        litv = jnp.where(cont_match, slit, litv)
+        p = jnp.where(cont_match, pos, p + jnp.where(adv, litv, 0))
+        status = jnp.where(
+            adv & (p > n) & (status == OK), ERR_UNEXPECTED_END, status
+        )
+        adv = adv & (status == OK)
+
+        # match field: fresh/cont_lit lanes read offset+ext at p;
+        # cont_match lanes resume ext bytes AT pos (span base pos-2)
+        m_en = adv & (n - p >= 2)
+        m_parse = m_en | cont_match
+        span2_base = jnp.where(cont_match, pbase, p)
+        gbase = ensure_page(gbase, jnp.where(m_parse, span2_base, pos), m_parse)
+        page = page_ref[:, :]
+        span2 = read_span12(page, gbase, jnp.where(m_parse, span2_base, 0))
+        offv = jnp.where(
+            cont_match, soff,
+            jnp.where(m_en, span2[0] | (span2[1] << 8), 1),
+        )
+        p = p + 2 * m_en.astype(jnp.int32)
+        m_init = jnp.where(cont_match, pv, jnp.where(m_en, nib, 0))
+        mv, p, status, mneed = lsic_from(
+            span2, 2, m_init, p, m_parse, status, cont=cont_match
+        )
+        susp_match = mneed & (status == OK)
+        m_done = m_parse & ~mneed & (status == OK)
+        mlenv = jnp.where(m_done, mv + 4, 0)
 
         ok = status == OK
         status = jnp.where(
-            has_match & ok & (out + litv + mlenv > output_limit),
+            m_done & ok & (out + litv + mlenv > output_limit),
             ERR_MEMORY_LIMIT, status,
         )
         ok = status == OK
-        status = jnp.where(has_match & ok & (offv == 0), ERR_ZERO_OFFSET, status)
+        status = jnp.where(m_done & ok & (offv == 0), ERR_ZERO_OFFSET, status)
         ok = status == OK
         status = jnp.where(
-            has_match & ok & (offv > out + litv), ERR_INVALID_OFFSET, status
+            m_done & ok & (offv > out + litv), ERR_INVALID_OFFSET, status
         )
-        accept = parse_ok & (status == OK)
+        seq_done = (adv & ~m_en) | m_done
+        accept = seq_done & (status == OK)
 
         lit_rem = jnp.where(accept, litv, lit_rem)
         lit_src = jnp.where(accept, new_lsrc, lit_src)
         m_rem = jnp.where(accept, mlenv, m_rem)
         m_off = jnp.where(accept, offv, m_off)
         m_lag = jnp.where(accept, offv, m_lag)
-        tail_only = jnp.where(accept, (~has_match).astype(jnp.int32), tail_only)
-        pos = jnp.where(accept, p, pos)
+        tail_only = jnp.where(accept, (~m_done).astype(jnp.int32), tail_only)
+        pos = jnp.where(accept | susp_lit | susp_match, p, pos)
+        pph = jnp.where(
+            susp_lit, PH_LIT,
+            jnp.where(susp_match, PH_MATCH, jnp.where(accept, PH_NONE, pph)),
+        )
+        pv = jnp.where(susp_lit, litv, jnp.where(susp_match, mv, pv))
+        soff = jnp.where(susp_lit, nib, jnp.where(susp_match, offv, soff))
+        slit = jnp.where(susp_match, litv, slit)
+        ssrc = jnp.where(susp_match, new_lsrc, ssrc)
 
         active = active & (status == OK)
 
@@ -609,13 +598,15 @@ def _decode128_kernel(
 
         done = done | (
             active & (tail_only != 0) & (lit_rem == 0)
-        ) | ((pos >= n) & (lit_rem == 0) & (m_rem == 0))
+        ) | (
+            (pos >= n) & (lit_rem == 0) & (m_rem == 0) & (pph == PH_NONE)
+        )
 
         finished = done | (status != OK)
         doneat = jnp.where(finished & ~done0 & (doneat == 0), rnd + 1, doneat)
         new_rows = [pos, out, status, done.astype(jnp.int32), gbase, flushed,
                     lit_rem, lit_src, m_rem, m_off, m_lag, tail_only, fgb, pgf,
-                    rnd + 1, doneat]
+                    rnd + 1, doneat, pph, pv, slit, ssrc, soff]
         pad = (
             [jnp.zeros((NSTATE - len(new_rows), LANES), jnp.int32)]
             if len(new_rows) < NSTATE else []
@@ -716,7 +707,6 @@ def _decode128_jit(
             pltpu.VMEM((FAR_W, LANES), jnp.int32),
             pltpu.VMEM((RING_W, LANES), jnp.int32),
             pltpu.VMEM((max(mid_w, 8), LANES), jnp.int32),
-            pltpu.VMEM((8, LANES), jnp.int32),
             pltpu.VMEM((NSTATE, LANES), jnp.int32),
         ],
         interpret=_interpret(),
@@ -733,6 +723,17 @@ def buffer_rows(max_comp_len: int, block_maxsize: int):
     ro = -(-block_maxsize // 4)
     ro = -(-ro // FAR_G) * FAR_G + FAR_W
     return rw, ro
+
+
+def round_bound(max_comp_len: int, block_maxsize: int) -> int:
+    """Worst-case lockstep rounds for a batch shape: every parse or
+    LSIC-continuation round consumes >=1 comp byte, every chunk round
+    emits up to CB output bytes, RLE lag-doubling adds ~log2(CB)
+    bootstrap rounds per tiny-offset match, and gated refills can idle a
+    lane up to REFILL_K-1 rounds per group crossing.  The while-of-fori
+    exits early, so generosity is free; a lane still live at the cap is
+    flagged for the scalar fallback (defense in depth)."""
+    return 3 * max_comp_len + block_maxsize // CB + 256
 
 
 def lanes_eligible(max_comp_len: int, block_maxsize: int) -> bool:
@@ -761,10 +762,7 @@ def decompress_blocks_128(blocks, block_maxsize: int = 1 << 14):
         return []
     maxlen = max(max(len(b) for b in blocks), 4)
     rw, ro = buffer_rows(maxlen, block_maxsize)
-    # rounds: one sequence per round plus chunking slack
-    # one parse round per sequence plus one extra round per CB bytes of
-    # chunked output (worst case both terms are maximal)
-    max_rounds = maxlen // 3 + block_maxsize // CB + 64
+    max_rounds = round_bound(maxlen, block_maxsize)
 
     arr = np.zeros((LANES, rw * 4), np.uint8)
     n = np.zeros((1, LANES), np.int32)

@@ -39,13 +39,35 @@ def test_decode128_error_kinds():
         assert e.value.kind == kind
 
 
-def test_decode128_sentinel_fallback():
-    """Long LSIC chains fall back to the scalar v4 kernel transparently."""
-    from lz4tpu.kernels.decode128 import decompress_blocks_128
+def test_decode128_reentrant_lsic(monkeypatch, corpus_sample):
+    """LSIC chains longer than the unrolled window suspend and resume
+    in-kernel across rounds (PH_LIT / PH_MATCH continuation) — no host
+    fallback.  Covers: long match chains (RLE runs), long literal chains
+    (incompressible runs > 15+LSIC_STEPS*255 bytes), several long fields
+    per block, and normal lanes sharing the batch."""
+    import numpy as np
 
-    data = b"\x00" * 12_000  # match LSIC chain beyond the static bound
-    comp = bytes(compress_block(data, 0, U16Table()))
-    assert decompress_blocks_128([comp], block_maxsize=1 << 14) == [data]
+    import lz4tpu.kernels.decode128 as d128
+
+    rng = np.random.default_rng(77)
+    incompressible = rng.integers(0, 256, 6000, dtype=np.uint8).tobytes()
+    payloads = [
+        b"\x00" * 12_000,  # match LSIC ~47 ext bytes => ~6 resume rounds
+        incompressible,  # literal LSIC ~23 ext bytes
+        incompressible[:3000] + b"\x07" * 5000 + incompressible[3000:],
+        b"ordinary lane " * 40,
+        corpus_sample(142, 4000),
+        b"\xff" * 2_100,  # literal-ish boundary: matches on 0xff runs
+    ]
+    comp = [bytes(compress_block(p, 0, U16Table())) for p in payloads]
+
+    def no_fallback(*a, **k):  # the wrapper must never need the v4 engine
+        raise AssertionError("host fallback invoked for a long-LSIC lane")
+
+    import lz4tpu.kernels.decompress_v4 as v4
+
+    monkeypatch.setattr(v4, "decompress_blocks_v4", no_fallback)
+    assert d128.decompress_blocks_128(comp, block_maxsize=1 << 14) == payloads
 
 
 def test_decode128_gated_refill_stall_paths(monkeypatch, corpus_sample):

@@ -70,9 +70,11 @@ def test_graft_entry_single_chip():
 
     fn, args = g.entry()
     out_w, out_len, status = [np.asarray(x) for x in fn(*args)]
-    # decode128 contract: transposed words out, (1, LANES) lens/statuses
+    # decode128 contract: transposed words out, (1, LANES) statuses,
+    # (3, LANES) lens/done-at-round/rounds-run diagnostics
     assert (status == 0).all()
-    assert out_len.shape == status.shape == (1, out_w.shape[1])
+    assert status.shape == (1, out_w.shape[1])
+    assert out_len.shape == (3, out_w.shape[1])
     n = np.asarray(args[1])
     assert (out_len[0, n[0] > 0] > 0).all()  # real lanes decoded bytes
 
