@@ -458,6 +458,23 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# SMEM footprint model for one grid step of the scalar kernel on v5e
+# (1.00 MB SMEM budget).  in_words (1 B/B), the packed hash array
+# (2 B/B) and out_words (~1 B/B) are all double-buffered by the Mosaic
+# grid pipeline => ~8 bytes of SMEM per byte of data_capacity, plus
+# tables/scratch/scalars (~110 KB).  Measured anchors: data_capacity
+# 65536 compiles at ~0.62 MB and runs; 131072 (the linked 64 KiB shape)
+# fails AOT compile at 1.09 MB.  Callers route bigger shapes elsewhere
+# (native engine, or smaller chunks where framing permits).
+_SMEM_BUDGET = 980_000
+
+
+def scalar_data_capacity_ok(data_capacity: int) -> bool:
+    """True when a [window|dict]+block of this many bytes fits the scalar
+    compress kernel's per-step SMEM windows on real hardware."""
+    return 8 * data_capacity + 110_000 <= _SMEM_BUDGET
+
+
 @functools.partial(
     jax.jit, static_argnames=("data_capacity", "out_capacity", "u16_table")
 )

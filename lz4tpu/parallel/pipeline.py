@@ -137,16 +137,22 @@ def _compress_sharded(
                 )
             else:
                 wlen = jnp.where(global_ids == 0, 0, wlen)
-            data = jnp.concatenate([windows, blocks_l], axis=1)
-            # left-align each window: data currently holds the tail at a
-            # fixed position; shift so the valid window ends at `window`
-            cursors = jnp.full((nl,), window, jnp.int32)
-            # for short windows the gap [0, window-wlen) holds stale bytes;
-            # the parse only references [window-wlen, window) because the
-            # priming loop inserts positions 0.. — to stay correct we only
-            # prime full windows and skip priming otherwise
-            prime = (wlen == window).astype(jnp.int32)
-            ns = window + lens_l
+            # only FULL windows are primed; a partial window contributes
+            # no matches (unprimed table), but parsing it at cursor=window
+            # is unsafe: empty hash slots alias buffer position 0, and
+            # once window <= 0xFFFF the stale offset-to-0 becomes
+            # emittable (with a 64 KiB window it was implicitly rejected
+            # by the offset<=0xFFFF rule).  Route unprimed blocks through
+            # the proven cursor=0 independent parse instead.
+            full_win = wlen == window
+            data = jnp.where(
+                full_win[:, None],
+                jnp.concatenate([windows, blocks_l], axis=1),
+                jnp.concatenate([blocks_l, jnp.zeros_like(windows)], axis=1),
+            )
+            cursors = jnp.where(full_win, window, 0).astype(jnp.int32)
+            prime = full_win.astype(jnp.int32)
+            ns = jnp.where(full_win, window + lens_l, lens_l)
         elif d:
             # preset-dictionary broadcast: every independent block parses
             # [dictionary | block] starting at cursor == len(dictionary)
@@ -445,6 +451,7 @@ def compress_frame_parallel(
     n_dev = mesh.shape[BLOCK_AXIS]
     dictionary = bytes(dictionary) if dictionary is not None else None
 
+    from ..kernels.compress import scalar_data_capacity_ok
     from ..kernels.compress128 import MAX_B as C128_MAX_B
 
     use_lanes = lane_kernel and not dictionary and not parallel_linked
@@ -452,6 +459,44 @@ def compress_frame_parallel(
     # blocks under a larger declared block-maxsize is valid LZ4 (BD is a
     # maximum, framed/header.rs:51-81)
     chunk_size = min(block_size, C128_MAX_B) if use_lanes else block_size
+    window = WINDOW_SIZE if parallel_linked else 0
+    if not use_lanes:
+        # real-hardware routing by the scalar kernel's SMEM model (the
+        # CPU interpret path has no such limit, but routing by static
+        # shape keeps both backends on identical code paths)
+        if parallel_linked:
+            # [window | block] must fit the kernel step.  Emitting
+            # smaller-than-declared blocks is valid LZ4, and
+            # parallel_linked is already documented as not byte-exact
+            # with the serial writer, so shrink the chunk — and the ring
+            # halo with it (the halo construction needs window <= chunk)
+            while chunk_size > 4096 and not scalar_data_capacity_ok(
+                _round_up(min(WINDOW_SIZE, chunk_size) + chunk_size, 128)
+            ):
+                chunk_size //= 2
+            window = min(WINDOW_SIZE, chunk_size)
+        elif not scalar_data_capacity_ok(
+            _round_up(len(dictionary or b"") + block_size, 128)
+        ):
+            # independent frames promise byte parity with the streaming
+            # writer, so oversized blocks cannot be re-chunked; the
+            # native-engine writer produces the identical frame (and is
+            # the faster path for such blocks anyway)
+            from ..frame.compress import CompressionSettings
+
+            s = (
+                CompressionSettings()
+                .engine("native")
+                .block_size(block_size)
+                .block_checksums(block_checksums)
+                .content_checksum(content_checksum)
+                .acceleration(acceleration)
+            )
+            if dictionary is not None:
+                s.dictionary(dictionary_id or 0, dictionary)
+                if dictionary_id is None:
+                    s.dictionary_id_nonsense_override(None)
+            return s.compress_bytes(data, with_size=with_content_size)
 
     arr, lens, n_blocks = _pad_blocks(data, chunk_size)
     # pad block count to a multiple of the mesh size with empty blocks
@@ -485,7 +530,6 @@ def compress_frame_parallel(
         prime_u32_table(t, dictionary)
         template = t.dict.astype(np.int32)
     tables = np.broadcast_to(template, (n_padded, 4096)).copy()
-    window = WINDOW_SIZE if parallel_linked else 0
 
     if lane_payloads is None:
         dict_u8 = np.frombuffer(dictionary or b"\x00", np.uint8)

@@ -51,6 +51,33 @@ def test_parallel_linked_roundtrip(mesh, corpus_sample):
     assert len(frame) <= len(frame_indep)
 
 
+def test_parallel_oversized_blocks_route_to_streaming_writer(mesh, corpus_sample):
+    """Blocks beyond the scalar kernel's SMEM windows (e.g. the 4 MiB
+    BASELINE config) must still produce the byte-identical frame the
+    parity contract promises — via the native streaming writer."""
+    from lz4tpu import CompressionSettings
+
+    data = corpus_sample(34, 700_000)
+    frame = compress_frame_parallel(data, block_size=1 << 22, mesh=mesh)
+    serial = (
+        CompressionSettings().engine("native").block_size(1 << 22).compress_bytes(data)
+    )
+    assert frame == serial
+    assert decompress_frame_parallel(frame, mesh=mesh) == data
+
+
+def test_parallel_linked_shrinks_chunks_to_kernel_budget(mesh, corpus_sample):
+    """parallel_linked at block sizes whose [window|block] exceeds the
+    kernel step emits smaller chunks under the declared block-maxsize —
+    still a valid linked frame for any decoder."""
+    data = corpus_sample(35, 800_000)
+    for bs in (1 << 16, 1 << 18):
+        frame = compress_frame_parallel(
+            data, block_size=bs, mesh=mesh, parallel_linked=True
+        )
+        assert decompress_frame(frame, engine="native") == data
+
+
 def test_parallel_incompressible_fallback(mesh):
     rng = np.random.default_rng(3)
     data = rng.integers(0, 256, 300_000, dtype=np.uint8).tobytes()
