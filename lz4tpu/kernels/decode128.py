@@ -81,8 +81,10 @@ CW = CB // 4  # chunk words
 assert CB in (16, 32, 64), CB  # ring invariant: flush 128B covers 2*CB inflow
 FLUSH_B = 128  # ring flush granularity (bytes; 32 word rows)
 # ring invariant: post-flush fill (< FLUSH_THRESH, minus 128 if flushed)
-# plus one round's inflow (2*CB) must stay below the ring's 256 B
-FLUSH_THRESH = min(176, RING_W * 4 - 2 * CB)
+# plus one round's inflow (2*CB) must stay below the ring's 256 B; the
+# extra -4 covers place()'s word-granular slop tail (fill + 2*CB + 3
+# bytes may be touched — see the slop-invariant note in place())
+FLUSH_THRESH = min(176, RING_W * 4 - 2 * CB - 4)
 LSIC_STEPS = int(_os.environ.get("LZ4TPU_D128_LSIC", "8"))  # unrolled LSIC ext bytes/field
 # comp-page refill gating (same scheme as compress128): the cursor-side
 # page advances monotonically with the parse, so with 128 desynced lanes
@@ -259,8 +261,27 @@ def _decode128_kernel(
         return lo | hi
 
     def place(ring, bytes_w, dst, take):
-        """Select-merge ``take`` bytes (word-packed, byte-0-aligned chunk)
-        into the ring at per-lane byte position ``dst``."""
+        """Write ``take`` bytes (word-packed, byte-0-aligned chunk) into
+        the ring at per-lane byte position ``dst``.
+
+        Two-level placement (measured: place was 29% of the round as a
+        flat CW+1 x RING_W one-hot merge): scatter the chunk into a
+        16-row aligned window first, then merge the window into the
+        ring at slab granularity.  Window row x <-> ring row sb*8 + x
+        (slab-aligned), and row-level wrap coincides with slab-level
+        wrap because RING_W is a multiple of 8.
+
+        SLOP INVARIANT (kills the per-byte validity machinery, measured
+        ~27% of the round with it): bytes BELOW ``dst`` are preserved (a
+        head-byte mask on the first row); bytes ABOVE ``dst + take`` in
+        the touched rows are clobbered with chunk slop.  Safe because
+        every output byte is written for real exactly once, in order:
+        slop lands only at positions >= the lane's current ``out``, is
+        rewritten before ``out`` passes it, and all readers (near-match
+        gathers, flush sweeps, the final drain + host truncation) only
+        observe positions < ``out``.  Ring-wrap safety: slop extends at
+        most 2*CB+3 bytes past the round-start fill, and FLUSH_THRESH
+        guarantees fill + 2*CB + 3 <= RING_W*4."""
         sh = (dst & 3)[0:1, :]
         z = jnp.zeros((1, LANES), jnp.int32)
         ext = jnp.concatenate([bytes_w, z], axis=0)  # CW+1 rows
@@ -271,41 +292,30 @@ def _decode128_kernel(
             ext,
             (ext << shb) | jax.lax.shift_right_logical(prev, (32 - shb) & 31),
         )
-        # per-byte validity: byte j of output word k is chunk byte 4k+j-sh
-        wordpos = jax.lax.broadcasted_iota(jnp.int32, (CW + 1, LANES), 0)
-        takeb = jnp.broadcast_to(take[0:1, :], (CW + 1, LANES))
-        shw = jnp.broadcast_to(sh, (CW + 1, LANES))
-        wmask = jnp.zeros((CW + 1, LANES), jnp.int32)
-        for j in range(4):
-            cbyte = 4 * wordpos + j - shw
-            valid = (cbyte >= 0) & (cbyte < takeb)
-            lane_mask = jnp.int32(np.int32(np.uint32(0xFF) << (8 * j)))
-            wmask = wmask | jnp.where(valid, lane_mask, 0)
-
-        # two-level placement (measured: place was 29% of the round as a
-        # flat CW+1 x RING_W one-hot merge): scatter the chunk into a
-        # 16-row aligned window first, then merge the window into the
-        # ring at slab granularity.  Window row x <-> ring row sb*8 + x
-        # (slab-aligned), and row-level wrap coincides with slab-level
-        # wrap because RING_W is a multiple of 8.
         base = jax.lax.rem(dst >> 2, RING_W)[0:1, :]
         off = base & 7
         sb = base >> 3
         nsl = RING_W // 8
         w16 = jax.lax.broadcasted_iota(jnp.int32, (16, LANES), 0)
         win = jnp.zeros((16, LANES), jnp.int32)
-        winm = jnp.zeros((16, LANES), jnp.int32)
         offb = jnp.broadcast_to(off, (16, LANES))
         for k in range(CW + 1):
             sel = (w16 == offb + k).astype(jnp.int32)
             win = win + jnp.broadcast_to(shifted[k : k + 1], (16, LANES)) * sel
-            winm = winm + jnp.broadcast_to(wmask[k : k + 1], (16, LANES)) * sel
+        # row validity on the window, built once: rows [off, off+nrows)
+        # are written (nrows = 0 for take = 0 lanes), the first row keeps
+        # its bytes below dst&3
+        nrows = (sh + take[0:1, :] + 3) >> 2
+        rows_ok = (w16 >= offb) & (w16 < offb + jnp.broadcast_to(nrows, (16, LANES)))
+        m16 = jnp.where(rows_ok, jnp.int32(-1), 0)
+        headm = jnp.int32(-1) << (jnp.broadcast_to(sh, (16, LANES)) * 8)
+        m16 = jnp.where(w16 == offb, m16 & headm, m16)
         out_slabs = []
         for s in range(nsl):
             acc = ring[s * 8 : s * 8 + 8, :]
             for w in range(2):
                 sel = (jax.lax.rem(sb + w, nsl) == s).astype(jnp.int32)
-                mm = winm[w * 8 : w * 8 + 8, :] * jnp.broadcast_to(sel, (8, LANES))
+                mm = m16[w * 8 : w * 8 + 8, :] * jnp.broadcast_to(sel, (8, LANES))
                 acc = (acc & ~mm) | (win[w * 8 : w * 8 + 8, :] & mm)
             out_slabs.append(acc)
         return jnp.concatenate(out_slabs, axis=0)
