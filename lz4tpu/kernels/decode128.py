@@ -76,7 +76,13 @@ MID_CAP = int(_os1.environ.get("LZ4TPU_D128_MIDW", "0"))  # measured -7% on mixe
 VMEM_ROWSUM_BUDGET = 16_300_000
 import os as _os
 
-CB = int(_os.environ.get("LZ4TPU_D128_CB", "32"))  # bytes per chunk per round
+# bytes per chunk per round.  16 measured best on mixed corpora (271.7
+# vs 255 MB/s at 32): the batch-gating lanes are SEQUENCE-dense (~8.5 B
+# output/sequence, so chunk width doesn't change their round count) while
+# every lane pays the chunk-width gather/place rows every round.  Corpora
+# dominated by long matches/literals (pure RLE, pattern logs) prefer 32
+# or 64 — chunk rounds halve per doubling; env-tune for such data.
+CB = int(_os.environ.get("LZ4TPU_D128_CB", "16"))
 CW = CB // 4  # chunk words
 assert CB in (16, 32, 64), CB  # ring invariant: flush 128B covers 2*CB inflow
 FLUSH_B = 128  # ring flush granularity (bytes; 32 word rows)
