@@ -81,11 +81,18 @@ REFILL_K = int(_os.environ.get("LZ4TPU_C128_REFILL_K", "1"))
 # groups are random-access per fresh hit); kept as a knob for corpora
 # with very few matches
 GATE2 = _os.environ.get("LZ4TPU_C128_GATE2", "0") == "1"
-RING_W = 64  # output staging ring rows (words)
+# output staging ring geometry.  Compressed outputs DESYNC across lanes
+# (per-lane ratio), so each flush sweep spans many output blocks — a
+# bigger ring with bigger, rarer flushes amortizes that spread
+# (measured: flush = 16% of the round at the 64/128/176 defaults).
+RING_W = int(_os.environ.get("LZ4TPU_C128_RINGW", "64"))  # ring rows (words)
 CB = 32  # bytes per chunk per round
 CW = CB // 4
-FLUSH_B = 128
-FLUSH_THRESH = 176
+FLUSH_B = int(_os.environ.get("LZ4TPU_C128_FLUSHB", "128"))  # bytes per flush
+FLUSH_THRESH = int(_os.environ.get("LZ4TPU_C128_THRESH", "176"))
+assert RING_W % 8 == 0 and FLUSH_B % 4 == 0
+assert FLUSH_B <= FLUSH_THRESH <= RING_W * 4 - CB + 1  # ring never overfills
+assert FLUSH_B // 4 <= RING_W  # one flush fits the ring window
 MAX_B = 32 << 10  # per-lane input cap (VMEM budget)
 
 # phases
@@ -548,74 +555,65 @@ def _compress128_kernel(
                 page_ref, gb, jnp.where(in_lcopy | in_fuse, lit_pos, 0), CW
             )
 
-        hdr_rows = []
-        tok1 = token[0:1, :]
-        off1 = moff[0:1, :]
-        emr1 = emr[0:1, :]
-        e0l1 = emr0_l[0:1, :]
-        e0m1 = emr0_m[0:1, :]
-        reml1 = rem_l[0:1, :]
-        remm1 = rem_m[0:1, :]
-        it1 = in_tok[0:1, :]
-        im1 = in_mhdr[0:1, :]
-        iel1 = in_extl[0:1, :]
-        for k in range(CW):
-            bs = []
-            for j in range(4):
-                i = 4 * k + j
-                # TOK: [token][lit-ext stream...]; MHDR: [off lo][off hi]
-                # [match-ext stream...]; EXT_*: pure stream at emr
-                si_t = i - 1
-                si_m = i - 2
-                b_tok = jnp.where(
-                    i == 0,
-                    tok1,
-                    jnp.where(si_t < e0l1 - 1, 0xFF, reml1),
-                )
-                b_mhdr = (
-                    (off1 & 0xFF)
-                    if i == 0
-                    else (
-                        jax.lax.shift_right_logical(off1, 8) & 0xFF
-                        if i == 1
-                        else jnp.where(si_m < e0m1 - 1, 0xFF, remm1)
-                    )
-                )
-                b_ext = jnp.where(
-                    i < emr1 - 1, 0xFF, jnp.where(iel1, reml1, remm1)
-                )
-                b = jnp.where(it1, b_tok, jnp.where(im1, b_mhdr, b_ext))
-                bs.append(b & 0xFF)
-            hdr_rows.append(
-                bs[0] | (bs[1] << 8) | (bs[2] << 16) | (bs[3] << 24)
+        # header/run span construction, built NATIVELY as (CW=8, 128)
+        # vregs — the former per-(word, byte) loops did ~190 ops on
+        # (1, 128) slices, each occupying a full vreg at 1/8 utilization
+        # (measured: the always-on emission construction dominated the
+        # round's 42% bookkeeping residual).
+        # TOK: [token][lit-ext stream...]; MHDR: [off lo][off hi]
+        # [match-ext stream...]; EXT_*: pure stream at emr
+        assert CW == 8  # byte-index grids below are (8, LANES)
+        tok8 = jnp.broadcast_to(token[0:1, :], S8)
+        offl8 = jnp.broadcast_to((moff & 0xFF)[0:1, :], S8)
+        offh8 = jnp.broadcast_to(
+            (jax.lax.shift_right_logical(moff, 8) & 0xFF)[0:1, :], S8
+        )
+        e0l8 = jnp.broadcast_to(emr0_l[0:1, :], S8)
+        e0m8 = jnp.broadcast_to(emr0_m[0:1, :], S8)
+        reml8 = jnp.broadcast_to(rem_l[0:1, :], S8)
+        remm8 = jnp.broadcast_to(rem_m[0:1, :], S8)
+        emr8 = jnp.broadcast_to(emr[0:1, :], S8)
+        it8 = jnp.broadcast_to(in_tok[0:1, :], S8)
+        im8 = jnp.broadcast_to(in_mhdr[0:1, :], S8)
+        iel8 = jnp.broadcast_to(in_extl[0:1, :], S8)
+        row4 = rowi8 * 4
+        hb = []
+        for j in range(4):
+            i = row4 + j  # byte index within the span, per output row
+            b_tok = jnp.where(i == 0, tok8, jnp.where(i - 1 < e0l8 - 1, 0xFF, reml8))
+            b_mhdr = jnp.where(
+                i == 0, offl8,
+                jnp.where(i == 1, offh8, jnp.where(i - 2 < e0m8 - 1, 0xFF, remm8)),
             )
-        hdr_w = jnp.concatenate(hdr_rows, axis=0)
+            b_ext = jnp.where(i < emr8 - 1, 0xFF, jnp.where(iel8, reml8, remm8))
+            hb.append(
+                jnp.where(it8, b_tok, jnp.where(im8, b_mhdr, b_ext)) & 0xFF
+            )
+        hdr_w = hb[0] | (hb[1] << 8) | (hb[2] << 16) | (hb[3] << 24)
 
         # fused span: [token][<=15 literal bytes][off lo][off hi] —
-        # literals statically shifted right one byte; token and the two
-        # offset bytes (at the per-lane variable position 1+lit) overlaid
-        b2f = (1 + lit)[0:1, :]
-        offl = (moff & 0xFF)[0:1, :]
-        offh = (jax.lax.shift_right_logical(moff, 8) & 0xFF)[0:1, :]
-        ntail1 = ~tail[0:1, :]
-        fused_rows = []
-        prev = jnp.zeros((1, LANES), jnp.int32)
-        for k in range(CW):
-            w = (lit_w[k : k + 1] << 8) | jax.lax.shift_right_logical(
-                prev, 24
-            ) & 0xFF
-            prev = lit_w[k : k + 1]
-            if k == 0:
-                w = (w & ~0xFF) | tok1
-            for j in range(4):
-                idx = 4 * k + j
-                bytemask = jnp.int32(np.int32(np.uint32(0xFF) << (8 * j)))
-                m_lo = (idx == b2f) & ntail1
-                m_hi = (idx == b2f + 1) & ntail1
-                w = jnp.where(m_lo, (w & ~bytemask) | (offl << (8 * j)), w)
-                w = jnp.where(m_hi, (w & ~bytemask) | (offh << (8 * j)), w)
-            fused_rows.append(w)
-        fused_w = jnp.concatenate(fused_rows, axis=0)
+        # literals shifted right one byte via a static row slice; token
+        # and the two offset bytes (at the per-lane position 1+lit)
+        # overlaid with byte-index-grid selects
+        lit_prev = jnp.concatenate(
+            [jnp.zeros((1, LANES), jnp.int32), lit_w[: CW - 1]], axis=0
+        )
+        fw = (lit_w << 8) | (
+            jax.lax.shift_right_logical(lit_prev, 24) & 0xFF
+        )
+        fw = jnp.where(rowi8 == 0, (fw & ~0xFF) | tok8, fw)
+        b2f8 = 1 + lit  # S8 already
+        ntail8 = jnp.broadcast_to(~tail[0:1, :], S8)
+        for j in range(4):
+            i = row4 + j
+            bytemask = jnp.int32(np.int32(np.uint32(0xFF) << (8 * j)))
+            fw = jnp.where(
+                (i == b2f8) & ntail8, (fw & ~bytemask) | (offl8 << (8 * j)), fw
+            )
+            fw = jnp.where(
+                (i == b2f8 + 1) & ntail8, (fw & ~bytemask) | (offh8 << (8 * j)), fw
+            )
+        fused_w = fw
 
         span_w = jnp.where(
             jnp.broadcast_to(in_lcopy[0:1], (CW, LANES)),

@@ -59,11 +59,9 @@ import os as _os1
 
 LANES = 128
 GROUP_W = int(_os1.environ.get("LZ4TPU_D128_GROUPW", "256"))  # comp page group
-PAGE_W = GROUP_W + 32  # comp page rows: group + parse/chunk margin
 import os as _os2
 
 FAR_G = int(_os2.environ.get("LZ4TPU_D128_FARG", "256"))  # far group granularity (measured best)
-FAR_W = FAR_G + 32  # far page rows: group + chunk margin
 RING_W = int(_os1.environ.get("LZ4TPU_D128_RINGW", "64"))  # staging ring rows (words)
 # mid-history page: a mod-addressed mirror of the last mid_w*4 flushed
 # bytes, written during the flush sweep at lane-uniform addresses (no
@@ -85,6 +83,13 @@ import os as _os
 CB = int(_os.environ.get("LZ4TPU_D128_CB", "16"))
 CW = CB // 4  # chunk words
 assert CB in (16, 32, 64), CB  # ring invariant: flush 128B covers 2*CB inflow
+# page margins beyond the group: the widest in-page read is a chunk
+# gather (CW+1 rows + funnel spill) or a 12-byte parse span (4 rows),
+# from a base inside the group — slab-rounded.  Every margin row rides
+# along in one-hot refills/rebuilds, so trim to the actual read-ahead.
+_MARGIN = -(-max(CW + 2, 5) // 8) * 8
+PAGE_W = GROUP_W + _MARGIN  # comp page rows: group + parse/chunk margin
+FAR_W = FAR_G + _MARGIN  # far page rows: group + chunk margin
 FLUSH_B = 128  # ring flush granularity (bytes; 32 word rows)
 # ring invariant: post-flush fill (< FLUSH_THRESH, minus 128 if flushed)
 # plus one round's inflow (2*CB) must stay below the ring's 256 B; the
@@ -364,6 +369,16 @@ def _decode128_kernel(
     # ---------------- main loop ----------------------------------------
     def round_body(r, _):
         st = state_ref[:, :]
+
+        if variant == "floor":
+            # structural floor probe: full state read + write and the loop
+            # machinery, nothing else (lanes never finish — time it with
+            # max_rounds set to the real run's round count)
+            state_ref[:, :] = jnp.concatenate(
+                [st[:R_RND], st[R_RND : R_RND + 1] + 1, st[R_RND + 1 :]],
+                axis=0,
+            )
+            return 0
 
         def row(i):
             return jnp.broadcast_to(st[i : i + 1], S8)

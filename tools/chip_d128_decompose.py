@@ -47,10 +47,17 @@ def main():
         "full", "noplace", "nogather", "nonear", "nofar", "flush2x", "refill2x",
     ]
     results = {}
+    rounds_real = None
     for v in variants:
-        def run(wds, v=v):
+        # the floor variant never finishes lanes; cap it at the real
+        # run's round count so its time is comparable
+        mr = max_rounds
+        if v == "floor":
+            mr = int(rounds_real) if rounds_real else 7808
+
+        def run(wds, v=v, mr=mr):
             _, ol, st = d128._decode128_jit(
-                wds, d_n, rw=rw, ro=ro, max_rounds=max_rounds,
+                wds, d_n, rw=rw, ro=ro, max_rounds=mr,
                 output_limit=BLOCK, variant=v,
             )
             return wds ^ (st.sum() * 0), ol
@@ -58,7 +65,9 @@ def main():
         chain = jax.jit(run)
         t0 = time.time()
         _, ol = chain(d_words)
-        np.asarray(ol)
+        olh = np.asarray(ol)
+        if v == "full":
+            rounds_real = olh[2].max()
         tc = time.time() - t0
         best = 1e9
         for _ in range(3):
