@@ -271,38 +271,64 @@ def _decode128_kernel(
         hi = jnp.where(shb == 0, 0, nxt << ((32 - shb) & 31))
         return lo | hi
 
-    def place(ring, bytes_w, dst, take):
-        """Write ``take`` bytes (word-packed, byte-0-aligned chunk) into
-        the ring at per-lane byte position ``dst``.
+    def _byte_shift(bytes_w, sh):
+        """Word rows of ``bytes_w`` shifted left within the stream by the
+        per-lane byte amount ``sh`` in [0, 3]; returns CW+1 rows."""
+        z = jnp.zeros((1, LANES), jnp.int32)
+        ext = jnp.concatenate([bytes_w, z], axis=0)  # CW+1 rows
+        prev = jnp.concatenate([z, bytes_w], axis=0)
+        shb = jnp.broadcast_to(sh, (CW + 1, LANES)) * 8
+        return jnp.where(
+            shb == 0,
+            ext,
+            (ext << shb) | jax.lax.shift_right_logical(prev, (32 - shb) & 31),
+        )
 
-        Two-level placement (measured: place was 29% of the round as a
-        flat CW+1 x RING_W one-hot merge): scatter the chunk into a
-        16-row aligned window first, then merge the window into the
+    def place2(ring, lit_bytes, m_bytes, dst, lit_take, m_take):
+        """Write ``lit_take`` literal bytes then ``m_take`` match bytes as
+        ONE contiguous span at per-lane byte position ``dst`` — a single
+        window scatter + ring merge instead of two dependent place calls
+        (place was 30% of the round as two calls; the merge stages
+        serialize on the ring value).
+
+        Two-level placement: scatter the chunks into a 16-row aligned
+        window (lit_take + m_take <= 2*CB <= 32 bytes + offset 3 + row
+        slack fits 16 rows for CB <= 32), then merge the window into the
         ring at slab granularity.  Window row x <-> ring row sb*8 + x
         (slab-aligned), and row-level wrap coincides with slab-level
         wrap because RING_W is a multiple of 8.
 
         SLOP INVARIANT (kills the per-byte validity machinery, measured
         ~27% of the round with it): bytes BELOW ``dst`` are preserved (a
-        head-byte mask on the first row); bytes ABOVE ``dst + take`` in
-        the touched rows are clobbered with chunk slop.  Safe because
-        every output byte is written for real exactly once, in order:
-        slop lands only at positions >= the lane's current ``out``, is
-        rewritten before ``out`` passes it, and all readers (near-match
-        gathers, flush sweeps, the final drain + host truncation) only
-        observe positions < ``out``.  Ring-wrap safety: slop extends at
-        most 2*CB+3 bytes past the round-start fill, and FLUSH_THRESH
-        guarantees fill + 2*CB + 3 <= RING_W*4."""
+        head-byte mask on the first row); bytes ABOVE the span in the
+        touched rows are clobbered with chunk slop.  Safe because every
+        output byte is written for real exactly once, in order: slop
+        lands only at positions >= the lane's current ``out``, is
+        rewritten before ``out`` passes it, and all readers (the
+        pre-place near gather + register overlay, flush sweeps, the
+        final drain + host truncation) only observe positions < ``out``.
+        Ring-wrap safety: slop extends at most 2*CB+3 bytes past the
+        round-start fill, and FLUSH_THRESH guarantees
+        fill + 2*CB + 3 <= RING_W*4."""
+        assert CB <= 32  # combined span must fit the 16-row window
         sh = (dst & 3)[0:1, :]
-        z = jnp.zeros((1, LANES), jnp.int32)
-        ext = jnp.concatenate([bytes_w, z], axis=0)  # CW+1 rows
-        prev = jnp.concatenate([z, bytes_w], axis=0)
-        shb = jnp.broadcast_to(sh, (CW + 1, LANES)) * 8
-        shifted = jnp.where(
-            shb == 0,
-            ext,
-            (ext << shb) | jax.lax.shift_right_logical(prev, (32 - shb) & 31),
+        lt = lit_take[0:1, :]
+        dst2 = dst + lit_take
+        sh2 = (dst2 & 3)[0:1, :]
+        row2 = ((sh + lt) >> 2)  # match chunk's row offset in the window
+        shifted_l = _byte_shift(lit_bytes, sh)
+        # zero the literal chunk's bytes at/after its end: the boundary
+        # word shares bytes with the match chunk's first word (which has
+        # zeros below sh2), and rows past the boundary belong entirely to
+        # the match chunk — scatter ADDs, so stale lit slop must not mix
+        rowi_l = jax.lax.broadcasted_iota(jnp.int32, (CW + 1, LANES), 0)
+        row2b = jnp.broadcast_to(row2, (CW + 1, LANES))
+        lowm = (1 << (8 * jnp.broadcast_to(sh2, (CW + 1, LANES)))) - 1
+        shifted_l = jnp.where(
+            rowi_l == row2b, shifted_l & lowm,
+            jnp.where(rowi_l > row2b, 0, shifted_l),
         )
+        shifted_m = _byte_shift(m_bytes, sh2)
         base = jax.lax.rem(dst >> 2, RING_W)[0:1, :]
         off = base & 7
         sb = base >> 3
@@ -310,13 +336,16 @@ def _decode128_kernel(
         w16 = jax.lax.broadcasted_iota(jnp.int32, (16, LANES), 0)
         win = jnp.zeros((16, LANES), jnp.int32)
         offb = jnp.broadcast_to(off, (16, LANES))
+        off2b = offb + jnp.broadcast_to(row2, (16, LANES))
         for k in range(CW + 1):
             sel = (w16 == offb + k).astype(jnp.int32)
-            win = win + jnp.broadcast_to(shifted[k : k + 1], (16, LANES)) * sel
-        # row validity on the window, built once: rows [off, off+nrows)
-        # are written (nrows = 0 for take = 0 lanes), the first row keeps
-        # its bytes below dst&3
-        nrows = (sh + take[0:1, :] + 3) >> 2
+            win = win + jnp.broadcast_to(shifted_l[k : k + 1], (16, LANES)) * sel
+            sel2 = (w16 == off2b + k).astype(jnp.int32)
+            win = win + jnp.broadcast_to(shifted_m[k : k + 1], (16, LANES)) * sel2
+        # row validity on the window, built once over the COMBINED span:
+        # rows [off, off+nrows) are written (nrows = 0 when both takes are
+        # 0), the first row keeps its bytes below dst&3
+        nrows = (sh + lt + m_take[0:1, :] + 3) >> 2
         rows_ok = (w16 >= offb) & (w16 < offb + jnp.broadcast_to(nrows, (16, LANES)))
         m16 = jnp.where(rows_ok, jnp.int32(-1), 0)
         headm = jnp.int32(-1) << (jnp.broadcast_to(sh, (16, LANES)) * 8)
@@ -534,14 +563,9 @@ def _decode128_kernel(
             litw = gather_rows(page, PAGE_W, lsrc_row, CW + 1, 0)
             lit_bytes = funnel(litw, lit_src)
 
-        # ---- place literals FIRST: the match source may include bytes
-        # from this very round's literal chunk ----
-        if variant == "noplace":
-            ring1 = ring0
-        else:
-            ring1 = place(ring0, lit_bytes, out, jnp.where(active, lit_take, 0))
-
-        # ---- match chunk ----
+        # ---- match chunk (source gathers read the PRE-place ring; a
+        # match whose source overlaps this round's literal chunk defers
+        # those bytes one round — see the m_take clamp below) ----
         m_ready = active & (lit_rem - lit_take == 0) & (m_rem > 0)
         src_abs = out + lit_take - m_lag
         near = m_ready & (src_abs >= flushed)
@@ -558,7 +582,7 @@ def _decode128_kernel(
         if variant in ("nogather", "nonear"):
             near_bytes = jnp.zeros((CW, LANES), jnp.int32)
         else:
-            nearw = gather_rows(ring1, RING_W, nsrc_row, CW + 1, RING_W)
+            nearw = gather_rows(ring0, RING_W, nsrc_row, CW + 1, RING_W)
             near_bytes = funnel(nearw, src_abs)
 
         if mid_w and variant not in ("nomid", "nogather"):
@@ -612,11 +636,24 @@ def _decode128_kernel(
         m_take = jnp.where(midp, jnp.minimum(m_take, flushed - src_abs), m_take)
         if variant != "nofar":  # timing variant: keep progress guaranteed
             m_take = jnp.where(far, jnp.minimum(m_take, pgf - src_abs), m_take)
+        # near sources overlapping THIS round's literal chunk defer to the
+        # next round (the gather read the pre-place ring): take only bytes
+        # strictly below ``out``.  Costs one extra round on literal+tiny-
+        # offset sequences; buys the fused single-place (no intermediate
+        # ring value).  Progress is guaranteed: next round lit_take = 0.
+        m_take = jnp.where(
+            near & (lit_take > 0),
+            jnp.minimum(m_take, jnp.clip(out - src_abs, 0, None)),
+            m_take,
+        )
 
         if variant == "noplace":
-            ring2 = ring1
+            ring2 = ring0
         else:
-            ring2 = place(ring1, m_bytes, out + lit_take, m_take)
+            ring2 = place2(
+                ring0, lit_bytes, m_bytes, out,
+                jnp.where(active, lit_take, 0), m_take,
+            )
         ring_ref[:, :] = ring2
 
         out = out + jnp.where(active, lit_take, 0) + m_take
