@@ -523,7 +523,16 @@ def compress_frame_parallel(
                 lane_payloads.extend(_lane_compress_batch(chunk, mesh))
 
     template = np.zeros(4096, np.int32)
-    if dictionary:
+    if dictionary and not parallel_linked:
+        # independent+dict: buffers are [dict | block] with cursor at
+        # dict_len, so dict coordinates == buffer coordinates and every
+        # template position sits behind the cursor.  Linked mode must NOT
+        # use this template: its buffers hold only the dict TAIL in a
+        # `window`-byte slot, so dict-coordinate entries point at wrong
+        # bytes — and once window < dict_len, at/AHEAD of the cursor
+        # (a candidate equal to the cursor emits a zero offset).  The
+        # in-kernel window priming supplies the same step-3 candidates in
+        # correct buffer coordinates.
         from ..spec.table import U32Table, prime_u32_table
 
         t = U32Table()

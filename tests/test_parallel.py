@@ -78,6 +78,24 @@ def test_parallel_linked_shrinks_chunks_to_kernel_budget(mesh, corpus_sample):
         assert decompress_frame(frame, engine="native") == data
 
 
+def test_parallel_linked_with_dictionary_roundtrips(mesh, corpus_sample):
+    """Linked mode + preset dictionary: the host dict template must NOT
+    ride along (its dict-coordinate positions are wrong in the
+    [window-tail | block] buffers — with window < dict_len they sit
+    at/ahead of the cursor and can emit zero/forward offsets).
+    Regression for the zero_deduplication_offset bench failure."""
+    from lz4tpu import decompress_frame
+
+    data = corpus_sample(36, 600_000)
+    for dict_len in (1 << 16, 10_000):  # full window and short (unprimed)
+        dictionary = data[:dict_len]
+        fl = compress_frame_parallel(
+            data, block_size=1 << 16, mesh=mesh,
+            parallel_linked=True, dictionary=dictionary,
+        )
+        assert decompress_frame(fl, dictionary=dictionary, engine="native") == data
+
+
 def test_parallel_incompressible_fallback(mesh):
     rng = np.random.default_rng(3)
     data = rng.integers(0, 256, 300_000, dtype=np.uint8).tobytes()
