@@ -346,7 +346,7 @@ def main() -> None:
             assert out == sub, "decode128 mismatch"
 
             maxlen = max(len(b) for b in subc)
-            rw, ro = d128.buffer_rows(maxlen, BLOCK)
+            rw, ro, _pr = d128.buffer_rows(maxlen, BLOCK)
             max_rounds = d128.round_bound(maxlen, BLOCK)
             arr128 = np.zeros((128, rw * 4), np.uint8)
             n128 = np.zeros((1, 128), np.int32)

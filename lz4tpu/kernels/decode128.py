@@ -30,9 +30,14 @@ extra round per LSIC_STEPS continuation bytes with no per-round tax and
 no host fallback; the fallback sentinel remains only as the round-cap
 defense (``decompress_blocks_128`` wrapper).
 
-Scope (prototype): independent blocks, no prefix/dictionary yet, block
-size bounded by the transposed-VMEM budget (~64 KiB output/lane).
-Semantics: ``/root/reference/src/raw/decompress.rs:59-138``.
+Prefix/dictionary mode: per-lane prefixes arrive right-aligned in the
+seeded head of the transposed output, decoding starts pre-flushed just
+past them, and the far-page machinery serves prefix bytes exactly like
+flushed output (no extra code path in the round).  Block size and
+prefix together are bounded by the transposed-VMEM budget
+(``lanes_eligible``; ~64 KiB output/lane without a prefix).
+Semantics: ``/root/reference/src/raw/decompress.rs:59-138`` (prefix
+resolution ``:84-99``).
 """
 
 from __future__ import annotations
@@ -126,6 +131,8 @@ def _interpret() -> bool:
 def _decode128_kernel(
     words_ref,  # VMEM (Rw, 128) int32 — transposed comp streams
     n_ref,  # VMEM (1, 128) int32
+    prefix_ref,  # VMEM (max(pr,8), 128) int32 — transposed, right-aligned prefixes
+    plen_ref,  # VMEM (1, 128) int32 — per-lane prefix byte lengths
     out_words_ref,  # VMEM (Ro, 128) int32 OUT — transposed outputs
     out_len_ref,  # VMEM (3, 128) int32 OUT: len / done-at-round / rounds run
     status_ref,  # VMEM (1, 128) int32 OUT
@@ -137,15 +144,24 @@ def _decode128_kernel(
     *,
     rw: int,
     ro: int,
+    pr: int,
     max_rounds: int,
     output_limit: int,
     mid_w: int,
     variant: str = "full",
 ):
+    """Prefix/dictionary mode (pr > 0): the first ``pr`` output rows are
+    seeded with each lane's right-aligned prefix (decompress prefix
+    semantics, ``/root/reference/src/raw/decompress.rs:84-99``) and
+    decoding starts at byte ``pr*4``, pre-flushed — the far-page
+    machinery then serves prefix bytes exactly like flushed output, and
+    offsets validate against decoded + per-lane prefix length."""
     S8 = (8, LANES)
     n = jnp.broadcast_to(n_ref[0:1, :], S8)
     n_groups = max((rw - PAGE_W) // GROUP_W + 1, 1)
     far_groups = max((ro - FAR_W) // FAR_G + 1, 1)
+    pstart = pr * 4  # absolute byte position where decoding begins
+    plen = jnp.broadcast_to(plen_ref[0:1, :], S8)
 
     rowi8 = jax.lax.broadcasted_iota(jnp.int32, S8, 0)
 
@@ -505,14 +521,17 @@ def _decode128_kernel(
 
         ok = status == OK
         status = jnp.where(
-            m_done & ok & (out + litv + mlenv > output_limit),
+            m_done & ok & (out - pstart + litv + mlenv > output_limit),
             ERR_MEMORY_LIMIT, status,
         )
         ok = status == OK
         status = jnp.where(m_done & ok & (offv == 0), ERR_ZERO_OFFSET, status)
         ok = status == OK
+        # offsets may reach back through decoded bytes AND the lane's
+        # prefix (decompress.rs:84-99)
         status = jnp.where(
-            m_done & ok & (offv > out + litv), ERR_INVALID_OFFSET, status
+            m_done & ok & (offv > out - pstart + plen + litv),
+            ERR_INVALID_OFFSET, status,
         )
         seq_done = (adv & ~m_en) | m_done
         accept = seq_done & (status == OK)
@@ -683,12 +702,17 @@ def _decode128_kernel(
         return 0
 
     # ---- init + run + final drain ----
+    if pr:
+        # seed the outputs with the right-aligned prefixes: rows below
+        # pstart behave exactly like flushed output for the far pages
+        out_words_ref[0:pr, :] = prefix_ref[0:pr, :]
     z1 = jnp.zeros((1, LANES), jnp.int32)
     one = jnp.full((1, LANES), 1, jnp.int32)
+    ps1 = jnp.full((1, LANES), pstart, jnp.int32)
     state_ref[:, :] = jnp.concatenate(
-        [z1, z1, jnp.full((1, LANES), OK, jnp.int32),
+        [z1, ps1, jnp.full((1, LANES), OK, jnp.int32),
          (0 >= n[0:1]).astype(jnp.int32), jnp.full((1, LANES), -1, jnp.int32),
-         z1, z1, z1, z1, one, one, z1, jnp.full((1, LANES), -1, jnp.int32),
+         ps1, z1, z1, z1, one, one, z1, jnp.full((1, LANES), -1, jnp.int32),
          z1, jnp.zeros((NSTATE - 14, LANES), jnp.int32)],
         axis=0,
     )
@@ -730,7 +754,7 @@ def _decode128_kernel(
         jnp.clip(((out_f - flushed_f) + 3) >> 2, 0, RING_W),
     )
     out_len_ref[:, :] = jnp.concatenate(
-        [st[R_OUT : R_OUT + 1], st[R_DONEAT : R_DONEAT + 1],
+        [st[R_OUT : R_OUT + 1] - pstart, st[R_DONEAT : R_DONEAT + 1],
          st[R_RND : R_RND + 1]], axis=0,
     )
     status_ref[:, :] = st[R_ST : R_ST + 1]
@@ -746,21 +770,32 @@ def pick_mid_w(rw: int, ro: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rw", "ro", "max_rounds", "output_limit", "mid_w", "variant"),
+    static_argnames=(
+        "rw", "ro", "pr", "max_rounds", "output_limit", "mid_w", "variant"
+    ),
 )
 def _decode128_jit(
-    words, n, *, rw, ro, max_rounds, output_limit, mid_w=None, variant="full"
+    words, n, prefix=None, plen=None, *, rw, ro, pr=0,
+    max_rounds, output_limit, mid_w=None, variant="full",
 ):
+    if prefix is None:
+        assert pr == 0
+        prefix = jnp.zeros((8, LANES), jnp.int32)
+        plen = jnp.zeros((1, LANES), jnp.int32)
     if mid_w is None:
-        mid_w = pick_mid_w(rw, ro)
+        # the mid mirror never holds prefix bytes, so it stays off in
+        # prefix mode
+        mid_w = 0 if pr else pick_mid_w(rw, ro)
     assert mid_w % RING_W == 0  # flush blocks never wrap the mid page
     return pl.pallas_call(
         functools.partial(
             _decode128_kernel,
-            rw=rw, ro=ro, max_rounds=max_rounds, output_limit=output_limit,
-            mid_w=mid_w, variant=variant,
+            rw=rw, ro=ro, pr=pr, max_rounds=max_rounds,
+            output_limit=output_limit, mid_w=mid_w, variant=variant,
         ),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -778,19 +813,23 @@ def _decode128_jit(
             pltpu.VMEM((NSTATE, LANES), jnp.int32),
         ],
         interpret=_interpret(),
-    )(words, n)
+    )(words, n, prefix, plen)
 
 
-def buffer_rows(max_comp_len: int, block_maxsize: int):
-    """(rw, ro) buffer row counts for a batch shape (shared with the
-    eligibility check so callers and the wrapper agree)."""
+def buffer_rows(max_comp_len: int, block_maxsize: int, prefix_len: int = 0):
+    """(rw, ro, pr) buffer row counts for a batch shape (shared with the
+    eligibility check so callers and the wrapper agree).  ``pr`` prefix
+    rows precede the decoded output in the same transposed buffer."""
     # pad = exactly one page beyond the last full group: the last group
     # slice [C, C+PAGE_W) then ends exactly at rw (same for the far page)
     rw = -(-max(max_comp_len, 4) // 4)
     rw = -(-rw // GROUP_W) * GROUP_W + PAGE_W
-    ro = -(-block_maxsize // 4)
+    pr = -(-prefix_len // 4)
+    # keep flush blocks aligned: decoding starts at a RING_W row multiple
+    pr = -(-pr // RING_W) * RING_W
+    ro = pr + -(-block_maxsize // 4)
     ro = -(-ro // FAR_G) * FAR_G + FAR_W
-    return rw, ro
+    return rw, ro, pr
 
 
 def round_bound(max_comp_len: int, block_maxsize: int) -> int:
@@ -804,13 +843,17 @@ def round_bound(max_comp_len: int, block_maxsize: int) -> int:
     return 3 * max_comp_len + block_maxsize // CB + 256
 
 
-def lanes_eligible(max_comp_len: int, block_maxsize: int) -> bool:
+def lanes_eligible(
+    max_comp_len: int, block_maxsize: int, prefix_len: int = 0
+) -> bool:
     """True when the 128-lane kernel's transposed VMEM footprint for this
-    batch shape (comp streams + outputs + pages/ring/state scratch) fits
-    the ~16 MB/core budget with headroom; bigger shapes use the scalar
-    v4 pipeline (or its host fallback for huge blocks)."""
-    rw, ro = buffer_rows(max_comp_len, block_maxsize)
-    rows = rw + ro + PAGE_W + FAR_W + RING_W + NSTATE  # mid adapts to fit
+    batch shape (comp streams + outputs incl. prefix rows + pages/ring/
+    state scratch) fits the ~16 MB/core budget with headroom; bigger
+    shapes use the scalar v4 pipeline (or its host fallback for huge
+    blocks)."""
+    rw, ro, pr = buffer_rows(max_comp_len, block_maxsize, prefix_len)
+    # prefix rows count twice: once as the seeding input, once inside ro
+    rows = rw + ro + max(pr, 8) + PAGE_W + FAR_W + RING_W + NSTATE
     # empirical anchors (GROUP_W=256, FAR_G=256, 64 KiB blocks): a
     # 16.26 MB row sum (53 KB max comp) compiles and runs on v5e (the
     # compiler reports ~15.7 MB actual demand); 16.65 MB fails by 87 KB.
@@ -818,34 +861,71 @@ def lanes_eligible(max_comp_len: int, block_maxsize: int) -> bool:
     return rows * LANES * 4 <= VMEM_ROWSUM_BUDGET
 
 
-def decompress_blocks_128(blocks, block_maxsize: int = 1 << 14):
+def _pack_transposed(rows, width_bytes, items):
+    """uint8 item list -> transposed little-endian int32 words
+    (rows, LANES), right-padded with zeros."""
+    arr = np.zeros((LANES, rows * 4), np.uint8)
+    for i, (b, align_right) in enumerate(items):
+        if align_right:
+            arr[i, width_bytes - len(b) : width_bytes] = np.frombuffer(b, np.uint8)
+        else:
+            arr[i, : len(b)] = np.frombuffer(b, np.uint8)
+    w = arr.reshape(LANES, rows, 4).astype(np.uint32)
+    words = (
+        w[:, :, 0] | (w[:, :, 1] << 8) | (w[:, :, 2] << 16) | (w[:, :, 3] << 24)
+    ).astype(np.int32).T
+    return np.ascontiguousarray(words)
+
+
+def decompress_blocks_128(blocks, block_maxsize: int = 1 << 14, prefixes=None):
     """Decode up to 128 independent raw blocks lane-parallel; lanes that
     error with real format errors raise ``DecodeError`` (first blocking
     lane); lanes flagged with the fallback sentinel re-decode through the
-    scalar v4 kernel."""
+    scalar v4 kernel.
+
+    ``prefixes`` (optional, per block): dictionary / carryover-window
+    bytes each block's match offsets may reach back into
+    (``decompress.rs:84-99`` semantics); at most 64 KiB each."""
     assert len(blocks) <= LANES
     blocks = [bytes(b) for b in blocks]
     nb = len(blocks)
     if nb == 0:
         return []
+    if prefixes is not None:
+        prefixes = [bytes(p) for p in prefixes]
+        assert len(prefixes) == nb
+        max_plen = max((len(p) for p in prefixes), default=0)
+    else:
+        max_plen = 0
     maxlen = max(max(len(b) for b in blocks), 4)
-    rw, ro = buffer_rows(maxlen, block_maxsize)
+    rw, ro, pr = buffer_rows(maxlen, block_maxsize, max_plen)
     max_rounds = round_bound(maxlen, block_maxsize)
 
-    arr = np.zeros((LANES, rw * 4), np.uint8)
+    words = _pack_transposed(
+        rw, rw * 4, [(b, False) for b in blocks]
+        + [(b"", False)] * (LANES - nb)
+    )
     n = np.zeros((1, LANES), np.int32)
     for i, b in enumerate(blocks):
-        arr[i, : len(b)] = np.frombuffer(b, np.uint8)
         n[0, i] = len(b)
-    w = arr.reshape(LANES, rw, 4).astype(np.uint32)
-    words = (
-        w[:, :, 0] | (w[:, :, 1] << 8) | (w[:, :, 2] << 16) | (w[:, :, 3] << 24)
-    ).astype(np.int32).T
+
+    kw = {}
+    if pr:
+        plen = np.zeros((1, LANES), np.int32)
+        for i, p in enumerate(prefixes):
+            plen[0, i] = len(p)
+        kw["prefix"] = jnp.asarray(
+            _pack_transposed(
+                pr, pr * 4, [(p, True) for p in prefixes]
+                + [(b"", True)] * (LANES - nb)
+            )
+        )
+        kw["plen"] = jnp.asarray(plen)
 
     out_w, out_len, status = _decode128_jit(
-        jnp.asarray(np.ascontiguousarray(words)),
-        jnp.asarray(n),
-        rw=rw, ro=ro, max_rounds=max_rounds, output_limit=block_maxsize,
+        jnp.asarray(words), jnp.asarray(n),
+        rw=rw, ro=ro, pr=pr, max_rounds=max_rounds,
+        output_limit=block_maxsize, **kw,
     )
     out_w = np.asarray(out_w)
     out_len = np.asarray(out_len)[0]
@@ -861,12 +941,17 @@ def decompress_blocks_128(blocks, block_maxsize: int = 1 << 14):
             by[:, 1] = (ww >> 8) & 0xFF
             by[:, 2] = (ww >> 16) & 0xFF
             by[:, 3] = (ww >> 24) & 0xFF
-            results.append(by.reshape(-1)[: out_len[i]].tobytes())
+            flat = by.reshape(-1)
+            results.append(flat[pr * 4 : pr * 4 + out_len[i]].tobytes())
         elif s == STATUS_FALLBACK:
             from .decompress_v4 import decompress_blocks_v4
 
             results.append(
-                decompress_blocks_v4([blocks[i]], block_maxsize=block_maxsize)[0]
+                decompress_blocks_v4(
+                    [blocks[i]],
+                    block_maxsize=block_maxsize,
+                    prefixes=[prefixes[i]] if prefixes is not None else None,
+                )[0]
             )
         else:
             raise DecodeError(STATUS_TO_KIND[s])

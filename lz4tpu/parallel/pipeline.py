@@ -286,7 +286,7 @@ def _lane_decode_batch(blocks, block_maxsize: int, mesh):
     assert 0 < len(blocks) <= lanes
     blocks = [bytes(b) for b in blocks]
     maxlen = max(max(len(b) for b in blocks), 4)
-    rw, ro = d128.buffer_rows(maxlen, block_maxsize)
+    rw, ro, _pr = d128.buffer_rows(maxlen, block_maxsize)
     max_rounds = maxlen // 3 + block_maxsize // d128.CB + 64
     words, n = _pack_transposed(blocks, lanes, rw)
     out_w, out_len, status = _decode128_sharded(
@@ -687,11 +687,15 @@ def decompress_frame_parallel(
     if lane_kernel is None:
         lane_kernel = n_dev == 1 or jax.default_backend() == "tpu"
     lane_idx = []
-    if to_decode and lane_kernel and not dictionary:
+    # dictionary frames ride the lane decoder too (per-lane right-aligned
+    # prefixes seed the transposed outputs) on 1-device meshes; the
+    # sharded multi-device wrapper stays prefix-less for now
+    if to_decode and lane_kernel and (not dictionary or n_dev == 1):
+        plen = len(dictionary or b"")
         lane_idx = [
             i
             for i, p in enumerate(to_decode)
-            if lanes_eligible(len(p), reader.block_maxsize)
+            if lanes_eligible(len(p), reader.block_maxsize, plen)
         ]
     if lane_idx:
         batch = 128 * n_dev
@@ -710,6 +714,9 @@ def decompress_frame_parallel(
                 outs = decompress_blocks_128(
                     [to_decode[i] for i in idxs],
                     block_maxsize=reader.block_maxsize,
+                    prefixes=(
+                        [dictionary] * len(idxs) if dictionary else None
+                    ),
                 )
             else:
                 outs = _lane_decode_batch(

@@ -70,6 +70,50 @@ def test_decode128_reentrant_lsic(monkeypatch, corpus_sample):
     assert d128.decompress_blocks_128(comp, block_maxsize=1 << 14) == payloads
 
 
+def test_decode128_prefix_dictionary(corpus_sample):
+    """Lane-parallel prefix/dictionary decode: outputs are seeded with
+    right-aligned per-lane prefixes and offsets resolve into them
+    (decompress.rs:84-99), differential vs the spec engine."""
+    from lz4tpu.kernels.decode128 import decompress_blocks_128
+    from lz4tpu.spec.table import U32Table, prime_u32_table
+
+    # trivial hand vector: match entirely from the prefix
+    out = decompress_blocks_128(
+        [bytes([0x12, ord("Q"), 2, 0])], prefixes=[b"ab"], block_maxsize=4096
+    )
+    assert out == [b"QbQbQbQ"]
+
+    dictionary = corpus_sample(95, 30_000)
+    payloads, prefixes, comp = [], [], []
+    for s in range(5):
+        data = corpus_sample(96 + s, 6_000) + dictionary[s * 100 : s * 100 + 2_000]
+        table = U32Table()
+        prime_u32_table(table, dictionary)
+        comp.append(bytes(compress_block(dictionary + data, len(dictionary), table)))
+        payloads.append(data)
+        prefixes.append(dictionary)
+    # mixed prefix lengths in one batch (incl. empty)
+    payloads.append(b"plain lane " * 40)
+    comp.append(bytes(compress_block(payloads[-1], 0, U32Table())))
+    prefixes.append(b"")
+    out = decompress_blocks_128(comp, block_maxsize=1 << 14, prefixes=prefixes)
+    assert out == payloads
+
+
+def test_decode128_prefix_invalid_offset(corpus_sample):
+    """An offset reaching beyond decoded+prefix must raise the typed
+    error, not read the zero padding below the prefix."""
+    import pytest
+
+    from lz4tpu.kernels.decode128 import decompress_blocks_128
+
+    # offset 5 at position 1 with a 2-byte prefix: 1 + 2 < 5 -> invalid
+    bad = bytes([0x12, ord("Q"), 5, 0])
+    with pytest.raises(DecodeError) as e:
+        decompress_blocks_128([bad], prefixes=[b"ab"], block_maxsize=4096)
+    assert e.value.kind == DecodeError.KIND_INVALID_OFFSET
+
+
 def test_decode128_gated_refill_stall_paths(monkeypatch, corpus_sample):
     """Regression guard for comp-page refill gating (REFILL_K > 1): lanes
     stalled at a group boundary must idle their parse AND literal copy
@@ -113,6 +157,34 @@ def test_frame_parallel_uses_lane_decoder_on_single_device(corpus_sample):
     frame = compress_frame_parallel(data, block_size=1 << 16, mesh=mesh)
     assert decompress_frame_parallel(frame, mesh=mesh) == data
     assert decompress_frame(frame, engine="native") == data
+
+
+def test_frame_parallel_dictionary_uses_lane_decoder(monkeypatch, corpus_sample):
+    """Dictionary frames route through decode128 (per-lane right-aligned
+    prefixes) on a 1-device mesh — the scalar engines must not be
+    needed."""
+    from lz4tpu.parallel.mesh import make_mesh
+    from lz4tpu.parallel.pipeline import (
+        compress_frame_parallel,
+        decompress_frame_parallel,
+    )
+
+    mesh = make_mesh(1)
+    dictionary = corpus_sample(200, 10_000)
+    # compressible content keeps per-block comp sizes inside the lane
+    # eligibility budget at 64 KiB block-maxsize + prefix rows
+    data = (dictionary * 4 + b"the quick brown fox " * 3000)[:100_000]
+    frame = compress_frame_parallel(
+        data, block_size=1 << 16, mesh=mesh, dictionary=dictionary
+    )
+
+    import lz4tpu.kernels.decompress_v4 as v4
+
+    def no_v4(*a, **k):
+        raise AssertionError("scalar fallback used for a dict lane batch")
+
+    monkeypatch.setattr(v4, "decompress_blocks_v4", no_v4)
+    assert decompress_frame_parallel(frame, mesh=mesh, dictionary=dictionary) == data
 
 
 def test_decode128_hostile_corpus_safety():

@@ -27,7 +27,7 @@ def main():
     blocks = [data[i : i + BLOCK] for i in range(0, len(data), BLOCK)][:128]
     comp = [compress_block(b, 0, U32Table()) for b in blocks]
     maxlen = max(len(b) for b in comp)
-    rw, ro = d128.buffer_rows(maxlen, BLOCK)
+    rw, ro, _pr = d128.buffer_rows(maxlen, BLOCK)
     max_rounds = d128.round_bound(maxlen, BLOCK)
 
     arr = np.zeros((128, rw * 4), np.uint8)

@@ -88,7 +88,7 @@ elif mode == "decode128":
     blocks = [data[i:i+BLOCK] for i in range(0, len(data), BLOCK)][:128]
     comp = [bytes(compress_block(b, 0, U32Table())) for b in blocks]
     maxlen = max(len(b) for b in comp)
-    rw, ro = d128.buffer_rows(maxlen, BLOCK)
+    rw, ro, _pr = d128.buffer_rows(maxlen, BLOCK)
     max_rounds = maxlen // 3 + BLOCK // d128.CB + 64
     arr = np.zeros((128, rw*4), np.uint8); n = np.zeros((1,128), np.int32)
     for i, b in enumerate(comp):
