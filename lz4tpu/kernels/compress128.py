@@ -22,14 +22,16 @@ Each lane is a small phase machine advanced once per round:
   literal-LSIC, a 0xFF-run emitter for long LSIC chains, literal copy
   from the input page, offset + match-LSIC.
 
-The hash table is per lane, so its size is the main VMEM/ratio knob:
-HASHLOG=10 measures ~0.64 vs 0.60 for the C-sized 2^12 table (see
-PERF_NOTES.md) — any table produces VALID LZ4, the table only affects
-match discovery.  v1 scope: step-1 scan (no skip acceleration), no
-backward match extension, blocks <= 32 KiB (wrapper contract; the
-frame layer may emit 32 KiB blocks inside any larger block-maxsize
-frame).  End rules mirror the reference encoder: no match starts past
-n-12 and matches stop at n-5 (/root/reference/src/raw/compress/mod.rs;
+The hash table is per lane, so its size is the main VMEM/ratio knob
+(HASHLOG above) — any table produces VALID LZ4, the table only affects
+match discovery.  With the C-sized 2^12 default and the opportunistic
+backward extension, the lane parse compresses the bench corpus BELOW
+the reference greedy (0.5718 vs 0.5743) at ~99 MB/s/chip.  Scope:
+C-style skip acceleration (step = miss>>TRIGGER, K-way per round),
+opportunistic backtrack, blocks <= 32 KiB (wrapper contract; the frame
+layer may emit 32 KiB blocks inside any larger block-maxsize frame).
+End rules mirror the reference encoder: no match starts past n-12 and
+matches stop at n-5 (/root/reference/src/raw/compress/mod.rs;
 spec/block.py `compress_block`).
 
 Shared-machinery note: gather/funnel/place/sweep are consciously
@@ -52,7 +54,13 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 GROUP_W = 256  # input page group (words)
 PAGE_W = GROUP_W + 32
-HASHLOG = int(_os.environ.get("LZ4TPU_C128_HASHLOG", "10"))
+# table size/speed/ratio knob, measured on-chip with backtrack on the
+# bench corpus: 2^12 = 99 MB/s @ ratio 0.5718 (BELOW the reference
+# greedy's 0.5743 — the C-sized table), 2^11 = 127 @ 0.583,
+# 2^10 = 140 @ 0.600.  Default to the C-sized table so the lane
+# compressor's output is at-or-below reference size; drop to 10-11 for
+# throughput when ratio headroom exists.
+HASHLOG = int(_os.environ.get("LZ4TPU_C128_HASHLOG", "12"))
 # positions probed per SEARCH round (1, 2 or 4).  The greedy scan is 71%
 # of all rounds on mixed data (simulated round counts; PERF_NOTES.md), so
 # probing K positions per round against one shared table sweep cuts total
@@ -81,6 +89,9 @@ REFILL_K = int(_os.environ.get("LZ4TPU_C128_REFILL_K", "1"))
 # groups are random-access per fresh hit); kept as a knob for corpora
 # with very few matches
 GATE2 = _os.environ.get("LZ4TPU_C128_GATE2", "0") == "1"
+# backward match extension (reference backtrack semantics) at the
+# ext_done transition; opportunistic on page residency — see the kernel
+BACKTRACK = _os.environ.get("LZ4TPU_C128_BACKTRACK", "1") == "1"
 # output staging ring geometry.  Compressed outputs DESYNC across lanes
 # (per-lane ratio), so each flush sweep spans many output blocks — a
 # bigger ring with bigger, rarer flushes amortizes that spread
@@ -480,6 +491,47 @@ def _compress128_kernel(
         ph = jnp.where(ext_done, jnp.where(false_hit, PH_SEARCH, PH_TOK), ph)
         cur = jnp.where(false_hit, mstart + 1, cur)
         miss = jnp.where(false_hit, miss + 1, miss)
+
+        # ---- opportunistic backward extension (reference backtrack,
+        # raw/compress/mod.rs:211-214): pending literals that also match
+        # just before the candidate join the match.  OPPORTUNISTIC: only
+        # when both CB-byte backward windows are in the resident pages
+        # (~94% of matches at GROUP_W=256); page-boundary matches skip it
+        # — still valid LZ4, marginal ratio cost (simulated 0.6002 vs
+        # 0.5995 unbounded on the bench corpus).  Runs in the ext_done
+        # round itself, so it costs two gathers per round and NO extra
+        # rounds.
+        if BACKTRACK:
+            mc_pos = mstart - moff
+            bt_en = (
+                ext_done & ~false_hit
+                & (mstart > anchor) & (mstart >= CB) & (mc_pos >= CB)
+                & ((((mstart - CB) >> 2) // GROUP_W) == gb)
+                & ((((mc_pos - CB) >> 2) // GROUP_W) == gb2)
+            )
+            ab = read_words(page_ref, gb, jnp.where(bt_en, mstart - CB, 0), CW)
+            bb = read_words(page2_ref, gb2, jnp.where(bt_en, mc_pos - CB, 0), CW)
+            db = ab ^ bb
+            # matched run length counted from the TOP of the window
+            # (byte CB-1 = mstart-1 downward): locate the highest
+            # differing byte
+            kmax = jnp.full(S8, -1, jnp.int32)
+            for k in range(CW):
+                nz = jnp.broadcast_to(db[k : k + 1] != 0, S8)
+                kmax = jnp.where(nz, k, kmax)
+            dwb2 = jnp.zeros((1, LANES), jnp.int32)
+            for k in range(CW):
+                dwb2 = dwb2 + db[k : k + 1] * (kmax[0:1] == k).astype(jnp.int32)
+            dwb2 = jnp.broadcast_to(dwb2, S8)
+            hb3 = (dwb2 & jnp.int32(np.int32(np.uint32(0xFF000000)))) == 0
+            hb2 = (dwb2 & 0xFF0000) == 0
+            hb1 = (dwb2 & 0xFF00) == 0
+            hz = jnp.where(hb3, jnp.where(hb2, jnp.where(hb1, 3, 2), 1), 0)
+            bt_all = jnp.where(kmax < 0, CB, (CW - 1 - kmax) * 4 + hz)
+            bt = jnp.minimum(bt_all, mstart - anchor)
+            bt = jnp.where(bt_en, bt, 0)
+            mstart = mstart - bt
+            mlen = mlen + bt
 
         # ---- emission --------------------------------------------------
         lit = jnp.where(tail, n - anchor, mstart - anchor)
