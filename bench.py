@@ -172,6 +172,7 @@ def bench_tpu_compress128(data, m=4):
         assert bytes(native_decompress(c, b"", output_limit=blk)) == b, (
             "compress128 roundtrip mismatch"
         )
+    ratio = sum(len(c) for c in comp) / sum(len(b) for b in blocks)
 
     maxlen = max(len(b) for b in blocks)
     ri = -(-maxlen // 4)
@@ -209,7 +210,7 @@ def bench_tpu_compress128(data, m=4):
             a, ol = chain(a)
         np.asarray(ol[:1])
         best = max(best, total / ((time.perf_counter() - t0) / m))
-    return best
+    return best, ratio
 
 
 def bench_frame_parallel(data, extra):
@@ -397,9 +398,9 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             extra["tpu_compress_error"] = str(e)[:160]
         try:
-            extra["tpu_compress128_mbps"] = round(
-                bench_tpu_compress128(data) / 1e6, 1
-            )
+            c128_bps, c128_ratio = bench_tpu_compress128(data)
+            extra["tpu_compress128_mbps"] = round(c128_bps / 1e6, 1)
+            extra["tpu_compress128_ratio"] = round(c128_ratio, 4)
         except Exception as e:  # pragma: no cover
             extra["tpu_compress128_error"] = str(e)[:160]
         try:
