@@ -209,23 +209,29 @@ def _compress_sharded(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "rw", "ro", "max_rounds", "output_limit"),
+    static_argnames=("mesh", "rw", "ro", "pr", "max_rounds", "output_limit"),
 )
-def _decode128_sharded(words, n, *, mesh, rw, ro, max_rounds, output_limit):
+def _decode128_sharded(
+    words, n, prefix, plen, *, mesh, rw, ro, pr, max_rounds, output_limit
+):
     from ..kernels.decode128 import _decode128_jit
 
-    def local(w, nn):
+    def local(w, nn, pfx, pl):
         return _decode128_jit(
-            w, nn, rw=rw, ro=ro, max_rounds=max_rounds, output_limit=output_limit
+            w, nn, pfx, pl, rw=rw, ro=ro, pr=pr,
+            max_rounds=max_rounds, output_limit=output_limit,
         )
 
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(None, BLOCK_AXIS), P(None, BLOCK_AXIS)),
+        in_specs=(
+            P(None, BLOCK_AXIS), P(None, BLOCK_AXIS),
+            P(None, BLOCK_AXIS), P(None, BLOCK_AXIS),
+        ),
         out_specs=(P(None, BLOCK_AXIS), P(None, BLOCK_AXIS), P(None, BLOCK_AXIS)),
         check_rep=False,
-    )(words, n)
+    )(words, n, prefix, plen)
 
 
 @functools.partial(
@@ -273,10 +279,12 @@ def _unpack_column(out_w, col: int, nbytes: int) -> bytes:
     return by.reshape(-1)[:nbytes].tobytes()
 
 
-def _lane_decode_batch(blocks, block_maxsize: int, mesh):
+def _lane_decode_batch(blocks, block_maxsize: int, mesh, dictionary=None):
     """Decode up to ``128 * n_dev`` independent raw blocks with the lane
     kernel sharded over the mesh; same status contract as
-    ``decode128.decompress_blocks_128`` (per-lane scalar/host fallback)."""
+    ``decode128.decompress_blocks_128`` (per-lane scalar/host fallback).
+    ``dictionary`` (optional) is the shared prefix every block's offsets
+    may reach into — broadcast to all lanes right-aligned."""
     from ..kernels import decode128 as d128
     from ..kernels.decode128 import STATUS_FALLBACK
     from ..kernels.status import OK as ST_OK, STATUS_TO_KIND
@@ -285,13 +293,27 @@ def _lane_decode_batch(blocks, block_maxsize: int, mesh):
     lanes = 128 * n_dev
     assert 0 < len(blocks) <= lanes
     blocks = [bytes(b) for b in blocks]
+    dictionary = bytes(dictionary) if dictionary else b""
     maxlen = max(max(len(b) for b in blocks), 4)
-    rw, ro, _pr = d128.buffer_rows(maxlen, block_maxsize)
-    max_rounds = maxlen // 3 + block_maxsize // d128.CB + 64
+    rw, ro, pr = d128.buffer_rows(maxlen, block_maxsize, len(dictionary))
+    max_rounds = d128.round_bound(maxlen, block_maxsize)
     words, n = _pack_transposed(blocks, lanes, rw)
+    if pr:
+        pa = np.zeros(pr * 4, np.uint8)
+        pa[pr * 4 - len(dictionary) :] = np.frombuffer(dictionary, np.uint8)
+        pw = pa.reshape(pr, 4).astype(np.uint32)
+        pcol = (
+            pw[:, 0] | (pw[:, 1] << 8) | (pw[:, 2] << 16) | (pw[:, 3] << 24)
+        ).astype(np.int32)
+        prefix = np.ascontiguousarray(np.repeat(pcol[:, None], lanes, axis=1))
+        plen = np.full((1, lanes), len(dictionary), np.int32)
+    else:
+        prefix = np.zeros((8, lanes), np.int32)
+        plen = np.zeros((1, lanes), np.int32)
     out_w, out_len, status = _decode128_sharded(
-        jnp.asarray(words), jnp.asarray(n), mesh=mesh,
-        rw=rw, ro=ro, max_rounds=max_rounds, output_limit=block_maxsize,
+        jnp.asarray(words), jnp.asarray(n),
+        jnp.asarray(prefix), jnp.asarray(plen), mesh=mesh,
+        rw=rw, ro=ro, pr=pr, max_rounds=max_rounds, output_limit=block_maxsize,
     )
     out_w = np.asarray(out_w)
     out_len = np.asarray(out_len)[0]
@@ -300,12 +322,16 @@ def _lane_decode_batch(blocks, block_maxsize: int, mesh):
     for i in range(len(blocks)):
         s = int(status[i])
         if s == ST_OK:
-            results.append(_unpack_column(out_w, i, int(out_len[i])))
+            results.append(_unpack_column(out_w[pr:], i, int(out_len[i])))
         elif s == STATUS_FALLBACK:
             from ..kernels.decompress_v4 import decompress_blocks_v4
 
             results.append(
-                decompress_blocks_v4([blocks[i]], block_maxsize=block_maxsize)[0]
+                decompress_blocks_v4(
+                    [blocks[i]],
+                    block_maxsize=block_maxsize,
+                    prefixes=[dictionary] if dictionary else None,
+                )[0]
             )
         else:
             raise DecodeError(STATUS_TO_KIND[s])
@@ -687,10 +713,11 @@ def decompress_frame_parallel(
     if lane_kernel is None:
         lane_kernel = n_dev == 1 or jax.default_backend() == "tpu"
     lane_idx = []
-    # dictionary frames ride the lane decoder too (per-lane right-aligned
-    # prefixes seed the transposed outputs) on 1-device meshes; the
-    # sharded multi-device wrapper stays prefix-less for now
-    if to_decode and lane_kernel and (not dictionary or n_dev == 1):
+    # dictionary frames ride the lane decoder too: the shared dictionary
+    # broadcasts to every lane as a right-aligned prefix seeding the
+    # transposed outputs (single-device wrapper and the sharded
+    # multi-device path both)
+    if to_decode and lane_kernel:
         plen = len(dictionary or b"")
         lane_idx = [
             i
@@ -723,6 +750,7 @@ def decompress_frame_parallel(
                     [to_decode[i] for i in idxs],
                     reader.block_maxsize,
                     mesh,
+                    dictionary=dictionary,
                 )
             for i, o in zip(idxs, outs):
                 if len(o) > reader.block_maxsize:

@@ -78,6 +78,22 @@ def test_parallel_linked_shrinks_chunks_to_kernel_budget(mesh, corpus_sample):
         assert decompress_frame(frame, engine="native") == data
 
 
+def test_parallel_dictionary_lane_decode_on_mesh(mesh, corpus_sample):
+    """Dictionary frames decode through the SHARDED lane kernel on a
+    multi-device mesh (shared dict broadcast as per-lane prefixes)."""
+    from lz4tpu import decompress_frame
+
+    dictionary = corpus_sample(37, 10_000)
+    data = (dictionary * 3 + b"mesh dict lanes " * 4000)[:180_000]
+    frame = compress_frame_parallel(
+        data, block_size=1 << 16, mesh=mesh, dictionary=dictionary
+    )
+    assert decompress_frame_parallel(
+        frame, mesh=mesh, dictionary=dictionary, lane_kernel=True
+    ) == data
+    assert decompress_frame(frame, dictionary=dictionary, engine="native") == data
+
+
 def test_parallel_linked_with_dictionary_roundtrips(mesh, corpus_sample):
     """Linked mode + preset dictionary: the host dict template must NOT
     ride along (its dict-coordinate positions are wrong in the
