@@ -104,6 +104,9 @@ FLUSH_THRESH = int(_os.environ.get("LZ4TPU_C128_THRESH", "176"))
 assert RING_W % 8 == 0 and FLUSH_B % 4 == 0
 assert FLUSH_B <= FLUSH_THRESH <= RING_W * 4 - CB + 1  # ring never overfills
 assert FLUSH_B // 4 <= RING_W  # one flush fits the ring window
+# each flush must drain at least one emitting round's max inflow, or the
+# fill ratchets up past the ring capacity on incompressible runs
+assert FLUSH_B >= CB
 MAX_B = 32 << 10  # per-lane input cap (VMEM budget)
 
 # phases

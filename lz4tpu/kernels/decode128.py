@@ -67,7 +67,6 @@ GROUP_W = int(_os1.environ.get("LZ4TPU_D128_GROUPW", "256"))  # comp page group
 import os as _os2
 
 FAR_G = int(_os2.environ.get("LZ4TPU_D128_FARG", "256"))  # far group granularity (measured best)
-RING_W = int(_os1.environ.get("LZ4TPU_D128_RINGW", "64"))  # staging ring rows (words)
 # mid-history page: a mod-addressed mirror of the last mid_w*4 flushed
 # bytes, written during the flush sweep at lane-uniform addresses (no
 # rebuild, unlike the far page); serves match offsets up to ~mid_w*4.
@@ -95,12 +94,19 @@ assert CB in (16, 32, 64), CB  # ring invariant: flush 128B covers 2*CB inflow
 _MARGIN = -(-max(CW + 2, 5) // 8) * 8
 PAGE_W = GROUP_W + _MARGIN  # comp page rows: group + parse/chunk margin
 FAR_W = FAR_G + _MARGIN  # far page rows: group + chunk margin
+# staging ring rows (words).  Two invariants bound the geometry:
+# a flush may only drain bytes already written (FLUSH_THRESH >= FLUSH_B,
+# else the sweep publishes never-written rows that are never re-flushed)
+# and place2's word-granular slop tail must not lap unflushed bytes
+# (fill + 2*CB + 3 <= ring bytes — see the slop-invariant note).  At
+# CB=64 both cannot hold in a 256 B ring, hence the bigger default.
+RING_W = int(
+    _os1.environ.get("LZ4TPU_D128_RINGW", "64" if CB <= 32 else "96")
+)
 FLUSH_B = 128  # ring flush granularity (bytes; 32 word rows)
-# ring invariant: post-flush fill (< FLUSH_THRESH, minus 128 if flushed)
-# plus one round's inflow (2*CB) must stay below the ring's 256 B; the
-# extra -4 covers place()'s word-granular slop tail (fill + 2*CB + 3
-# bytes may be touched — see the slop-invariant note in place())
 FLUSH_THRESH = min(176, RING_W * 4 - 2 * CB - 4)
+assert FLUSH_THRESH >= FLUSH_B, (RING_W, CB)
+assert FLUSH_THRESH - 1 + 2 * CB + 3 <= RING_W * 4
 LSIC_STEPS = int(_os.environ.get("LZ4TPU_D128_LSIC", "8"))  # unrolled LSIC ext bytes/field
 # comp-page refill gating (same scheme as compress128): the cursor-side
 # page advances monotonically with the parse, so with 128 desynced lanes
@@ -326,7 +332,11 @@ def _decode128_kernel(
         Ring-wrap safety: slop extends at most 2*CB+3 bytes past the
         round-start fill, and FLUSH_THRESH guarantees
         fill + 2*CB + 3 <= RING_W*4."""
-        assert CB <= 32  # combined span must fit the 16-row window
+        # window rows: worst intra-slab offset 7, match row offset
+        # (3+CB)>>2, chunk CW+1 rows — slab-rounded (16 at CB=16, 24 at
+        # CB=32, 40 at CB=64)
+        PW = -(-(8 + ((3 + CB) >> 2) + CW + 1) // 8) * 8
+        assert PW <= RING_W  # the window merge may not lap the ring
         sh = (dst & 3)[0:1, :]
         lt = lit_take[0:1, :]
         dst2 = dst + lit_take
@@ -349,27 +359,27 @@ def _decode128_kernel(
         off = base & 7
         sb = base >> 3
         nsl = RING_W // 8
-        w16 = jax.lax.broadcasted_iota(jnp.int32, (16, LANES), 0)
-        win = jnp.zeros((16, LANES), jnp.int32)
-        offb = jnp.broadcast_to(off, (16, LANES))
-        off2b = offb + jnp.broadcast_to(row2, (16, LANES))
+        wpi = jax.lax.broadcasted_iota(jnp.int32, (PW, LANES), 0)
+        win = jnp.zeros((PW, LANES), jnp.int32)
+        offb = jnp.broadcast_to(off, (PW, LANES))
+        off2b = offb + jnp.broadcast_to(row2, (PW, LANES))
         for k in range(CW + 1):
-            sel = (w16 == offb + k).astype(jnp.int32)
-            win = win + jnp.broadcast_to(shifted_l[k : k + 1], (16, LANES)) * sel
-            sel2 = (w16 == off2b + k).astype(jnp.int32)
-            win = win + jnp.broadcast_to(shifted_m[k : k + 1], (16, LANES)) * sel2
+            sel = (wpi == offb + k).astype(jnp.int32)
+            win = win + jnp.broadcast_to(shifted_l[k : k + 1], (PW, LANES)) * sel
+            sel2 = (wpi == off2b + k).astype(jnp.int32)
+            win = win + jnp.broadcast_to(shifted_m[k : k + 1], (PW, LANES)) * sel2
         # row validity on the window, built once over the COMBINED span:
         # rows [off, off+nrows) are written (nrows = 0 when both takes are
         # 0), the first row keeps its bytes below dst&3
         nrows = (sh + lt + m_take[0:1, :] + 3) >> 2
-        rows_ok = (w16 >= offb) & (w16 < offb + jnp.broadcast_to(nrows, (16, LANES)))
+        rows_ok = (wpi >= offb) & (wpi < offb + jnp.broadcast_to(nrows, (PW, LANES)))
         m16 = jnp.where(rows_ok, jnp.int32(-1), 0)
-        headm = jnp.int32(-1) << (jnp.broadcast_to(sh, (16, LANES)) * 8)
-        m16 = jnp.where(w16 == offb, m16 & headm, m16)
+        headm = jnp.int32(-1) << (jnp.broadcast_to(sh, (PW, LANES)) * 8)
+        m16 = jnp.where(wpi == offb, m16 & headm, m16)
         out_slabs = []
         for s in range(nsl):
             acc = ring[s * 8 : s * 8 + 8, :]
-            for w in range(2):
+            for w in range(PW // 8):
                 sel = (jax.lax.rem(sb + w, nsl) == s).astype(jnp.int32)
                 mm = m16[w * 8 : w * 8 + 8, :] * jnp.broadcast_to(sel, (8, LANES))
                 acc = (acc & ~mm) | (win[w * 8 : w * 8 + 8, :] & mm)

@@ -34,30 +34,42 @@ def decompress_blocks(blocks, prefixes=None, block_maxsize: int = 1 << 16):
     window (only the trailing 64 KiB is addressable).  Raises
     ``DecodeError`` for the first failed block.
 
-    Routing is per block: prefix-free blocks within the lane decoder's
-    VMEM budget (``lanes_eligible``) ride ``decode128`` (128 blocks per
-    kernel step — the fast path); prefixed or oversized blocks use the
-    scalar v4 pipeline (which itself host-falls-back past its SMEM
-    window)."""
+    Routing is per block: blocks whose [prefix rows + output + comp]
+    shape fits the lane decoder's VMEM budget (``lanes_eligible``) ride
+    ``decode128`` (128 blocks per kernel step — the fast path, with
+    per-lane right-aligned prefixes); oversized shapes use the scalar v4
+    pipeline (which itself host-falls-back past its SMEM window)."""
     from .decode128 import decompress_blocks_128, lanes_eligible
 
-    no_prefix = prefixes is None or not any(len(p) for p in prefixes)
-    lane_idx = (
-        [
-            i
-            for i, b in enumerate(blocks)
-            if lanes_eligible(len(b), block_maxsize)
-        ]
-        if no_prefix
-        else []
+    if prefixes is not None:
+        prefixes = [bytes(p) for p in prefixes]
+    # a lane batch's prefix rows are sized by its LONGEST prefix, so
+    # eligibility uses the batch-wide maximum (conservative for mixed
+    # prefix lengths; the common cases are no prefixes or one shared
+    # dictionary)
+    maxp = (
+        max((len(p) for p in prefixes), default=0)
+        if prefixes is not None
+        else 0
     )
+    lane_idx = [
+        i
+        for i, b in enumerate(blocks)
+        if lanes_eligible(len(b), block_maxsize, maxp)
+    ]
     out = [None] * len(blocks)
     for base in range(0, len(lane_idx), 128):
         idxs = lane_idx[base : base + 128]
         for i, o in zip(
             idxs,
             decompress_blocks_128(
-                [blocks[i] for i in idxs], block_maxsize=block_maxsize
+                [blocks[i] for i in idxs],
+                block_maxsize=block_maxsize,
+                prefixes=(
+                    [prefixes[i] for i in idxs]
+                    if prefixes is not None
+                    else None
+                ),
             ),
         ):
             out[i] = o

@@ -114,6 +114,41 @@ def test_decode128_prefix_invalid_offset(corpus_sample):
     assert e.value.kind == DecodeError.KIND_INVALID_OFFSET
 
 
+def test_decode128_cb_knob_variants(corpus_sample):
+    """LZ4TPU_D128_CB in {16, 32, 64} must all decode correctly — the
+    fused place window and FLUSH_THRESH are CB-dependent (regression:
+    a fixed 16-row window silently truncated matches at CB=32)."""
+    import importlib
+    import os
+
+    import lz4tpu.kernels.decode128 as d128
+
+    payloads = [
+        corpus_sample(210, 5000),
+        b"\x00" * 9000,  # long RLE: multi-round match chunks
+        b"chunky " * 700,
+        bytes(range(256)) * 16,
+    ]
+    from lz4tpu.spec.table import U32Table as _U32
+
+    comp = [bytes(compress_block(p, 0, _U32())) for p in payloads]
+    old = os.environ.get("LZ4TPU_D128_CB")
+    try:
+        for cb in ("32", "64"):
+            os.environ["LZ4TPU_D128_CB"] = cb
+            importlib.reload(d128)
+            assert (
+                d128.decompress_blocks_128(comp, block_maxsize=1 << 14)
+                == payloads
+            ), f"CB={cb}"
+    finally:
+        if old is None:
+            os.environ.pop("LZ4TPU_D128_CB", None)
+        else:
+            os.environ["LZ4TPU_D128_CB"] = old
+        importlib.reload(d128)
+
+
 def test_decode128_gated_refill_stall_paths(monkeypatch, corpus_sample):
     """Regression guard for comp-page refill gating (REFILL_K > 1): lanes
     stalled at a group boundary must idle their parse AND literal copy

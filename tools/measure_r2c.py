@@ -89,7 +89,7 @@ elif mode == "decode128":
     comp = [bytes(compress_block(b, 0, U32Table())) for b in blocks]
     maxlen = max(len(b) for b in comp)
     rw, ro, _pr = d128.buffer_rows(maxlen, BLOCK)
-    max_rounds = maxlen // 3 + BLOCK // d128.CB + 64
+    max_rounds = d128.round_bound(maxlen, BLOCK)
     arr = np.zeros((128, rw*4), np.uint8); n = np.zeros((1,128), np.int32)
     for i, b in enumerate(comp):
         arr[i, :len(b)] = np.frombuffer(b, np.uint8); n[0, i] = len(b)
