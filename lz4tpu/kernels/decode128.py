@@ -86,7 +86,7 @@ import os as _os
 # or 64 — chunk rounds halve per doubling; env-tune for such data.
 CB = int(_os.environ.get("LZ4TPU_D128_CB", "16"))
 CW = CB // 4  # chunk words
-assert CB in (16, 32, 64), CB  # ring invariant: flush 128B covers 2*CB inflow
+assert CB in (8, 16, 32, 64), CB
 # page margins beyond the group: the widest in-page read is a chunk
 # gather (CW+1 rows + funnel spill) or a 12-byte parse span (4 rows),
 # from a base inside the group — slab-rounded.  Every margin row rides
