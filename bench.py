@@ -294,6 +294,11 @@ def main() -> None:
     extra = {
         "corpus_mb": round(sum(len(b) for b in blocks) / (1 << 20), 2),
         "block_ratio": round(sum(len(c) for c in comp) / sum(len(b) for b in blocks), 4),
+        # tpu_* kernel rates use the chained on-device protocol; frame_*
+        # rates include host<->device transfers, which on this dev setup
+        # cross a ~25 ms/fetch network tunnel (PERF_NOTES.md) — they
+        # bound the tunnel, not the pipeline
+        "note": "frame_* rates are tunnel-transfer-bound on this backend",
     }
     native_d = bench_native(data, extra)
 
