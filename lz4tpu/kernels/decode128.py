@@ -332,10 +332,11 @@ def _decode128_kernel(
         Ring-wrap safety: slop extends at most 2*CB+3 bytes past the
         round-start fill, and FLUSH_THRESH guarantees
         fill + 2*CB + 3 <= RING_W*4."""
-        # window rows: worst intra-slab offset 7, match row offset
-        # (3+CB)>>2, chunk CW+1 rows — slab-rounded (16 at CB=16, 24 at
-        # CB=32, 40 at CB=64)
-        PW = -(-(8 + ((3 + CB) >> 2) + CW + 1) // 8) * 8
+        # window rows: worst intra-slab offset (7) + match row offset
+        # ((3+CB)>>2) + chunk rows (CW+1) — slab-rounded (16 at CB=16,
+        # 24 at CB=32, 40 at CB=64); max row touched = 7+row2max+CW =
+        # PW_exact-1
+        PW = -(-(7 + ((3 + CB) >> 2) + CW + 1) // 8) * 8
         assert PW <= RING_W  # the window merge may not lap the ring
         sh = (dst & 3)[0:1, :]
         lt = lit_take[0:1, :]

@@ -57,6 +57,12 @@ def decompress_blocks(blocks, prefixes=None, block_maxsize: int = 1 << 16):
         for i, b in enumerate(blocks)
         if lanes_eligible(len(b), block_maxsize, maxp)
     ]
+    # the lockstep kernel's wall time is round-bound regardless of live
+    # lanes, so small batches (e.g. the streaming engine="tpu" adapter's
+    # one-block calls) are faster on the scalar pipeline: lane aggregate
+    # ~275 MB/s * k/128 vs ~58 MB/s per v4 block => break-even ~27 lanes
+    if len(lane_idx) < 24:
+        lane_idx = []
     out = [None] * len(blocks)
     for base in range(0, len(lane_idx), 128):
         idxs = lane_idx[base : base + 128]

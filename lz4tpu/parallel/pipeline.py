@@ -305,7 +305,9 @@ def _lane_decode_batch(blocks, block_maxsize: int, mesh, dictionary=None):
         pcol = (
             pw[:, 0] | (pw[:, 1] << 8) | (pw[:, 2] << 16) | (pw[:, 3] << 24)
         ).astype(np.int32)
-        prefix = np.ascontiguousarray(np.repeat(pcol[:, None], lanes, axis=1))
+        # broadcast the single dict column on DEVICE (a host np.repeat
+        # would materialize and transfer pr*lanes*4 bytes per batch)
+        prefix = jnp.broadcast_to(jnp.asarray(pcol)[:, None], (pr, lanes))
         plen = np.full((1, lanes), len(dictionary), np.int32)
     else:
         prefix = np.zeros((8, lanes), np.int32)

@@ -115,9 +115,11 @@ def test_decode128_prefix_invalid_offset(corpus_sample):
 
 
 def test_decode128_cb_knob_variants(corpus_sample):
-    """LZ4TPU_D128_CB in {16, 32, 64} must all decode correctly — the
-    fused place window and FLUSH_THRESH are CB-dependent (regression:
-    a fixed 16-row window silently truncated matches at CB=32)."""
+    """Every allowed LZ4TPU_D128_CB (8/32/64 here; 16 is the default the
+    rest of the suite runs) must decode correctly — the fused place
+    window, ring size and FLUSH_THRESH are all CB-dependent (regression:
+    a fixed 16-row window silently truncated matches at CB=32, and a
+    FLUSH_THRESH below FLUSH_B published never-written rows at CB=64)."""
     import importlib
     import os
 
@@ -134,7 +136,7 @@ def test_decode128_cb_knob_variants(corpus_sample):
     comp = [bytes(compress_block(p, 0, _U32())) for p in payloads]
     old = os.environ.get("LZ4TPU_D128_CB")
     try:
-        for cb in ("32", "64"):
+        for cb in ("8", "32", "64"):
             os.environ["LZ4TPU_D128_CB"] = cb
             importlib.reload(d128)
             assert (
