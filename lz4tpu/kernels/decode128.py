@@ -370,8 +370,12 @@ def _decode128_kernel(
             sel2 = (wpi == off2b + k).astype(jnp.int32)
             win = win + jnp.broadcast_to(shifted_m[k : k + 1], (PW, LANES)) * sel2
         # row validity on the window, built once over the COMBINED span:
-        # rows [off, off+nrows) are written (nrows = 0 when both takes are
-        # 0), the first row keeps its bytes below dst&3
+        # rows [off, off+nrows) are written; the first row keeps its bytes
+        # below dst&3.  NOTE: when both takes are 0 but sh = dst&3 > 0,
+        # nrows = (sh+3)>>2 = 1, so idle/done lanes rewrite their head
+        # row's bytes >= sh with slop every round — safe under the slop
+        # invariant (those positions are >= out and never observed), but
+        # do not rely on "no write when idle" here
         nrows = (sh + lt + m_take[0:1, :] + 3) >> 2
         rows_ok = (wpi >= offb) & (wpi < offb + jnp.broadcast_to(nrows, (PW, LANES)))
         m16 = jnp.where(rows_ok, jnp.int32(-1), 0)
@@ -534,6 +538,20 @@ def _decode128_kernel(
         status = jnp.where(
             m_done & ok & (out - pstart + litv + mlenv > output_limit),
             ERR_MEMORY_LIMIT, status,
+        )
+        # tail acceptance gate: the reference's output_limit is SOFT for
+        # the final literal-only sequence — it may exceed the limit by up
+        # to input.len() bytes (decompress.rs:57-58; the check at :72-74
+        # fires on matches only), so spec/native/v4 all RETURN such
+        # output.  The transposed output buffer is static, though: lanes
+        # whose tail would overrun it (and be silently clipped by the
+        # flush sweep) re-decode on the host instead, preserving exact
+        # soft-limit semantics.
+        ok = status == OK
+        buf_cap = ro * 4 - 2 * CB - 8  # absolute bytes; slop-safe margin
+        status = jnp.where(
+            (adv & ~m_en) & ok & (out + litv > buf_cap),
+            STATUS_FALLBACK, status,
         )
         ok = status == OK
         status = jnp.where(m_done & ok & (offv == 0), ERR_ZERO_OFFSET, status)

@@ -463,8 +463,9 @@ def compress_frame_parallel(
 
     ``lane_kernel=True`` opts into the lane-parallel compressor
     (``kernels/compress128.py``, 128 blocks per kernel step) when the
-    frame qualifies (independent blocks, no dictionary, 1-device mesh,
-    blocks within the lane kernel's VMEM budget).  The output is a fully
+    frame qualifies (independent blocks, no dictionary, blocks within the
+    lane kernel's VMEM budget); on multi-device meshes the lane batches
+    shard over the lane axis via ``shard_map`` (``_lane_compress_batch``).  The output is a fully
     valid LZ4 frame decodable by any decoder, but NOT byte-identical to
     the streaming writer: the lane parse uses a per-lane hash table (a
     VMEM/ratio knob) and no skip acceleration, so it finds a slightly

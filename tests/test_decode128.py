@@ -39,6 +39,42 @@ def test_decode128_error_kinds():
         assert e.value.kind == kind
 
 
+def test_decode128_tail_soft_limit():
+    """The reference's output_limit is SOFT for the final literal-only
+    sequence: it may exceed the limit by up to input-length bytes
+    (decompress.rs:57-58 — the :72-74 check fires on matches only), and
+    spec/native/v4 all return such output.  decode128 must match — small
+    overruns fit the static buffer's slack; bigger ones must route to the
+    host fallback rather than silently clip to the buffer."""
+
+    def literal_block(payload: bytes) -> bytes:
+        ext = len(payload) - 15
+        lsic = bytearray()
+        while ext >= 255:
+            lsic.append(255)
+            ext -= 255
+        lsic.append(ext)
+        return bytes([0xF0]) + bytes(lsic) + payload
+
+    import numpy as np
+
+    from lz4tpu.kernels.decode128 import decompress_blocks_128
+    from lz4tpu.spec.block import decompress_block
+
+    rng = np.random.default_rng(11)
+    small = rng.integers(0, 256, 5000, dtype=np.uint8).tobytes()
+    big = rng.integers(0, 256, 8000, dtype=np.uint8).tobytes()
+    for payload in (small, big):
+        block = literal_block(payload)
+        assert bytes(decompress_block(block, output_limit=4096)) == payload
+        assert decompress_blocks_128([block], block_maxsize=4096) == [payload]
+    # matches past the limit stay HARD errors
+    bad = literal_block(small) + bytes([0x14, 1, 0])
+    with pytest.raises(DecodeError) as e:
+        decompress_blocks_128([bad], block_maxsize=4096)
+    assert e.value.kind == DecodeError.KIND_MEMORY_LIMIT
+
+
 def test_decode128_reentrant_lsic(monkeypatch, corpus_sample):
     """LSIC chains longer than the unrolled window suspend and resume
     in-kernel across rounds (PH_LIT / PH_MATCH continuation) — no host
