@@ -695,6 +695,17 @@ def compress_block_tpu(
     data = bytes(data)
     if table is None:
         table = U16Table() if len(data) <= 0xFFFF else U32Table()
+    if not scalar_data_capacity_ok(_round_up(max(len(data), 1), 128)):
+        # blocks beyond the scalar kernel's per-step SMEM window (e.g.
+        # the frame default 4 MiB blocks, framed/compress.rs:49) route
+        # to the bit-identical native engine — same parse decisions,
+        # same bytes, same table-state mutation — instead of failing
+        # AOT compilation on real hardware.
+        from ..native import compress_block as _native_compress
+
+        return _native_compress(
+            data, cursor, table, out=out, acceleration=acceleration, cap=cap
+        )
     outputs, _ = compress_blocks(
         [data], [cursor], [table], acceleration=acceleration, caps=[cap]
     )

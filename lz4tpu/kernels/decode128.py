@@ -87,6 +87,18 @@ import os as _os
 CB = int(_os.environ.get("LZ4TPU_D128_CB", "16"))
 CW = CB // 4  # chunk words
 assert CB in (8, 16, 32, 64), CB
+# phase-2 second sequence per round: when the round's record DRAINS
+# mid-round (the gating lanes are sequence-dense: ~8.5 B/sequence means
+# one sequence per round caps them at ~8.5 B/round), parse the NEXT
+# sequence in the same round and execute as much of it as is servable:
+# its literal chunk always (opportunistic on page residency), its match
+# chunk when the source is in the pre-place ring below the round-start
+# ``out`` or in the far page (whose single rebuild folds in phase-2
+# wants on lanes whose phase-1 record needs no far group).  Unservable
+# remainders carry as the next round's record — correctness never
+# depends on servability.  Host model (tools/sim_d128_seq2.py):
+# max-lane rounds 7750 -> ~4300-5300 on the bench corpus.
+SEQ2 = _os.environ.get("LZ4TPU_D128_SEQ2", "1") == "1"
 # page margins beyond the group: the widest in-page read is a chunk
 # gather (CW+1 rows + funnel spill) or a 12-byte parse span (4 rows),
 # from a base inside the group — slab-rounded.  Every margin row rides
@@ -101,12 +113,17 @@ FAR_W = FAR_G + _MARGIN  # far page rows: group + chunk margin
 # (fill + 2*CB + 3 <= ring bytes — see the slop-invariant note).  At
 # CB=64 both cannot hold in a 256 B ring, hence the bigger default.
 RING_W = int(
-    _os1.environ.get("LZ4TPU_D128_RINGW", "64" if CB <= 32 else "96")
+    _os1.environ.get(
+        "LZ4TPU_D128_RINGW", {8: "64", 16: "64", 32: "96", 64: "128"}[CB]
+    )
 )
 FLUSH_B = 128  # ring flush granularity (bytes; 32 word rows)
-FLUSH_THRESH = min(176, RING_W * 4 - 2 * CB - 4)
+# phase-2 rounds place up to FOUR chunks (litA|mA|litB|mB), so the slop
+# tail extends up to 4*CB+3 past the round-start fill
+_NCHUNK = 4 if SEQ2 else 2
+FLUSH_THRESH = min(176, RING_W * 4 - _NCHUNK * CB - 4)
 assert FLUSH_THRESH >= FLUSH_B, (RING_W, CB)
-assert FLUSH_THRESH - 1 + 2 * CB + 3 <= RING_W * 4
+assert FLUSH_THRESH - 1 + _NCHUNK * CB + 3 <= RING_W * 4
 LSIC_STEPS = int(_os.environ.get("LZ4TPU_D128_LSIC", "8"))  # unrolled LSIC ext bytes/field
 # comp-page refill gating (same scheme as compress128): the cursor-side
 # page advances monotonically with the parse, so with 128 desynced lanes
@@ -306,19 +323,18 @@ def _decode128_kernel(
             (ext << shb) | jax.lax.shift_right_logical(prev, (32 - shb) & 31),
         )
 
-    def place2(ring, lit_bytes, m_bytes, dst, lit_take, m_take):
-        """Write ``lit_take`` literal bytes then ``m_take`` match bytes as
-        ONE contiguous span at per-lane byte position ``dst`` — a single
-        window scatter + ring merge instead of two dependent place calls
-        (place was 30% of the round as two calls; the merge stages
-        serialize on the ring value).
+    def place_multi(ring, chunks, dst):
+        """Write the ``chunks`` list of (word_rows, take) as ONE contiguous
+        span at per-lane byte position ``dst`` — a single window scatter +
+        ring merge instead of dependent place calls (place was 30% of the
+        round as two calls; the merge stages serialize on the ring value).
+        Phase-2 rounds pass four chunks (litA|mA|litB|mB).
 
-        Two-level placement: scatter the chunks into a 16-row aligned
-        window (lit_take + m_take <= 2*CB <= 32 bytes + offset 3 + row
-        slack fits 16 rows for CB <= 32), then merge the window into the
-        ring at slab granularity.  Window row x <-> ring row sb*8 + x
-        (slab-aligned), and row-level wrap coincides with slab-level
-        wrap because RING_W is a multiple of 8.
+        Two-level placement: scatter the chunks into an aligned window
+        (the combined span <= len(chunks)*CB bytes + offset 3 + row slack),
+        then merge the window into the ring at slab granularity.  Window
+        row x <-> ring row sb*8 + x (slab-aligned), and row-level wrap
+        coincides with slab-level wrap because RING_W is a multiple of 8.
 
         SLOP INVARIANT (kills the per-byte validity machinery, measured
         ~27% of the round with it): bytes BELOW ``dst`` are preserved (a
@@ -329,33 +345,15 @@ def _decode128_kernel(
         rewritten before ``out`` passes it, and all readers (the
         pre-place near gather + register overlay, flush sweeps, the
         final drain + host truncation) only observe positions < ``out``.
-        Ring-wrap safety: slop extends at most 2*CB+3 bytes past the
-        round-start fill, and FLUSH_THRESH guarantees
-        fill + 2*CB + 3 <= RING_W*4."""
-        # window rows: worst intra-slab offset (7) + match row offset
-        # ((3+CB)>>2) + chunk rows (CW+1) — slab-rounded (16 at CB=16,
-        # 24 at CB=32, 40 at CB=64); max row touched = 7+row2max+CW =
-        # PW_exact-1
-        PW = -(-(7 + ((3 + CB) >> 2) + CW + 1) // 8) * 8
+        Ring-wrap safety: slop extends at most len(chunks)*CB+3 bytes past
+        the round-start fill, and FLUSH_THRESH guarantees
+        fill + _NCHUNK*CB + 3 <= RING_W*4."""
+        nch = len(chunks)
+        # window rows: worst intra-slab offset (7) + last chunk's row
+        # offset ((3+(nch-1)*CB)>>2) + chunk rows (CW+1) — slab-rounded
+        PW = -(-(7 + ((3 + (nch - 1) * CB) >> 2) + CW + 1) // 8) * 8
         assert PW <= RING_W  # the window merge may not lap the ring
         sh = (dst & 3)[0:1, :]
-        lt = lit_take[0:1, :]
-        dst2 = dst + lit_take
-        sh2 = (dst2 & 3)[0:1, :]
-        row2 = ((sh + lt) >> 2)  # match chunk's row offset in the window
-        shifted_l = _byte_shift(lit_bytes, sh)
-        # zero the literal chunk's bytes at/after its end: the boundary
-        # word shares bytes with the match chunk's first word (which has
-        # zeros below sh2), and rows past the boundary belong entirely to
-        # the match chunk — scatter ADDs, so stale lit slop must not mix
-        rowi_l = jax.lax.broadcasted_iota(jnp.int32, (CW + 1, LANES), 0)
-        row2b = jnp.broadcast_to(row2, (CW + 1, LANES))
-        lowm = (1 << (8 * jnp.broadcast_to(sh2, (CW + 1, LANES)))) - 1
-        shifted_l = jnp.where(
-            rowi_l == row2b, shifted_l & lowm,
-            jnp.where(rowi_l > row2b, 0, shifted_l),
-        )
-        shifted_m = _byte_shift(m_bytes, sh2)
         base = jax.lax.rem(dst >> 2, RING_W)[0:1, :]
         off = base & 7
         sb = base >> 3
@@ -363,20 +361,45 @@ def _decode128_kernel(
         wpi = jax.lax.broadcasted_iota(jnp.int32, (PW, LANES), 0)
         win = jnp.zeros((PW, LANES), jnp.int32)
         offb = jnp.broadcast_to(off, (PW, LANES))
-        off2b = offb + jnp.broadcast_to(row2, (PW, LANES))
-        for k in range(CW + 1):
-            sel = (wpi == offb + k).astype(jnp.int32)
-            win = win + jnp.broadcast_to(shifted_l[k : k + 1], (PW, LANES)) * sel
-            sel2 = (wpi == off2b + k).astype(jnp.int32)
-            win = win + jnp.broadcast_to(shifted_m[k : k + 1], (PW, LANES)) * sel2
+        rowi_c = jax.lax.broadcasted_iota(jnp.int32, (CW + 1, LANES), 0)
+        cum = jnp.zeros((1, LANES), jnp.int32)  # bytes before this chunk
+        total = jnp.zeros((1, LANES), jnp.int32)
+        for ci, (bytes_w, take) in enumerate(chunks):
+            s_k = sh + cum  # chunk start byte within the window grid
+            shk = s_k & 3
+            rk = s_k >> 2  # chunk's row offset in the window
+            shifted = _byte_shift(bytes_w, shk)
+            e_k = s_k + take[0:1, :]  # chunk end byte = next chunk start
+            if ci < nch - 1:
+                # zero this chunk's bytes at/after its end: the boundary
+                # word shares bytes with the next chunk's first word
+                # (which has zeros below its shift), and rows past the
+                # boundary belong to later chunks — scatter ADDs, so
+                # stale slop must not mix
+                brow = jnp.broadcast_to((e_k >> 2) - rk, (CW + 1, LANES))
+                lowm = (
+                    1 << (8 * jnp.broadcast_to(e_k & 3, (CW + 1, LANES)))
+                ) - 1
+                shifted = jnp.where(
+                    rowi_c == brow, shifted & lowm,
+                    jnp.where(rowi_c > brow, 0, shifted),
+                )
+            offk = offb + jnp.broadcast_to(rk, (PW, LANES))
+            for k in range(CW + 1):
+                sel = (wpi == offk + k).astype(jnp.int32)
+                win = win + (
+                    jnp.broadcast_to(shifted[k : k + 1], (PW, LANES)) * sel
+                )
+            cum = cum + take[0:1, :]
+            total = total + take[0:1, :]
         # row validity on the window, built once over the COMBINED span:
         # rows [off, off+nrows) are written; the first row keeps its bytes
-        # below dst&3.  NOTE: when both takes are 0 but sh = dst&3 > 0,
+        # below dst&3.  NOTE: when all takes are 0 but sh = dst&3 > 0,
         # nrows = (sh+3)>>2 = 1, so idle/done lanes rewrite their head
         # row's bytes >= sh with slop every round — safe under the slop
         # invariant (those positions are >= out and never observed), but
         # do not rely on "no write when idle" here
-        nrows = (sh + lt + m_take[0:1, :] + 3) >> 2
+        nrows = (sh + total + 3) >> 2
         rows_ok = (wpi >= offb) & (wpi < offb + jnp.broadcast_to(nrows, (PW, LANES)))
         m16 = jnp.where(rows_ok, jnp.int32(-1), 0)
         headm = jnp.int32(-1) << (jnp.broadcast_to(sh, (PW, LANES)) * 8)
@@ -548,7 +571,7 @@ def _decode128_kernel(
         # flush sweep) re-decode on the host instead, preserving exact
         # soft-limit semantics.
         ok = status == OK
-        buf_cap = ro * 4 - 2 * CB - 8  # absolute bytes; slop-safe margin
+        buf_cap = ro * 4 - _NCHUNK * CB - 8  # absolute bytes; slop-safe margin
         status = jnp.where(
             (adv & ~m_en) & ok & (out + litv > buf_cap),
             STATUS_FALLBACK, status,
@@ -614,6 +637,7 @@ def _decode128_kernel(
         # ---- match chunk (source gathers read the PRE-place ring; a
         # match whose source overlaps this round's literal chunk defers
         # those bytes one round — see the m_take clamp below) ----
+        lit_take1 = jnp.where(active, lit_take, 0)
         m_ready = active & (lit_rem - lit_take == 0) & (m_rem > 0)
         src_abs = out + lit_take - m_lag
         near = m_ready & (src_abs >= flushed)
@@ -625,6 +649,89 @@ def _decode128_kernel(
             far = far & ~midp
         else:
             midp = far & False
+
+        # m_take without the far-page watermark clamp (exact for near/mid
+        # lanes; used to speculate the phase-2 parse position and far
+        # group before the rebuild)
+        m_take_pre = jnp.where(
+            m_ready, jnp.minimum(jnp.minimum(m_rem, CB), m_lag), 0
+        )
+        m_take_pre = jnp.where(
+            midp, jnp.minimum(m_take_pre, flushed - src_abs), m_take_pre
+        )
+        m_take_pre = jnp.where(
+            near & (lit_take > 0),
+            jnp.minimum(m_take_pre, jnp.clip(out - src_abs, 0, None)),
+            m_take_pre,
+        )
+
+        # ---- phase 2: speculative parse of the NEXT sequence (SEQ2) ----
+        # Runs before the far rebuild so an idle lane's far page can be
+        # rebuilt for the second sequence's group.  All state commitment
+        # is deferred to ``acceptB`` below, gated on the EXACT drain of
+        # the phase-1 record; aborted lanes re-parse identically next
+        # round (the parse has no side effects).
+        seq2_on = SEQ2 and variant == "full"
+        if seq2_on:
+            rowB = (pos >> 2) - gbase * GROUP_W
+            ph2s = (
+                active
+                & (lit_rem - lit_take == 0)
+                & (m_rem - m_take_pre == 0)
+                & (pos < n)
+                & (pph == PH_NONE)
+                & (tail_only == 0)
+                & (rowB >= 0) & (rowB <= PAGE_W - 5)
+            )
+            statusB = status
+            span1B = read_span12(page, gbase, jnp.where(ph2s, pos, 0))
+            tokB = span1B[0]
+            pB = pos + ph2s.astype(jnp.int32)
+            litvB, pB, statusB, lneedB = lsic_from(
+                span1B, 1, jnp.where(
+                    ph2s, jax.lax.shift_right_logical(tokB, 4), 0
+                ), pB, ph2s, statusB, cont=ph2s & False,
+            )
+            advB = ph2s & ~lneedB & (statusB == OK)
+            lsrcB = pB
+            pB = pB + jnp.where(advB, litvB, 0)
+            statusB = jnp.where(
+                advB & (pB > n) & (statusB == OK), ERR_UNEXPECTED_END, statusB
+            )
+            advB = advB & (statusB == OK)
+            # B's literal reads must sit in the resident page (no mid-
+            # round ensure for phase 2 — out-of-page lanes abort)
+            lrowB_raw = (lsrcB >> 2) - gbase * GROUP_W
+            advB = advB & (lrowB_raw >= 0) & (lrowB_raw <= PAGE_W - CW - 2)
+            # tail only when the stream genuinely has < 2 bytes left; a
+            # lane whose match header merely left the page window aborts
+            # (neither tail nor m_en), never mis-parses as a tail
+            tailB = advB & (n - pB < 2)
+            m_enB = advB & (n - pB >= 2)
+            rowB2 = (pB >> 2) - gbase * GROUP_W
+            m_enB = m_enB & (rowB2 >= 0) & (rowB2 <= PAGE_W - 5)
+            span2B = read_span12(page, gbase, jnp.where(m_enB, pB, 0))
+            offvB = jnp.where(m_enB, span2B[0] | (span2B[1] << 8), 1)
+            pB = pB + 2 * m_enB.astype(jnp.int32)
+            mvB, pB, statusB, mneedB = lsic_from(
+                span2B, 2, jnp.where(m_enB, tokB & 0xF, 0), pB, m_enB,
+                statusB, cont=m_enB & False,
+            )
+            m_doneB = m_enB & ~mneedB & (statusB == OK)
+            mlenvB = jnp.where(m_doneB, mvB + 4, 0)
+            lit_takeB_pre = jnp.where(advB, jnp.minimum(litvB, CB), 0)
+            outB_pre = out + lit_take1 + m_take_pre
+            src_absB_pre = outB_pre + lit_takeB_pre - offvB
+            farB_pre = (
+                m_doneB & (src_absB_pre < flushed) & (src_absB_pre >= 0)
+            )
+            fwantB = jnp.clip(
+                (jnp.clip(src_absB_pre, 0, None) >> 2) // FAR_G,
+                0, far_groups - 1,
+            )
+        else:
+            farB_pre = active & False
+            fwantB = fgb
 
         nsrc_row = jax.lax.rem(jnp.clip(src_abs, 0, None) >> 2, RING_W)
         if variant in ("nogather", "nonear"):
@@ -645,22 +752,31 @@ def _decode128_kernel(
         )
         # a reused page is valid only for rows flushed BEFORE it was built
         # (the main output is append-only); rebuild when a lane moved
-        # groups or wants bytes beyond its page's build watermark
+        # groups or wants bytes beyond its page's build watermark.
+        # Phase-2 wants fold into the SAME single rebuild on lanes whose
+        # phase-1 record needs no far group this round.
+        foldB = farB_pre & ~far
         rebuild = far & ((fwant != fgb) | (src_abs + CB > pgf))
+        if seq2_on:
+            rebuild = rebuild | (
+                foldB & ((fwantB != fgb) | (src_absB_pre + CB > pgf))
+            )
 
         if variant == "nofar":
             rebuild = rebuild & False
 
+        want_all = jnp.where(far, fwant, jnp.where(foldB, fwantB, fgb))
+
         @pl.when(jnp.any(rebuild))
         def _():
-            fw1 = jnp.where(far, fwant, fgb)[0:1, :]
+            fw1 = want_all[0:1, :]
             acc = jnp.zeros((FAR_W, LANES), jnp.int32)
             for g in range(far_groups):
                 mask = (fw1 == g).astype(jnp.int32)
                 acc = acc + out_words_ref[g * FAR_G : g * FAR_G + FAR_W, :] * mask
             far_ref[:, :] = acc
 
-        fgb = jnp.where(far, fwant, fgb)
+        fgb = want_all
         pgf = jnp.where(rebuild, flushed, pgf)
         if variant in ("nofar", "nogather"):
             far_bytes = jnp.zeros((CW, LANES), jnp.int32)
@@ -677,40 +793,138 @@ def _decode128_kernel(
                 jnp.broadcast_to(midp[0:1], (CW, LANES)), mid_bytes, far_bytes
             ),
         )
-        m_take = jnp.where(m_ready, jnp.minimum(jnp.minimum(m_rem, CB), m_lag), 0)
-        # mid/far sources must stay inside flushed bytes (both pages
-        # mirror the main output); the remainder of the match continues
-        # next round, usually as a near chunk — the v3/v4 invariant
-        m_take = jnp.where(midp, jnp.minimum(m_take, flushed - src_abs), m_take)
+        m_take = m_take_pre
         if variant != "nofar":  # timing variant: keep progress guaranteed
-            m_take = jnp.where(far, jnp.minimum(m_take, pgf - src_abs), m_take)
-        # near sources overlapping THIS round's literal chunk defer to the
-        # next round (the gather read the pre-place ring): take only bytes
-        # strictly below ``out``.  Costs one extra round on literal+tiny-
-        # offset sequences; buys the fused single-place (no intermediate
-        # ring value).  Progress is guaranteed: next round lit_take = 0.
-        m_take = jnp.where(
-            near & (lit_take > 0),
-            jnp.minimum(m_take, jnp.clip(out - src_abs, 0, None)),
-            m_take,
-        )
+            m_take = jnp.where(
+                far, jnp.clip(jnp.minimum(m_take, pgf - src_abs), 0, None),
+                m_take,
+            )
+
+        # ---- phase 2 commitment + execution ------------------------------
+        if seq2_on:
+            # exact drain of the phase-1 record (the speculation above used
+            # m_take_pre; they differ only when the far watermark clamped)
+            drained = (
+                active & (lit_rem - lit_take1 == 0) & (m_rem - m_take == 0)
+            )
+            commitB = ph2s & drained & (m_take == m_take_pre)
+            statusB = jnp.where(commitB, statusB, status)
+            # B status checks (only on committed lanes; an aborted B would
+            # see a LARGER ``out`` when it really parses, so early errors
+            # here would be wrong)
+            okB = statusB == OK
+            statusB = jnp.where(
+                commitB & m_doneB & okB
+                & (out + lit_take1 + m_take - pstart + litvB + mlenvB
+                   > output_limit),
+                ERR_MEMORY_LIMIT, statusB,
+            )
+            okB = statusB == OK
+            statusB = jnp.where(
+                commitB & tailB & okB
+                & (out + lit_take1 + m_take + litvB > buf_cap),
+                STATUS_FALLBACK, statusB,
+            )
+            okB = statusB == OK
+            statusB = jnp.where(
+                commitB & m_doneB & okB & (offvB == 0), ERR_ZERO_OFFSET, statusB
+            )
+            okB = statusB == OK
+            statusB = jnp.where(
+                commitB & m_doneB & okB
+                & (offvB > out + lit_take1 + m_take - pstart + plen + litvB),
+                ERR_INVALID_OFFSET, statusB,
+            )
+            status = jnp.where(commitB, statusB, status)
+            acceptB = commitB & (tailB | m_doneB) & (status == OK)
+
+            out1 = out + lit_take1 + m_take
+            lit_takeB = jnp.where(acceptB, jnp.minimum(litvB, CB), 0)
+            m_readyB = acceptB & (litvB == lit_takeB) & (mlenvB > 0)
+            src_absB = out1 + lit_takeB - offvB
+            nearB = m_readyB & (src_absB >= flushed)
+            farB = m_readyB & (src_absB < flushed)
+            m_takeB = jnp.where(
+                m_readyB, jnp.minimum(jnp.minimum(mlenvB, CB), offvB), 0
+            )
+            # near: only bytes already in the pre-place ring (below the
+            # round-start out); the rest carries to the next round
+            m_takeB = jnp.where(
+                nearB,
+                jnp.clip(jnp.minimum(m_takeB, out - src_absB), 0, None),
+                m_takeB,
+            )
+            # far: only when the (possibly folded) page holds B's group
+            fwantB_x = jnp.clip(
+                (jnp.clip(src_absB, 0, None) >> 2) // FAR_G, 0, far_groups - 1
+            )
+            m_takeB = jnp.where(
+                farB,
+                jnp.where(
+                    fwantB_x == fgb,
+                    jnp.clip(jnp.minimum(m_takeB, pgf - src_absB), 0, None),
+                    0,
+                ),
+                m_takeB,
+            )
+
+            lrowB = jnp.clip(lrowB_raw, 0, PAGE_W - CW - 2)
+            litBw = gather_rows(page, PAGE_W, lrowB, CW + 1, 0)
+            litB_bytes = funnel(litBw, lsrcB)
+            nsrcB = jax.lax.rem(jnp.clip(src_absB, 0, None) >> 2, RING_W)
+            nearBw = gather_rows(ring0, RING_W, nsrcB, CW + 1, RING_W)
+            nearB_bytes = funnel(nearBw, src_absB)
+            fsrcB = jnp.clip(
+                (jnp.clip(src_absB, 0, None) >> 2) - fgb * FAR_G,
+                0, FAR_W - CW - 2,
+            )
+            farBw = gather_rows(far_ref[:, :], FAR_W, fsrcB, CW + 1, 0)
+            farB_bytes = funnel(farBw, src_absB)
+            mB_bytes = jnp.where(
+                jnp.broadcast_to(nearB[0:1], (CW, LANES)),
+                nearB_bytes, farB_bytes,
+            )
+            chunks = [(lit_bytes, lit_take1), (m_bytes, m_take),
+                      (litB_bytes, lit_takeB), (mB_bytes, m_takeB)]
+        else:
+            lit_takeB = jnp.zeros(S8, jnp.int32)
+            m_takeB = jnp.zeros(S8, jnp.int32)
+            acceptB = active & False
+            chunks = [(lit_bytes, lit_take1), (m_bytes, m_take)]
 
         if variant == "noplace":
             ring2 = ring0
         else:
-            ring2 = place2(
-                ring0, lit_bytes, m_bytes, out,
-                jnp.where(active, lit_take, 0), m_take,
-            )
+            ring2 = place_multi(ring0, chunks, out)
         ring_ref[:, :] = ring2
 
-        out = out + jnp.where(active, lit_take, 0) + m_take
-        lit_rem = lit_rem - jnp.where(active, lit_take, 0)
-        lit_src = lit_src + jnp.where(active, lit_take, 0)
-        m_rem = m_rem - m_take
+        out = out + lit_take1 + m_take + lit_takeB + m_takeB
+        if seq2_on:
+            lit_rem = jnp.where(
+                acceptB, litvB - lit_takeB, lit_rem - lit_take1
+            )
+            lit_src = jnp.where(
+                acceptB, lsrcB + lit_takeB, lit_src + lit_take1
+            )
+            m_rem = jnp.where(acceptB, mlenvB - m_takeB, m_rem - m_take)
+        else:
+            lit_rem = lit_rem - lit_take1
+            lit_src = lit_src + lit_take1
+            m_rem = m_rem - m_take
         m_lag = jnp.where(
             (m_take > 0) & (m_take == m_lag) & (m_lag < CB), m_lag * 2, m_lag
         )
+        if seq2_on:
+            lagB = jnp.where(
+                (m_takeB > 0) & (m_takeB == offvB) & (offvB < CB),
+                offvB * 2, offvB,
+            )
+            m_lag = jnp.where(acceptB, lagB, m_lag)
+            m_off = jnp.where(acceptB, offvB, m_off)
+            tail_only = jnp.where(
+                acceptB, tailB.astype(jnp.int32), tail_only
+            )
+            pos = jnp.where(acceptB, pB, pos)
 
         done = done | (
             active & (tail_only != 0) & (lit_rem == 0)

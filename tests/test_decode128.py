@@ -187,6 +187,36 @@ def test_decode128_cb_knob_variants(corpus_sample):
         importlib.reload(d128)
 
 
+def test_decode128_seq2_knob(corpus_sample):
+    """SEQ2=0 (single-sequence rounds) must decode identically — the
+    phase-2 machinery is a pure round-count optimization."""
+    import importlib
+    import os
+
+    import lz4tpu.kernels.decode128 as d128
+    from lz4tpu.spec.table import U32Table as _U32
+
+    payloads = [
+        corpus_sample(300, 4000),
+        b"\x00" * 5000,
+        bytes(range(256)) * 8,
+        b"seq2 " * 500,
+    ]
+    comp = [bytes(compress_block(p, 0, _U32())) for p in payloads]
+    old = os.environ.get("LZ4TPU_D128_SEQ2")
+    try:
+        os.environ["LZ4TPU_D128_SEQ2"] = "0"
+        importlib.reload(d128)
+        assert not d128.SEQ2
+        assert d128.decompress_blocks_128(comp, block_maxsize=1 << 14) == payloads
+    finally:
+        if old is None:
+            os.environ.pop("LZ4TPU_D128_SEQ2", None)
+        else:
+            os.environ["LZ4TPU_D128_SEQ2"] = old
+        importlib.reload(d128)
+
+
 def test_decode128_gated_refill_stall_paths(monkeypatch, corpus_sample):
     """Regression guard for comp-page refill gating (REFILL_K > 1): lanes
     stalled at a group boundary must idle their parse AND literal copy

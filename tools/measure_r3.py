@@ -136,6 +136,10 @@ elif mode == "decode128":
 CONFIGS = [
     ("d128_base", "decode128", {}),
     ("c128_base", "compress128", {}),
+    ("d128_lsic4", "decode128", {"LZ4TPU_D128_LSIC": "4"}),
+    ("d128_refillk2", "decode128", {"LZ4TPU_D128_REFILL_K": "2"}),
+    ("d128_refillk8", "decode128", {"LZ4TPU_D128_REFILL_K": "8"}),
+    ("c128_hl11", "compress128", {"LZ4TPU_C128_HASHLOG": "11"}),
 ]
 
 
