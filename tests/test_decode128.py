@@ -39,6 +39,7 @@ def test_decode128_error_kinds():
         assert e.value.kind == kind
 
 
+@pytest.mark.slow
 def test_decode128_tail_soft_limit():
     """The reference's output_limit is SOFT for the final literal-only
     sequence: it may exceed the limit by up to input-length bytes
@@ -75,6 +76,7 @@ def test_decode128_tail_soft_limit():
     assert e.value.kind == DecodeError.KIND_MEMORY_LIMIT
 
 
+@pytest.mark.slow
 def test_decode128_reentrant_lsic(monkeypatch, corpus_sample):
     """LSIC chains longer than the unrolled window suspend and resume
     in-kernel across rounds (PH_LIT / PH_MATCH continuation) — no host
@@ -106,6 +108,7 @@ def test_decode128_reentrant_lsic(monkeypatch, corpus_sample):
     assert d128.decompress_blocks_128(comp, block_maxsize=1 << 14) == payloads
 
 
+@pytest.mark.slow
 def test_decode128_prefix_dictionary(corpus_sample):
     """Lane-parallel prefix/dictionary decode: outputs are seeded with
     right-aligned per-lane prefixes and offsets resolve into them
@@ -150,6 +153,7 @@ def test_decode128_prefix_invalid_offset(corpus_sample):
     assert e.value.kind == DecodeError.KIND_INVALID_OFFSET
 
 
+@pytest.mark.slow
 def test_decode128_cb_knob_variants(corpus_sample):
     """Every allowed LZ4TPU_D128_CB (8/32/64 here; 16 is the default the
     rest of the suite runs) must decode correctly — the fused place
@@ -187,6 +191,7 @@ def test_decode128_cb_knob_variants(corpus_sample):
         importlib.reload(d128)
 
 
+@pytest.mark.slow
 def test_decode128_seq2_knob(corpus_sample):
     """SEQ2=0 (single-sequence rounds) must decode identically — the
     phase-2 machinery is a pure round-count optimization."""
@@ -217,6 +222,7 @@ def test_decode128_seq2_knob(corpus_sample):
         importlib.reload(d128)
 
 
+@pytest.mark.slow
 def test_decode128_gated_refill_stall_paths(monkeypatch, corpus_sample):
     """Regression guard for comp-page refill gating (REFILL_K > 1): lanes
     stalled at a group boundary must idle their parse AND literal copy
@@ -242,6 +248,7 @@ def test_decode128_gated_refill_stall_paths(monkeypatch, corpus_sample):
     d128._decode128_jit.clear_cache()
 
 
+@pytest.mark.slow
 def test_frame_parallel_uses_lane_decoder_on_single_device(corpus_sample):
     """decompress_frame_parallel routes through decode128 on a 1-device
     mesh; output must match the streaming reader."""
@@ -262,6 +269,7 @@ def test_frame_parallel_uses_lane_decoder_on_single_device(corpus_sample):
     assert decompress_frame(frame, engine="native") == data
 
 
+@pytest.mark.slow
 def test_frame_parallel_dictionary_uses_lane_decoder(monkeypatch, corpus_sample):
     """Dictionary frames route through decode128 (per-lane right-aligned
     prefixes) on a 1-device mesh — the scalar engines must not be
@@ -290,6 +298,7 @@ def test_frame_parallel_dictionary_uses_lane_decoder(monkeypatch, corpus_sample)
     assert decompress_frame_parallel(frame, mesh=mesh, dictionary=dictionary) == data
 
 
+@pytest.mark.slow
 def test_decode128_hostile_corpus_safety():
     """Raw-block decode of arbitrary bytes through the lane decoder must
     produce per-lane typed statuses or valid output, never crash — and

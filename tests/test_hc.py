@@ -105,6 +105,29 @@ def test_hc_cross_decode_with_liblz4(corpus_sample):
     assert ours <= theirs * 1.05
 
 
+def test_hc_ratio_pinned_to_liblz4_across_levels(corpus_sample):
+    """Corpus-level oracle pin: our hash-chain+lazy HC parse must stay
+    within a stated factor of ``LZ4_compress_HC`` at the same level —
+    aggregated over mixed samples and a real binary slice, for the
+    levels the CLI exposes (cross-ref ``spec/hc.py``; the reference has
+    no HC mode, so liblz4 1.9.4 is the oracle here)."""
+    interop = pytest.importorskip("lz4tpu.interop")
+    if not interop.available():
+        pytest.skip("liblz4 not installed")
+    import pathlib
+
+    samples = [corpus_sample(60 + s, 60_000) for s in range(3)]
+    gxx = pathlib.Path("/usr/bin/g++")
+    if gxx.exists():
+        samples.append(gxx.read_bytes()[:120_000])
+    # factor pins measured on this corpus (recorded 2026-08: L3 1.020,
+    # L9 1.008, L12 1.007); asserted with ~2-3% slack
+    for level, factor in ((3, 1.05), (9, 1.04), (12, 1.04)):
+        ours = sum(len(bytes(compress_block_hc(d, level=level))) for d in samples)
+        theirs = sum(len(interop.lz4_compress_hc(d, level=level)) for d in samples)
+        assert ours <= theirs * factor, (level, ours, theirs, ours / theirs)
+
+
 def test_hc_cli(tmp_path, corpus_sample):
     from lz4tpu.cli.dolz4 import main as dolz4
     from lz4tpu.cli.delz4 import main as delz4

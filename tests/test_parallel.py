@@ -78,6 +78,7 @@ def test_parallel_linked_shrinks_chunks_to_kernel_budget(mesh, corpus_sample):
         assert decompress_frame(frame, engine="native") == data
 
 
+@pytest.mark.slow
 def test_parallel_dictionary_lane_decode_on_mesh(mesh, corpus_sample):
     """Dictionary frames decode through the SHARDED lane kernel on a
     multi-device mesh (shared dict broadcast as per-lane prefixes)."""
@@ -185,6 +186,7 @@ def test_runner_rejects_truncated_archive(mesh, tmp_path):
 
 
 @pytest.mark.parametrize("n_dev", [1, 8])
+@pytest.mark.slow
 def test_parallel_decode_corpus_safety(n_dev):
     """Replay the reference decode fuzz corpus through the parallel path
     (1-device mesh = the lane decoder; 8-device = shard_map/v4): typed
@@ -278,6 +280,7 @@ def test_parallel_linked_dictionary_first_window(mesh, corpus_sample):
     assert len(frame) <= len(no_dict)
 
 
+@pytest.mark.slow
 def test_lane_kernels_sharded_roundtrip(mesh, corpus_sample):
     """Lane-parallel codec under shard_map on the multi-device mesh:
     tiny raw blocks spread one-per-SIMD-lane across every device."""

@@ -140,6 +140,8 @@ CONFIGS = [
     ("d128_refillk2", "decode128", {"LZ4TPU_D128_REFILL_K": "2"}),
     ("d128_refillk8", "decode128", {"LZ4TPU_D128_REFILL_K": "8"}),
     ("c128_hl11", "compress128", {"LZ4TPU_C128_HASHLOG": "11"}),
+    ("d128_seq2", "decode128", {}),
+    ("d128_seq2_off", "decode128", {"LZ4TPU_D128_SEQ2": "0"}),
 ]
 
 
