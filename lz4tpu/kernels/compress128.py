@@ -127,12 +127,14 @@ def _interpret() -> bool:
 
 def _compress128_kernel(
     words_ref,  # VMEM (Ri, 128) int32 — transposed raw input
-    n_ref,  # VMEM (1, 128) int32 — input byte lengths
+    n_ref,  # VMEM (1, 128) int32 — input byte lengths (incl. window)
+    cur0_ref,  # VMEM (1, 128) int32 — parse-start byte (window length)
+    tinit_ref,  # VMEM (T_ROWS or 8, 128) int32 — primed table (prime=1)
     out_words_ref,  # VMEM (Ro, 128) int32 OUT — transposed comp streams
     out_len_ref,  # VMEM (1, 128) int32 OUT
     page_ref,  # scratch (PAGE_W, 128) — cursor-side input page
     page2_ref,  # scratch (PAGE_W, 128) — candidate-side input page
-    table_ref,  # scratch (T_ROWS, 128) — per-lane table: pos | tag<<16
+    table_ref,  # scratch (T_ROWS, 128) — per-lane table: pos | tag<<17
     ring_ref,  # scratch (RING_W, 128) — output staging ring
     state_ref,  # scratch (NSTATE, 128)
     *,
@@ -140,7 +142,15 @@ def _compress128_kernel(
     ro: int,
     max_rounds: int,
     hashlog: int,
+    prime: bool,
 ):
+    """Prefix/window mode (``cur0 > 0``): each lane's buffer is
+    ``[window | block]`` and the parse starts at ``cur0`` with the table
+    host-primed from the window (the reference's dictionary/carryover
+    semantics, ``framed/compress.rs:202-218``, applied per lane).  Match
+    candidates may reach back into the window; offsets are explicitly
+    capped at 0xFFFF (positions exceed 64 KiB in this mode, so the
+    packed entry carries a 17-bit position + 15-bit tag)."""
     T_ROWS = 1 << hashlog
     S8 = (8, LANES)
     n = jnp.broadcast_to(n_ref[0:1, :], S8)
@@ -389,9 +399,9 @@ def _compress128_kernel(
             vm = vs[j] * jnp.int32(np.int32(HASH_MUL))
             hj = jax.lax.shift_right_logical(vm, 32 - hashlog) & (T_ROWS - 1)
             hsj.append(jnp.where(valids[j], hj, 0))
-            tj = jax.lax.shift_right_logical(vm, 6) & 0xFFFF
+            tj = jax.lax.shift_right_logical(vm, 6) & 0x7FFF
             tags.append(tj)
-            pk.append(qs[j] | (tj << 16))  # packed entry to insert
+            pk.append(qs[j] | (tj << 17))  # packed entry: pos17 | tag15
 
         # probe + insert share one sweep over the SINGLE packed table
         # array (the sweep is slab-ld/st bound, so one array instead of
@@ -422,11 +432,15 @@ def _compress128_kernel(
 
         hits = []
         for j in range(PROBES):
-            cpos = cands[j] & 0xFFFF
-            ctag = jax.lax.shift_right_logical(cands[j], 16) & 0xFFFF
-            # cpos < q implies offset <= 0xFFFF (positions are <= 32 KiB);
-            # the init sentinel pos 0xFFFF never satisfies cpos < q
-            hits.append(valids[j] & (cpos < qs[j]) & (ctag == tags[j]))
+            cpos = cands[j] & 0x1FFFF
+            ctag = jax.lax.shift_right_logical(cands[j], 17) & 0x7FFF
+            # positions reach 96 KiB in window mode, so the LZ4 offset
+            # bound is explicit; the init sentinel pos 0x1FFFF never
+            # satisfies cpos < q (buffers are <= 96 KiB + margin)
+            hits.append(
+                valids[j] & (cpos < qs[j]) & (qs[j] - cpos <= 0xFFFF)
+                & (ctag == tags[j])
+            )
             cands[j] = cpos
         anyhit1 = hits[0]
         for j in range(1, PROBES):
@@ -723,16 +737,22 @@ def _compress128_kernel(
 
     # ---- init + run + drain -------------------------------------------
     z1 = jnp.zeros((1, LANES), jnp.int32)
+    c01 = cur0_ref[0:1, :]
     state_ref[:, :] = jnp.concatenate(
-        [z1, z1, z1, z1, z1, jnp.full((1, LANES), -1, jnp.int32),
+        [c01, c01, z1, z1, z1, jnp.full((1, LANES), -1, jnp.int32),
          jnp.full((1, LANES), -1, jnp.int32), jnp.full((1, LANES), 1, jnp.int32),
          z1, jnp.full((1, LANES), 4, jnp.int32), z1, z1, z1, z1,
          z1, z1, jnp.full((1, LANES), 1 << SKIP_TRIGGER, jnp.int32)],
         axis=0,
     )
     ring_ref[:, :] = jnp.zeros((RING_W, LANES), jnp.int32)
-    # sentinel: pos 0xFFFF (> any valid 32 KiB position), tag 0
-    table_ref[:, :] = jnp.full((T_ROWS, LANES), 0xFFFF, jnp.int32)
+    if prime:
+        # host-primed window/dictionary entries (step-3 insertion,
+        # framed/compress.rs:205-214, already in packed pos|tag form)
+        table_ref[:, :] = tinit_ref[:, :]
+    else:
+        # sentinel: pos 0x1FFFF (> any valid buffer position), tag 0
+        table_ref[:, :] = jnp.full((T_ROWS, LANES), 0x1FFFF, jnp.int32)
 
     n_chunks = -(-max_rounds // 64)
 
@@ -766,7 +786,13 @@ def _compress128_kernel(
 @functools.partial(
     jax.jit, static_argnames=("ri", "ro", "max_rounds", "hashlog")
 )
-def _compress128_jit(words, n, *, ri, ro, max_rounds, hashlog):
+def _compress128_jit(words, n, cur0=None, tinit=None, *, ri, ro, max_rounds,
+                     hashlog):
+    prime = tinit is not None
+    if cur0 is None:
+        cur0 = jnp.zeros((1, LANES), jnp.int32)
+    if tinit is None:
+        tinit = jnp.zeros((8, LANES), jnp.int32)
     return pl.pallas_call(
         functools.partial(
             _compress128_kernel,
@@ -774,11 +800,9 @@ def _compress128_jit(words, n, *, ri, ro, max_rounds, hashlog):
             ro=ro,
             max_rounds=max_rounds,
             hashlog=hashlog,
+            prime=prime,
         ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_shape=[
             jax.ShapeDtypeStruct((ro, LANES), jnp.int32),
@@ -792,22 +816,83 @@ def _compress128_jit(words, n, *, ri, ro, max_rounds, hashlog):
             pltpu.VMEM((NSTATE, LANES), jnp.int32),
         ],
         interpret=_interpret(),
-    )(words, n)
+    )(words, n, cur0, tinit)
 
 
-def compress_blocks_128(blocks, *, hashlog: int | None = None):
-    """Compress up to 128 independent raw blocks (each <= 32 KiB) lane-
-    parallel; returns a list of LZ4 block byte strings.  Lanes that hit
-    the round cap (shouldn't happen for well-formed sizing) fall back to
-    the native engine."""
+def prime_tables_packed(prefixes, hashlog: int) -> np.ndarray:
+    """Host-side per-lane table priming: insert every 3rd window position
+    (the reference's dictionary insertion order, framed/compress.rs:
+    205-214) as packed ``pos17 | tag15`` entries in BUFFER coordinates.
+    Returns int32 (2^hashlog, LANES); unused lanes keep the sentinel."""
+    t_rows = 1 << hashlog
+    tables = np.full((t_rows, LANES), 0x1FFFF, np.int32)
+    for i, p in enumerate(prefixes):
+        if p is None or len(p) < 16:
+            continue
+        b = np.frombuffer(p, np.uint8).astype(np.uint32)
+        pos = np.arange(0, len(p) - 12 + 1, 3, dtype=np.int64)
+        if len(pos) == 0:
+            continue
+        v = (
+            b[pos] | (b[pos + 1] << 8) | (b[pos + 2] << 16)
+            | (b[pos + 3] << 24)
+        ).astype(np.uint32)
+        vm = (v * np.uint32(HASH_MUL)).astype(np.uint32)
+        hj = (vm >> np.uint32(32 - hashlog)).astype(np.int64)
+        tag = ((vm >> np.uint32(6)) & np.uint32(0x7FFF)).astype(np.int64)
+        # later positions overwrite earlier ones (sequential insert order)
+        tables[hj, i] = (pos | (tag << 17)).astype(np.int32)
+    return tables
+
+
+VMEM_ROWSUM_BUDGET = 15_800_000
+
+
+def lanes_eligible(
+    block_len: int, prefix_len: int = 0, hashlog: int | None = None
+) -> bool:
+    """True when the lane compressor's transposed VMEM footprint for this
+    (block, window) shape fits the per-core budget; callers shrink the
+    emitted chunk size (valid LZ4 — BD is a maximum) until it does."""
+    hl = HASHLOG if hashlog is None else hashlog
+    maxbuf = block_len + prefix_len
+    ri = -(-maxbuf // 4)
+    ri = -(-ri // GROUP_W) * GROUP_W + PAGE_W
+    maxout = block_len + block_len // 255 + 16
+    ro = (-(-maxout // 4) // RING_W + 2) * RING_W
+    t_rows = (1 << hl) * (2 if prefix_len else 1)  # init input + scratch
+    rows = ri + ro + t_rows + 2 * PAGE_W + RING_W + NSTATE + 16
+    return rows * LANES * 4 <= VMEM_ROWSUM_BUDGET
+
+
+def compress_blocks_128(blocks, *, hashlog: int | None = None, prefixes=None):
+    """Compress up to 128 raw blocks (each <= 32 KiB) lane-parallel;
+    returns a list of LZ4 block byte strings.  Lanes that hit the round
+    cap (shouldn't happen for well-formed sizing) fall back to the
+    native engine.
+
+    ``prefixes`` (optional, per block): window/dictionary bytes (<= 64
+    KiB each) the block's matches may reach back into — the reference's
+    linked-block / preset-dictionary compress semantics
+    (``framed/compress.rs:202-218,271-275``): the lane buffer becomes
+    ``[prefix | block]``, the parse starts past the prefix, and the
+    per-lane table is host-primed with every 3rd prefix position."""
     assert len(blocks) <= LANES
     blocks = [bytes(b) for b in blocks]
     nb = len(blocks)
     if nb == 0:
         return []
+    hl = HASHLOG if hashlog is None else hashlog
+    if prefixes is not None:
+        prefixes = [bytes(p or b"")[-65536:] for p in prefixes]
+        assert len(prefixes) == nb
+        if not any(prefixes):
+            prefixes = None
     maxlen = max(max(len(b) for b in blocks), 4)
     assert maxlen <= MAX_B, f"blocks must be <= {MAX_B} bytes"
-    ri = -(-maxlen // 4)
+    max_plen = max((len(p) for p in prefixes), default=0) if prefixes else 0
+    maxbuf = maxlen + max_plen
+    ri = -(-maxbuf // 4)
     ri = -(-ri // GROUP_W) * GROUP_W + PAGE_W
     maxout = maxlen + maxlen // 255 + 16
     ro = (-(-maxout // 4) // RING_W + 2) * RING_W
@@ -816,18 +901,25 @@ def compress_blocks_128(blocks, *, hashlog: int | None = None):
 
     arr = np.zeros((LANES, ri * 4), np.uint8)
     n = np.zeros((1, LANES), np.int32)
+    cur0 = np.zeros((1, LANES), np.int32)
     for i, b in enumerate(blocks):
-        arr[i, : len(b)] = np.frombuffer(b, np.uint8)
-        n[0, i] = len(b)
+        p = prefixes[i] if prefixes else b""
+        arr[i, : len(p)] = np.frombuffer(p, np.uint8)
+        arr[i, len(p) : len(p) + len(b)] = np.frombuffer(b, np.uint8)
+        n[0, i] = len(p) + len(b)
+        cur0[0, i] = len(p)
     w = arr.reshape(LANES, ri, 4).astype(np.uint32)
     words = (
         w[:, :, 0] | (w[:, :, 1] << 8) | (w[:, :, 2] << 16) | (w[:, :, 3] << 24)
     ).astype(np.int32).T
 
+    kw = {}
+    if prefixes:
+        kw["cur0"] = jnp.asarray(cur0)
+        kw["tinit"] = jnp.asarray(prime_tables_packed(prefixes, hl))
     out_w, out_len = _compress128_jit(
         jnp.asarray(np.ascontiguousarray(words)), jnp.asarray(n),
-        ri=ri, ro=ro, max_rounds=max_rounds,
-        hashlog=HASHLOG if hashlog is None else hashlog,
+        ri=ri, ro=ro, max_rounds=max_rounds, hashlog=hl, **kw,
     )
     out_w = np.asarray(out_w)
     out_len = np.asarray(out_len)[0]
@@ -840,9 +932,26 @@ def compress_blocks_128(blocks, *, hashlog: int | None = None):
             continue
         if ln <= 0:
             from ..native import compress_block as _native_compress
-            from ..spec.table import U32Table
+            from ..spec.table import U16Table, U32Table
 
-            results.append(bytes(_native_compress(blocks[i], 0, U32Table())))
+            if prefixes and prefixes[i]:
+                # native window-mode fallback: same [prefix|block] buffer,
+                # cursor past the prefix, step-3 primed table
+                from ..spec.table import prime_u32_table
+
+                t = U32Table()
+                prime_u32_table(t, prefixes[i])
+                results.append(
+                    bytes(
+                        _native_compress(
+                            prefixes[i] + blocks[i], len(prefixes[i]), t
+                        )
+                    )
+                )
+            else:
+                results.append(
+                    bytes(_native_compress(blocks[i], 0, U32Table()))
+                )
             continue
         ww = out_w[:, i].astype(np.uint32)
         by = np.empty((ro, 4), np.uint8)

@@ -235,23 +235,31 @@ def _decode128_sharded(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "ri", "ro", "max_rounds", "hashlog")
+    jax.jit,
+    static_argnames=("mesh", "ri", "ro", "max_rounds", "hashlog", "windowed"),
 )
-def _compress128_sharded(words, n, *, mesh, ri, ro, max_rounds, hashlog):
+def _compress128_sharded(
+    words, n, cur0, tinit, *, mesh, ri, ro, max_rounds, hashlog,
+    windowed: bool = False,
+):
     from ..kernels.compress128 import _compress128_jit
 
-    def local(w, nn):
+    def local(w, nn, c0, ti):
+        kw = {"cur0": c0, "tinit": ti} if windowed else {}
         return _compress128_jit(
-            w, nn, ri=ri, ro=ro, max_rounds=max_rounds, hashlog=hashlog
+            w, nn, ri=ri, ro=ro, max_rounds=max_rounds, hashlog=hashlog, **kw
         )
 
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(None, BLOCK_AXIS), P(None, BLOCK_AXIS)),
+        in_specs=(
+            P(None, BLOCK_AXIS), P(None, BLOCK_AXIS),
+            P(None, BLOCK_AXIS), P(None, BLOCK_AXIS),
+        ),
         out_specs=(P(None, BLOCK_AXIS), P(None, BLOCK_AXIS)),
         check_rep=False,
-    )(words, n)
+    )(words, n, cur0, tinit)
 
 
 def _pack_transposed(blocks, lanes: int, rows: int):
@@ -340,26 +348,53 @@ def _lane_decode_batch(blocks, block_maxsize: int, mesh, dictionary=None):
     return results
 
 
-def _lane_compress_batch(blocks, mesh):
-    """Compress up to ``128 * n_dev`` independent raw blocks (each <=
-    ``compress128.MAX_B``) with the lane kernel sharded over the mesh."""
+def _lane_compress_batch(blocks, mesh, prefixes=None):
+    """Compress up to ``128 * n_dev`` raw blocks (each <=
+    ``compress128.MAX_B``) with the lane kernel sharded over the mesh.
+    ``prefixes`` (optional, per block): window/dictionary bytes the
+    block's matches may reach into (linked-frame / preset-dictionary
+    compress, ``framed/compress.rs:202-218,271-275``)."""
     from ..kernels import compress128 as c128
 
     n_dev = mesh.shape[BLOCK_AXIS]
     lanes = 128 * n_dev
     assert 0 < len(blocks) <= lanes
     blocks = [bytes(b) for b in blocks]
+    if prefixes is not None:
+        prefixes = [bytes(p or b"")[-65536:] for p in prefixes]
+        assert len(prefixes) == len(blocks)
+        if not any(prefixes):
+            prefixes = None
     maxlen = max(max(len(b) for b in blocks), 4)
     assert maxlen <= c128.MAX_B
-    ri = -(-maxlen // 4)
+    max_plen = max((len(p) for p in prefixes), default=0) if prefixes else 0
+    ri = -(-(maxlen + max_plen) // 4)
     ri = -(-ri // c128.GROUP_W) * c128.GROUP_W + c128.PAGE_W
     maxout = maxlen + maxlen // 255 + 16
     ro = (-(-maxout // 4) // c128.RING_W + 2) * c128.RING_W
     max_rounds = maxlen + maxout // c128.CB + maxlen // c128.CB + 256
-    words, n = _pack_transposed(blocks, lanes, ri)
+    if prefixes:
+        buffers = [p + b for p, b in zip(prefixes, blocks)]
+        words, n = _pack_transposed(buffers, lanes, ri)
+        cur0 = np.zeros((1, lanes), np.int32)
+        for i, p in enumerate(prefixes):
+            cur0[0, i] = len(p)
+        tinit = np.full((1 << c128.HASHLOG, lanes), 0x1FFFF, np.int32)
+        for base in range(0, len(prefixes), 128):
+            tinit[:, base : base + 128] = c128.prime_tables_packed(
+                prefixes[base : base + 128], c128.HASHLOG
+            )
+        windowed = True
+    else:
+        words, n = _pack_transposed(blocks, lanes, ri)
+        cur0 = np.zeros((1, lanes), np.int32)
+        tinit = np.zeros((8, lanes), np.int32)
+        windowed = False
     out_w, out_len = _compress128_sharded(
-        jnp.asarray(words), jnp.asarray(n), mesh=mesh,
+        jnp.asarray(words), jnp.asarray(n), jnp.asarray(cur0),
+        jnp.asarray(tinit), mesh=mesh,
         ri=ri, ro=ro, max_rounds=max_rounds, hashlog=c128.HASHLOG,
+        windowed=windowed,
     )
     out_w = np.asarray(out_w)
     out_len = np.asarray(out_len)[0]
@@ -370,9 +405,16 @@ def _lane_compress_batch(blocks, mesh):
             results.append(b"\x00")
         elif ln <= 0:
             from ..native import compress_block as _native_compress
-            from ..spec.table import U32Table
+            from ..spec.table import U32Table, prime_u32_table
 
-            results.append(bytes(_native_compress(b, 0, U32Table())))
+            if prefixes and prefixes[i]:
+                t = U32Table()
+                prime_u32_table(t, prefixes[i])
+                results.append(
+                    bytes(_native_compress(prefixes[i] + b, len(prefixes[i]), t))
+                )
+            else:
+                results.append(bytes(_native_compress(b, 0, U32Table())))
         else:
             results.append(_unpack_column(out_w, i, ln))
     return results
@@ -462,15 +504,17 @@ def compress_frame_parallel(
     only the first block's window is seeded from the dictionary tail.
 
     ``lane_kernel=True`` opts into the lane-parallel compressor
-    (``kernels/compress128.py``, 128 blocks per kernel step) when the
-    frame qualifies (independent blocks, no dictionary, blocks within the
-    lane kernel's VMEM budget); on multi-device meshes the lane batches
-    shard over the lane axis via ``shard_map`` (``_lane_compress_batch``).  The output is a fully
-    valid LZ4 frame decodable by any decoder, but NOT byte-identical to
-    the streaming writer: the lane parse uses a per-lane hash table (a
-    VMEM/ratio knob) and no skip acceleration, so it finds a slightly
-    different (still valid) match sequence.  Leave it off when byte
-    parity with the reference encoder matters.
+    (``kernels/compress128.py``, 128 blocks per kernel step per device;
+    multi-device meshes shard the lane batches via ``shard_map``).  All
+    frame modes qualify: independent, ``parallel_linked`` (each lane
+    carries the previous blocks' trailing 64 KiB as its window with a
+    host-primed table — framed/compress.rs:271-275 semantics), and
+    preset dictionaries (window broadcast).  The output is a fully valid
+    LZ4 frame decodable by any decoder, but NOT byte-identical to the
+    streaming writer: the lane parse uses its own table/probe
+    heuristics, so it finds a slightly different (still valid) match
+    sequence.  Leave it off when byte parity with the reference encoder
+    matters.
     """
     data = bytes(data)
     if BlockDescriptor.for_block_maxsize(block_size) is None:
@@ -482,13 +526,21 @@ def compress_frame_parallel(
 
     from ..kernels.compress import scalar_data_capacity_ok
     from ..kernels.compress128 import MAX_B as C128_MAX_B
+    from ..kernels.compress128 import lanes_eligible as _c128_eligible
 
-    use_lanes = lane_kernel and not dictionary and not parallel_linked
+    use_lanes = lane_kernel
     # the lane kernel's VMEM budget caps per-block size; emitting smaller
     # blocks under a larger declared block-maxsize is valid LZ4 (BD is a
-    # maximum, framed/header.rs:51-81)
+    # maximum, framed/header.rs:51-81).  Linked/dictionary mode carries a
+    # 64 KiB window per lane, shrinking the eligible chunk further.
     chunk_size = min(block_size, C128_MAX_B) if use_lanes else block_size
     window = WINDOW_SIZE if parallel_linked else 0
+    if use_lanes:
+        lane_plen = (
+            WINDOW_SIZE if (parallel_linked or dictionary) else 0
+        )
+        while chunk_size > 2048 and not _c128_eligible(chunk_size, lane_plen):
+            chunk_size //= 2
     if not use_lanes:
         # real-hardware routing by the scalar kernel's SMEM model (the
         # CPU interpret path has no such limit, but routing by static
@@ -542,14 +594,34 @@ def compress_frame_parallel(
             data[i * chunk_size : i * chunk_size + int(lens[i])]
             for i in range(n_blocks)
         ]
+        # per-block windows: linked mode reaches into the previous
+        # blocks' decoded output (= raw data, trailing <= 64 KiB;
+        # framed/compress.rs:271-275), with block 0 seeded from the
+        # dictionary tail; independent+dict mode broadcasts the
+        # dictionary as every block's window (framed/compress.rs:202-218)
+        if parallel_linked:
+            lane_prefixes = [
+                (dictionary or b"")[-WINDOW_SIZE:] if i == 0
+                else data[max(0, i * chunk_size - WINDOW_SIZE) : i * chunk_size]
+                for i in range(n_blocks)
+            ]
+        elif dictionary:
+            lane_prefixes = [dictionary[-WINDOW_SIZE:]] * n_blocks
+        else:
+            lane_prefixes = None
         lane_payloads = []
         batch = 128 * n_dev
         for base in range(0, n_blocks, batch):
             chunk = raw_blocks[base : base + batch]
+            pfx = (
+                lane_prefixes[base : base + batch] if lane_prefixes else None
+            )
             if n_dev == 1:
-                lane_payloads.extend(compress_blocks_128(chunk))
+                lane_payloads.extend(compress_blocks_128(chunk, prefixes=pfx))
             else:
-                lane_payloads.extend(_lane_compress_batch(chunk, mesh))
+                lane_payloads.extend(
+                    _lane_compress_batch(chunk, mesh, prefixes=pfx)
+                )
 
     template = np.zeros(4096, np.int32)
     if dictionary and not parallel_linked:

@@ -1,0 +1,113 @@
+"""Lane-compressor window/dictionary mode (compress128 prefixes).
+
+BASELINE config #3 on-chip: linked-block frames and preset dictionaries
+through the lane kernel — each lane's buffer is [window | block], the
+parse starts past the window with a host-primed step-3 table
+(framed/compress.rs:202-218,271-275 semantics), offsets explicitly
+capped at 0xFFFF.  Valid-LZ4 contract (not byte-exact with the
+streaming writer — documented).
+"""
+
+import pytest
+
+from lz4tpu.spec.block import decompress_block
+
+
+@pytest.mark.slow
+def test_compress128_window_blocks_roundtrip(corpus_sample):
+    from lz4tpu.kernels.compress128 import compress_blocks_128
+
+    win = corpus_sample(700, 3000)
+    blocks, prefixes = [], []
+    for s in range(4):
+        blocks.append(
+            win[s * 200 : s * 200 + 900]
+            + corpus_sample(710 + s, 1200)
+            + win[1000:1600]
+        )
+        prefixes.append(win)
+    blocks.append(corpus_sample(720, 1500))
+    prefixes.append(b"")  # windowless lane in the same batch
+    comp = compress_blocks_128(blocks, hashlog=8, prefixes=prefixes)
+    for b, p, c in zip(blocks, prefixes, comp):
+        assert bytes(decompress_block(c, prefix=p, output_limit=1 << 20)) == b
+    # the window must actually help on window-heavy data
+    solo = compress_blocks_128(blocks[:1], hashlog=8)
+    assert len(comp[0]) < len(solo[0])
+
+
+@pytest.mark.slow
+def test_compress128_lane_linked_and_dict_frames(corpus_sample):
+    """compress_frame_parallel(lane_kernel=True) covers parallel_linked
+    and dictionary frames; any standard reader decodes them."""
+    import lz4tpu.kernels.compress128 as c128
+    from lz4tpu import decompress_frame
+    from lz4tpu.parallel.mesh import make_mesh
+    from lz4tpu.parallel.pipeline import compress_frame_parallel
+
+    old_hl, old_maxb = c128.HASHLOG, c128.MAX_B
+    c128.HASHLOG, c128.MAX_B = 8, 4096  # interpret-mode cost control
+    try:
+        mesh = make_mesh(1)
+        data = corpus_sample(800, 40_000)
+        f1 = compress_frame_parallel(
+            data, block_size=1 << 16, mesh=mesh, lane_kernel=True,
+            parallel_linked=True,
+        )
+        assert decompress_frame(f1, engine="native") == data
+
+        dic = corpus_sample(801, 8000)
+        data2 = dic[:3000] + data[:20_000] + dic[2000:6000]
+        f2 = compress_frame_parallel(
+            data2, block_size=1 << 16, mesh=mesh, lane_kernel=True,
+            parallel_linked=True, dictionary=dic,
+        )
+        assert decompress_frame(f2, engine="native", dictionary=dic) == data2
+
+        f3 = compress_frame_parallel(
+            data2, block_size=1 << 16, mesh=mesh, lane_kernel=True,
+            dictionary=dic,
+        )
+        assert decompress_frame(f3, engine="native", dictionary=dic) == data2
+
+        # linked windows must beat independent chunks on this data
+        f4 = compress_frame_parallel(
+            data, block_size=1 << 16, mesh=mesh, lane_kernel=True
+        )
+        assert len(f1) < len(f4)
+    finally:
+        c128.HASHLOG, c128.MAX_B = old_hl, old_maxb
+
+
+@pytest.mark.slow
+def test_compress128_lane_linked_frames_on_mesh(corpus_sample):
+    """The windowed lane compressor shards over a multi-device mesh
+    (cur0/tinit travel per lane)."""
+    import jax
+    import pytest as _p
+
+    if len(jax.devices()) < 2:
+        _p.skip("needs the virtual multi-device CPU mesh")
+    import lz4tpu.kernels.compress128 as c128
+    from lz4tpu import decompress_frame
+    from lz4tpu.parallel.mesh import make_mesh
+    from lz4tpu.parallel.pipeline import _lane_compress_batch, make_mesh as _mm
+
+    old_hl = c128.HASHLOG
+    c128.HASHLOG = 8
+    try:
+        mesh = make_mesh()  # all virtual devices
+        win = corpus_sample(820, 2500)
+        blocks = [
+            win[100 * i : 100 * i + 700] + corpus_sample(830 + i, 600)
+            for i in range(6)
+        ]
+        prefixes = [win] * 6
+        comp = _lane_compress_batch(blocks, mesh, prefixes=prefixes)
+        for b, c in zip(blocks, comp):
+            assert (
+                bytes(decompress_block(c, prefix=win, output_limit=1 << 20))
+                == b
+            )
+    finally:
+        c128.HASHLOG = old_hl

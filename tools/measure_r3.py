@@ -142,6 +142,9 @@ CONFIGS = [
     ("c128_hl11", "compress128", {"LZ4TPU_C128_HASHLOG": "11"}),
     ("d128_seq2", "decode128", {}),
     ("d128_seq2_off", "decode128", {"LZ4TPU_D128_SEQ2": "0"}),
+    ("d128_seq2_cb8", "decode128", {"LZ4TPU_D128_CB": "8"}),
+    ("d128_seq2_cb32", "decode128", {"LZ4TPU_D128_CB": "32"}),
+    ("d128_seq2_b", "decode128", {}),
 ]
 
 
