@@ -39,7 +39,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .status import (
+from ..kernels.status import (
     ERR_INVALID_OFFSET,
     ERR_MEMORY_LIMIT,
     ERR_UNEXPECTED_END,

@@ -8,10 +8,10 @@ Each lane is a small phase machine advanced once per round:
 * SEARCH — hash the 4 bytes at the cursor, probe + insert a per-lane
   hash table held transposed in VMEM ((2^HASHLOG, 128); the probe and
   the insert share one one-hot sweep over the table slabs).  Each table
-  entry PACKS (position | 16-bit hash tag << 16) into one int32 array:
-  the sweep's per-slab loop is its dominant cost (measured 48% of the
-  round), so one array instead of positions+keys trims it (+7%
-  measured, ratio-identical).  The tag check is probabilistic (2^-16
+  entry PACKS (position(17) | hash tag(15) << 17) into one int32 array
+  (one array instead of positions+keys, +7% measured; 17-bit positions
+  cover [window|block] buffers up to 96 KiB with an explicit
+  offset<=0xFFFF hit check).  The tag check is probabilistic (2^-15
   false positives per probe); the authoritative byte verify is EXTEND's
   first LCP round — output validity never depends on the tag;
 * EXTEND — CB-byte LCP steps from mlen=0: XOR the cursor/candidate
@@ -34,10 +34,9 @@ End rules mirror the reference encoder: no match starts past n-12 and
 matches stop at n-5 (/root/reference/src/raw/compress/mod.rs;
 spec/block.py `compress_block`).
 
-Shared-machinery note: gather/funnel/place/sweep are consciously
-duplicated from decode128.py for now — consolidating them into a
-module without disturbing decode128's measured compile artifacts is
-round-3 cleanup.
+Window/dictionary mode: ``compress_blocks_128(prefixes=...)`` — see
+``_compress128_kernel``.  The gather/funnel/place/sweep machinery is
+shared with decode128 in ``kernels/lanes.py``.
 """
 
 from __future__ import annotations
@@ -50,6 +49,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from .lanes import funnel
+from .lanes import gather_rows as _lanes_gather_rows
+from .lanes import place_multi as _lanes_place_multi
+from .lanes import sweep_flush as _lanes_sweep_flush
 
 LANES = 128
 GROUP_W = 256  # input page group (words)
@@ -158,106 +162,26 @@ def _compress128_kernel(
     rowi8 = jax.lax.broadcasted_iota(jnp.int32, S8, 0)
 
     # ---------------- shared gather/funnel/place/sweep ------------------
+    # (kernels/lanes.py — shared with decode128/decodebig)
     def gather_rows(src, src_rows, base_row, k_rows, modulo):
-        """Two-level one-hot windowed row gather (see decode128)."""
-        assert src_rows % 8 == 0 and (not modulo or modulo % 8 == 0)
-        b = base_row[0:1, :]
-        n_slabs = src_rows // 8
-        l1 = (k_rows + 6) // 8 + 1
-        sb = b >> 3
-        accs = [jnp.zeros((8, LANES), jnp.int32) for _ in range(l1)]
-        for s in range(n_slabs):
-            slab = src[s * 8 : s * 8 + 8, :]
-            for j in range(l1):
-                t = sb + j
-                if modulo:
-                    t = jax.lax.rem(t, modulo // 8)
-                m = jnp.broadcast_to((t == s).astype(jnp.int32), (8, LANES))
-                accs[j] = accs[j] + slab * m
-        lvl1 = jnp.concatenate(accs, axis=0)
-        off = b & 7
-        rows_out = [jnp.zeros((1, LANES), jnp.int32) for _ in range(k_rows)]
-        for r0 in range(0, 8 * l1, 8):
-            slab = lvl1[r0 : r0 + 8, :]
-            t = rowi8 + r0 - off
-            for k in range(k_rows):
-                m = (t == k).astype(jnp.int32)
-                rows_out[k] = rows_out[k] + jnp.sum(slab * m, axis=0, keepdims=True)
-        return jnp.concatenate(rows_out, axis=0)
-
-    def funnel(w_rows, sh):
-        k = w_rows.shape[0] - 1
-        cur = w_rows[:k]
-        nxt = w_rows[1 : k + 1]
-        shb = jnp.broadcast_to((sh & 3)[0:1, :], (k, LANES)) * 8
-        lo = jax.lax.shift_right_logical(cur, shb)
-        hi = jnp.where(shb == 0, 0, nxt << ((32 - shb) & 31))
-        return lo | hi
+        return _lanes_gather_rows(
+            src, src_rows, base_row, k_rows, modulo, rowi8=rowi8
+        )
 
     def place(ring, bytes_w, dst, take):
-        sh = (dst & 3)[0:1, :]
-        z = jnp.zeros((1, LANES), jnp.int32)
-        ext = jnp.concatenate([bytes_w, z], axis=0)
-        prev = jnp.concatenate([z, bytes_w], axis=0)
-        shb = jnp.broadcast_to(sh, (CW + 1, LANES)) * 8
-        shifted = jnp.where(
-            shb == 0,
-            ext,
-            (ext << shb) | jax.lax.shift_right_logical(prev, (32 - shb) & 31),
+        """Single-chunk emission placement under the shared slop-write
+        invariant (bytes below ``dst`` preserved, slop above the span is
+        republished-before-observable): flush rows stay strictly below
+        ``out`` (FLUSH_THRESH >= FLUSH_B) and the host truncates the
+        final drain at out_len, exactly as in decode128."""
+        return _lanes_place_multi(
+            ring, [(bytes_w, take)], dst, cb=CB, ring_w=RING_W
         )
-        wordpos = jax.lax.broadcasted_iota(jnp.int32, (CW + 1, LANES), 0)
-        takeb = jnp.broadcast_to(take[0:1, :], (CW + 1, LANES))
-        shw = jnp.broadcast_to(sh, (CW + 1, LANES))
-        wmask = jnp.zeros((CW + 1, LANES), jnp.int32)
-        for j in range(4):
-            cbyte = 4 * wordpos + j - shw
-            valid = (cbyte >= 0) & (cbyte < takeb)
-            lane_mask = jnp.int32(np.int32(np.uint32(0xFF) << (8 * j)))
-            wmask = wmask | jnp.where(valid, lane_mask, 0)
-        # two-level placement (see decode128.place): chunk -> 16-row
-        # aligned window one-hot, then slab-granular window/ring merge
-        base = jax.lax.rem(dst >> 2, RING_W)[0:1, :]
-        off = base & 7
-        sb = base >> 3
-        nsl = RING_W // 8
-        w16 = jax.lax.broadcasted_iota(jnp.int32, (16, LANES), 0)
-        win = jnp.zeros((16, LANES), jnp.int32)
-        winm = jnp.zeros((16, LANES), jnp.int32)
-        offb = jnp.broadcast_to(off, (16, LANES))
-        for k in range(CW + 1):
-            sel = (w16 == offb + k).astype(jnp.int32)
-            win = win + jnp.broadcast_to(shifted[k : k + 1], (16, LANES)) * sel
-            winm = winm + jnp.broadcast_to(wmask[k : k + 1], (16, LANES)) * sel
-        out_slabs = []
-        for s in range(nsl):
-            acc = ring[s * 8 : s * 8 + 8, :]
-            for w in range(2):
-                sel = (jax.lax.rem(sb + w, nsl) == s).astype(jnp.int32)
-                mm = winm[w * 8 : w * 8 + 8, :] * jnp.broadcast_to(sel, (8, LANES))
-                acc = (acc & ~mm) | (win[w * 8 : w * 8 + 8, :] & mm)
-            out_slabs.append(acc)
-        return jnp.concatenate(out_slabs, axis=0)
 
     def sweep_flush(ring, fw, nwords):
-        fwr = fw[0:1, :]
-        nwr = nwords[0:1, :]
-        act = nwr > 0
-        lo = jnp.min(jnp.where(act, fwr, jnp.int32(1 << 30)))
-        hi = jnp.max(jnp.where(act, fwr + nwr, 0))
-        nblk = ro // RING_W
-        b_lo = jnp.clip(lo // RING_W, 0, nblk - 1)
-        b_hi = jnp.clip((hi + RING_W - 1) // RING_W, 0, nblk)
-        piota = jax.lax.broadcasted_iota(jnp.int32, (RING_W, LANES), 0)
-
-        def body(i, _):
-            base = (b_lo + i) * RING_W
-            blk = out_words_ref[pl.ds(base, RING_W), :]
-            p = piota + base
-            m = (p >= fwr) & (p < fwr + nwr)
-            out_words_ref[pl.ds(base, RING_W), :] = jnp.where(m, ring, blk)
-            return 0
-
-        jax.lax.fori_loop(0, jnp.maximum(b_hi - b_lo, 0), body, 0)
+        _lanes_sweep_flush(
+            out_words_ref, ring, fw, nwords, ring_w=RING_W, out_rows=ro
+        )
 
     # ---------------- input page machinery ------------------------------
     def refill(ref, gbase):

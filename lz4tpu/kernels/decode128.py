@@ -37,7 +37,8 @@ flushed output (no extra code path in the round).  Block size and
 prefix together are bounded by the transposed-VMEM budget
 (``lanes_eligible``; ~64 KiB output/lane without a prefix).
 Semantics: ``/root/reference/src/raw/decompress.rs:59-138`` (prefix
-resolution ``:84-99``).
+resolution ``:84-99``).  The gather/funnel/place/sweep machinery is
+shared with compress128/decodebig in ``kernels/lanes.py``.
 """
 
 from __future__ import annotations
@@ -51,6 +52,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..spec.block import DecodeError
+from .lanes import funnel
+from .lanes import gather_rows as _lanes_gather_rows
+from .lanes import place_multi as _lanes_place_multi
+from .lanes import sweep_flush as _lanes_sweep_flush
 from .status import (
     ERR_INVALID_OFFSET,
     ERR_MEMORY_LIMIT,
@@ -266,188 +271,23 @@ def _decode128_kernel(
 
     # -------- per-lane bounded row gather (one-hot over a window) -------
     def gather_rows(src, src_rows, base_row, k_rows, modulo):
-        """out[k, l] = src[(base_row[l] + k) (mod modulo), l], k < k_rows.
-
-        Two-level one-hot: level 1 selects the aligned 8-row slabs that
-        contain the window (ONE vreg FMA per source slab instead of one
-        per (slab, output-row) pair), level 2 gathers the k_rows from
-        that small window at offset base&7.  Cuts the cost from
-        n_slabs*k_rows to ~n_slabs + 2*k_rows vreg ops (~5x on the
-        far page)."""
-        assert src_rows % 8 == 0 and (not modulo or modulo % 8 == 0)
-        b = base_row[0:1, :]
-        n_slabs = src_rows // 8
-        l1 = (k_rows + 6) // 8 + 1  # slabs spanned at worst offset 7
-        sb = b >> 3
-        accs = [jnp.zeros((8, LANES), jnp.int32) for _ in range(l1)]
-        for s in range(n_slabs):
-            slab = src[s * 8 : s * 8 + 8, :]
-            for j in range(l1):
-                t = sb + j
-                if modulo:
-                    t = jax.lax.rem(t, modulo // 8)
-                m = jnp.broadcast_to((t == s).astype(jnp.int32), (8, LANES))
-                accs[j] = accs[j] + slab * m
-        lvl1 = jnp.concatenate(accs, axis=0)
-        off = b & 7
-        rows_out = [jnp.zeros((1, LANES), jnp.int32) for _ in range(k_rows)]
-        for r0 in range(0, 8 * l1, 8):
-            slab = lvl1[r0 : r0 + 8, :]
-            t = rowi8 + r0 - off
-            for k in range(k_rows):
-                m = (t == k).astype(jnp.int32)
-                rows_out[k] = rows_out[k] + jnp.sum(slab * m, axis=0, keepdims=True)
-        return jnp.concatenate(rows_out, axis=0)
-
-    def funnel(w_rows, sh):
-        """out[k] = 4 bytes of the stream starting at byte ``sh`` (0..3 per
-        lane) of word k; input has one extra row."""
-        k = w_rows.shape[0] - 1
-        cur = w_rows[:k]
-        nxt = w_rows[1 : k + 1]
-        shb = jnp.broadcast_to((sh & 3)[0:1, :], (k, LANES)) * 8
-        lo = jax.lax.shift_right_logical(cur, shb)
-        hi = jnp.where(shb == 0, 0, nxt << ((32 - shb) & 31))
-        return lo | hi
-
-    def _byte_shift(bytes_w, sh):
-        """Word rows of ``bytes_w`` shifted left within the stream by the
-        per-lane byte amount ``sh`` in [0, 3]; returns CW+1 rows."""
-        z = jnp.zeros((1, LANES), jnp.int32)
-        ext = jnp.concatenate([bytes_w, z], axis=0)  # CW+1 rows
-        prev = jnp.concatenate([z, bytes_w], axis=0)
-        shb = jnp.broadcast_to(sh, (CW + 1, LANES)) * 8
-        return jnp.where(
-            shb == 0,
-            ext,
-            (ext << shb) | jax.lax.shift_right_logical(prev, (32 - shb) & 31),
+        return _lanes_gather_rows(
+            src, src_rows, base_row, k_rows, modulo, rowi8=rowi8
         )
 
     def place_multi(ring, chunks, dst):
-        """Write the ``chunks`` list of (word_rows, take) as ONE contiguous
-        span at per-lane byte position ``dst`` — a single window scatter +
-        ring merge instead of dependent place calls (place was 30% of the
-        round as two calls; the merge stages serialize on the ring value).
-        Phase-2 rounds pass four chunks (litA|mA|litB|mB).
-
-        Two-level placement: scatter the chunks into an aligned window
-        (the combined span <= len(chunks)*CB bytes + offset 3 + row slack),
-        then merge the window into the ring at slab granularity.  Window
-        row x <-> ring row sb*8 + x (slab-aligned), and row-level wrap
-        coincides with slab-level wrap because RING_W is a multiple of 8.
-
-        SLOP INVARIANT (kills the per-byte validity machinery, measured
-        ~27% of the round with it): bytes BELOW ``dst`` are preserved (a
-        head-byte mask on the first row); bytes ABOVE the span in the
-        touched rows are clobbered with chunk slop.  Safe because every
-        output byte is written for real exactly once, in order: slop
-        lands only at positions >= the lane's current ``out``, is
-        rewritten before ``out`` passes it, and all readers (the
-        pre-place near gather + register overlay, flush sweeps, the
-        final drain + host truncation) only observe positions < ``out``.
-        Ring-wrap safety: slop extends at most len(chunks)*CB+3 bytes past
-        the round-start fill, and FLUSH_THRESH guarantees
-        fill + _NCHUNK*CB + 3 <= RING_W*4."""
-        nch = len(chunks)
-        # window rows: worst intra-slab offset (7) + last chunk's row
-        # offset ((3+(nch-1)*CB)>>2) + chunk rows (CW+1) — slab-rounded
-        PW = -(-(7 + ((3 + (nch - 1) * CB) >> 2) + CW + 1) // 8) * 8
-        assert PW <= RING_W  # the window merge may not lap the ring
-        sh = (dst & 3)[0:1, :]
-        base = jax.lax.rem(dst >> 2, RING_W)[0:1, :]
-        off = base & 7
-        sb = base >> 3
-        nsl = RING_W // 8
-        wpi = jax.lax.broadcasted_iota(jnp.int32, (PW, LANES), 0)
-        win = jnp.zeros((PW, LANES), jnp.int32)
-        offb = jnp.broadcast_to(off, (PW, LANES))
-        rowi_c = jax.lax.broadcasted_iota(jnp.int32, (CW + 1, LANES), 0)
-        cum = jnp.zeros((1, LANES), jnp.int32)  # bytes before this chunk
-        total = jnp.zeros((1, LANES), jnp.int32)
-        for ci, (bytes_w, take) in enumerate(chunks):
-            s_k = sh + cum  # chunk start byte within the window grid
-            shk = s_k & 3
-            rk = s_k >> 2  # chunk's row offset in the window
-            shifted = _byte_shift(bytes_w, shk)
-            e_k = s_k + take[0:1, :]  # chunk end byte = next chunk start
-            if ci < nch - 1:
-                # zero this chunk's bytes at/after its end: the boundary
-                # word shares bytes with the next chunk's first word
-                # (which has zeros below its shift), and rows past the
-                # boundary belong to later chunks — scatter ADDs, so
-                # stale slop must not mix
-                brow = jnp.broadcast_to((e_k >> 2) - rk, (CW + 1, LANES))
-                lowm = (
-                    1 << (8 * jnp.broadcast_to(e_k & 3, (CW + 1, LANES)))
-                ) - 1
-                shifted = jnp.where(
-                    rowi_c == brow, shifted & lowm,
-                    jnp.where(rowi_c > brow, 0, shifted),
-                )
-            offk = offb + jnp.broadcast_to(rk, (PW, LANES))
-            for k in range(CW + 1):
-                sel = (wpi == offk + k).astype(jnp.int32)
-                win = win + (
-                    jnp.broadcast_to(shifted[k : k + 1], (PW, LANES)) * sel
-                )
-            cum = cum + take[0:1, :]
-            total = total + take[0:1, :]
-        # row validity on the window, built once over the COMBINED span:
-        # rows [off, off+nrows) are written; the first row keeps its bytes
-        # below dst&3.  NOTE: when all takes are 0 but sh = dst&3 > 0,
-        # nrows = (sh+3)>>2 = 1, so idle/done lanes rewrite their head
-        # row's bytes >= sh with slop every round — safe under the slop
-        # invariant (those positions are >= out and never observed), but
-        # do not rely on "no write when idle" here
-        nrows = (sh + total + 3) >> 2
-        rows_ok = (wpi >= offb) & (wpi < offb + jnp.broadcast_to(nrows, (PW, LANES)))
-        m16 = jnp.where(rows_ok, jnp.int32(-1), 0)
-        headm = jnp.int32(-1) << (jnp.broadcast_to(sh, (PW, LANES)) * 8)
-        m16 = jnp.where(wpi == offb, m16 & headm, m16)
-        out_slabs = []
-        for s in range(nsl):
-            acc = ring[s * 8 : s * 8 + 8, :]
-            for w in range(PW // 8):
-                sel = (jax.lax.rem(sb + w, nsl) == s).astype(jnp.int32)
-                mm = m16[w * 8 : w * 8 + 8, :] * jnp.broadcast_to(sel, (8, LANES))
-                acc = (acc & ~mm) | (win[w * 8 : w * 8 + 8, :] & mm)
-            out_slabs.append(acc)
-        return jnp.concatenate(out_slabs, axis=0)
+        """One contiguous span (litA|mA[|litB|mB]) scattered + merged into
+        the staging ring; machinery + slop invariant in kernels/lanes.py."""
+        return _lanes_place_multi(ring, chunks, dst, cb=CB, ring_w=RING_W)
 
     def sweep_flush(ring, fw, nwords):
-        """out[p, l] = ring[p mod RING_W, l] for fw_l <= p < fw_l+nwords_l.
-
-        The ring address (p mod RING_W) is uniform across lanes, so this
-        is a masked sweep with no per-lane gather; the sweep covers only
-        the dynamic row range [min fw, max fw+nwords) — lanes progress at
-        similar rates, so the range is a handful of RING_W blocks, not
-        the whole output."""
-        fwr = fw[0:1, :]
-        nwr = nwords[0:1, :]
-        act = nwr > 0
-        lo = jnp.min(jnp.where(act, fwr, jnp.int32(1 << 30)))
-        hi = jnp.max(jnp.where(act, fwr + nwr, 0))
-        nblk = ro // RING_W
-        b_lo = jnp.clip(lo // RING_W, 0, nblk - 1)
-        b_hi = jnp.clip((hi + RING_W - 1) // RING_W, 0, nblk)
-        piota = jax.lax.broadcasted_iota(jnp.int32, (RING_W, LANES), 0)
-
-        def body(i, _):
-            base = (b_lo + i) * RING_W
-            blk = out_words_ref[pl.ds(base, RING_W), :]
-            p = piota + base
-            m = (p >= fwr) & (p < fwr + nwr)
-            out_words_ref[pl.ds(base, RING_W), :] = jnp.where(m, ring, blk)
-            if mid_w and variant != "nomid":
-                # mirror the flushed rows into the mid page (lane-uniform
-                # mod address; preserve other lanes' rows — their eras
-                # differ)
-                mb = jax.lax.rem(base, mid_w)
-                mblk = mid_ref[pl.ds(mb, RING_W), :]
-                mid_ref[pl.ds(mb, RING_W), :] = jnp.where(m, ring, mblk)
-            return 0
-
-        jax.lax.fori_loop(0, jnp.maximum(b_hi - b_lo, 0), body, 0)
+        """Publish ring rows to the transposed main output (and the mid
+        mirror when enabled) — lane-uniform masked sweep, kernels/lanes.py."""
+        _lanes_sweep_flush(
+            out_words_ref, ring, fw, nwords, ring_w=RING_W, out_rows=ro,
+            mid_ref=mid_ref,
+            mid_w=(mid_w if (mid_w and variant != "nomid") else 0),
+        )
 
     # ---------------- main loop ----------------------------------------
     def round_body(r, _):

@@ -1,4 +1,4 @@
-"""Lane-parallel parser experiment (kernels/parse128.py) vs a host oracle."""
+"""Lane-parallel parser experiment (experiments/parse128.py) vs a host oracle."""
 
 import pytest
 
@@ -43,7 +43,7 @@ def host_records(comp: bytes):
 
 
 def test_parse128_matches_host_oracle(corpus_sample):
-    from lz4tpu.kernels.parse128 import parse_blocks_128
+    from lz4tpu.experiments.parse128 import parse_blocks_128
 
     payloads = [
         corpus_sample(130 + s, 1500 + 211 * s) for s in range(6)
@@ -57,7 +57,7 @@ def test_parse128_matches_host_oracle(corpus_sample):
 
 def test_parse128_long_lsic_sentinel():
     """LSIC chains beyond the static bound flag the fallback sentinel."""
-    from lz4tpu.kernels.parse128 import parse_blocks_128
+    from lz4tpu.experiments.parse128 import parse_blocks_128
 
     big_rle = bytes(compress_block(b"\x00" * 60_000, 0, U16Table()))
     _, status = parse_blocks_128([big_rle], output_limit=1 << 16)
@@ -65,7 +65,7 @@ def test_parse128_long_lsic_sentinel():
 
 
 def test_parse128_detects_errors():
-    from lz4tpu.kernels.parse128 import parse_blocks_128
+    from lz4tpu.experiments.parse128 import parse_blocks_128
     from lz4tpu.spec.block import DecodeError  # noqa: F401
 
     bad = [
