@@ -1,0 +1,714 @@
+"""HBM-staged lane-parallel LZ4 decoder for big blocks (>= 256 KiB).
+
+decode128 keeps each lane's whole compressed stream and output resident
+in VMEM, which caps blocks at ~64 KiB/lane.  The reference's DEFAULT
+frame geometry is 4 MiB blocks (``framed/compress.rs:49``; sizes
+``framed/header.rs:72-80``) — this kernel decodes those on-chip with
+CONSTANT VMEM by staging both streams in HBM:
+
+* the transposed compressed words and outputs live in HBM
+  (``pltpu.ANY``); VMEM holds a LINEAR sliding band of each — rows
+  ``[base, base + BAND)`` — advanced by half-band ``async_copy`` DMAs
+  (one rectangle per advance: the band is shared by all 128 lanes, so
+  no per-lane DMA exists anywhere);
+* LZ4 match offsets are 16-bit (<= 0xFFFF), so every match source lies
+  in the trailing 64 KiB of the lane's output — the output band is
+  sized 64 KiB + a working window, and the band-advance invariant
+  (``min_active(out) - window_bound >= (ob+OHALF)*4``) guarantees far
+  sources never fall off the band;
+* lanes that need rows beyond a band PAUSE for the round (their parse /
+  copy work is masked) until the slowest active lane lets the band
+  advance — a pure scheduling effect, never a correctness one.  Lanes
+  with wildly divergent compression ratios can cross-block the two
+  bands (an RLE lane races ahead in output while barely consuming
+  compressed bytes, pinning the comp band that incompressible lanes
+  need); a no-progress backstop detects the stall and hands the
+  band-blocking lanes to the host fallback (RLE-ish lanes are exactly
+  the ones the native engine decodes fastest), letting the rest of the
+  batch proceed on-chip;
+* the round body is otherwise decode128's: lockstep one-sequence
+  rounds, shared gather/funnel/place/sweep machinery from
+  ``kernels/lanes.py``, re-entrant LSIC continuations, typed per-lane
+  statuses (``decompress.rs:8-17`` semantics) validated on the host.
+
+Scope: independent blocks (the reference's big-block frames are
+independent by default); dictionary/linked prefixes and the phase-2
+second sequence stay decode128 features for now.  ``window_bound`` is
+65535 in real use; tests shrink it (with matching data) to exercise the
+banding machinery at CPU-interpret-tractable sizes.
+"""
+
+from __future__ import annotations
+
+import functools
+import os as _os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..spec.block import DecodeError
+from .lanes import funnel
+from .lanes import gather_rows as _lanes_gather_rows
+from .lanes import place_multi as _lanes_place_multi
+from .lanes import sweep_flush as _lanes_sweep_flush
+from .status import (
+    ERR_INVALID_OFFSET,
+    ERR_MEMORY_LIMIT,
+    ERR_UNEXPECTED_END,
+    ERR_ZERO_OFFSET,
+    OK,
+    STATUS_TO_KIND,
+)
+
+LANES = 128
+GROUP_W = 256  # comp page group (words), as decode128
+FAR_G = 256  # far page group granularity (band rows)
+CB = int(_os.environ.get("LZ4TPU_DBIG_CB", "16"))
+CW = CB // 4
+_MARGIN = -(-max(CW + 2, 5) // 8) * 8
+PAGE_W = GROUP_W + _MARGIN
+FAR_W = FAR_G + _MARGIN
+RING_W = 64 if CB <= 16 else 128
+FLUSH_B = 128
+FLUSH_THRESH = min(176, RING_W * 4 - 2 * CB - 4)
+assert FLUSH_THRESH >= FLUSH_B
+LSIC_STEPS = 8
+assert 2 + LSIC_STEPS <= 12
+STATUS_FALLBACK = 100
+
+# default band geometry (rows = words).  Output band: 64 KiB offset
+# reach + OHALF advance quantum + working spread; comp band: CHALF
+# advance quantum + spread tolerance.  VMEM row sum at the defaults:
+# out 26624 + comp 3072 + pages/ring/state ~700 = ~30.4K rows = 15.6 MB.
+OBAND = int(_os.environ.get("LZ4TPU_DBIG_OBAND", str(26624)))
+OHALF = 2048
+CBAND = int(_os.environ.get("LZ4TPU_DBIG_CBAND", str(3072)))
+CHALF = 1024
+assert OBAND % OHALF == 0 and CBAND % CHALF == 0
+assert OHALF % FAR_G == 0 and CHALF % GROUP_W == 0
+assert OBAND % RING_W == 0
+
+# state rows
+(R_POS, R_OUT, R_ST, R_DONE, R_GB, R_FLUSH,
+ R_LREM, R_LSRC, R_MREM, R_MOFF, R_MLAG, R_TAIL, R_FGB, R_PGF,
+ R_RND, R_DONEAT, R_PPH, R_PV, R_SLIT, R_SSRC, R_SOFF) = range(21)
+NSTATE = 24
+PH_NONE, PH_LIT, PH_MATCH = 0, 1, 2
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _decodebig_kernel(
+    words_hbm,  # ANY (rw_pad, 128) int32 — transposed comp streams
+    n_ref,  # VMEM (1, 128) int32
+    out_hbm,  # ANY (ro_pad, 128) int32 OUT
+    out_len_ref,  # VMEM (3, 128) int32 OUT: len / done-at / rounds
+    status_ref,  # VMEM (1, 128) int32 OUT
+    cband_ref,  # scratch (CBAND, 128) — comp band
+    oband_ref,  # scratch (OBAND, 128) — output band
+    page_ref,  # scratch (PAGE_W, 128)
+    far_ref,  # scratch (FAR_W, 128)
+    ring_ref,  # scratch (RING_W, 128)
+    state_ref,  # scratch (NSTATE, 128)
+    base_ref,  # scratch SMEM (4,) int32: cb_base, ob_base (rows)
+    dma_sem,  # DMA semaphore
+    *,
+    oband: int,
+    cband: int,
+    rw_pad: int,
+    ro_pad: int,
+    max_rounds: int,
+    output_limit: int,
+    window_bound: int,
+):
+    S8 = (8, LANES)
+    n = jnp.broadcast_to(n_ref[0:1, :], S8)
+    rowi8 = jax.lax.broadcasted_iota(jnp.int32, S8, 0)
+    n_slots = (cband - PAGE_W) // GROUP_W + 1  # comp groups fully in band
+    far_slots = (oband - FAR_W) // FAR_G + 1
+
+    def gather_rows(src, src_rows, base_row, k_rows, modulo):
+        return _lanes_gather_rows(
+            src, src_rows, base_row, k_rows, modulo, rowi8=rowi8
+        )
+
+    # ---------------- banded comp page machinery ------------------------
+    def refill_page(gbase, cb_g):
+        """gbase is the lane's ABSOLUTE comp group; the band holds groups
+        [cb_g, cb_g + n_slots_total)."""
+        acc = jnp.zeros((PAGE_W, LANES), jnp.int32)
+        gb = gbase[0:1, :]
+        for s in range(n_slots):
+            mask = ((gb - cb_g) == s).astype(jnp.int32)
+            acc = acc + cband_ref[s * GROUP_W : s * GROUP_W + PAGE_W, :] * mask
+        page_ref[:, :] = acc
+
+    def ensure_page(gbase, pos, active, cb_g):
+        """Absolute-group ensure; lanes whose wanted group is not fully
+        inside the comp band stall for the round (the band advances when
+        the slowest lane releases the lower half)."""
+        want = (pos >> 2) // GROUP_W
+        in_band = (want >= cb_g) & (want - cb_g < n_slots)
+        need = active & (want != gbase) & in_band
+        new_gbase = jnp.where(need, want, gbase)
+
+        @pl.when(jnp.any(need))
+        def _():
+            refill_page(new_gbase, cb_g)
+
+        return new_gbase, active & ~in_band
+
+    def lsic_from(span, k0, initial, p, enable, status, cont):
+        need = ((initial == 0xF) | cont) & enable
+        v = initial
+        for k in range(LSIC_STEPS):
+            eof = need & (p >= n)
+            status = jnp.where(
+                (eof != 0) & (status == OK), ERR_UNEXPECTED_END, status
+            )
+            need = need & (~eof)
+            b = span[k0 + k]
+            v = v + jnp.where(need, b, 0)
+            p = p + need.astype(jnp.int32)
+            need = need & (b == 0xFF)
+        return v, p, status, need
+
+    def place_multi(ring, chunks, dst):
+        return _lanes_place_multi(ring, chunks, dst, cb=CB, ring_w=RING_W)
+
+    def sweep_flush(ring, fw, nwords, ob_rows):
+        _lanes_sweep_flush(
+            oband_ref, ring, fw, nwords, ring_w=RING_W, out_rows=oband,
+            row_base=ob_rows,
+        )
+
+    # ---------------- main loop ----------------------------------------
+    def round_body(r, _):
+        st = state_ref[:, :]
+
+        def row(i):
+            return jnp.broadcast_to(st[i : i + 1], S8)
+
+        pos, out, status, done = row(R_POS), row(R_OUT), row(R_ST), row(R_DONE) != 0
+        gbase, flushed = row(R_GB), row(R_FLUSH)
+        lit_rem, lit_src = row(R_LREM), row(R_LSRC)
+        m_rem, m_off, m_lag = row(R_MREM), row(R_MOFF), row(R_MLAG)
+        tail_only, fgb = row(R_TAIL), row(R_FGB)
+        pgf = row(R_PGF)
+        rnd, doneat = row(R_RND), row(R_DONEAT)
+        done0 = done
+        pph, pv = row(R_PPH), row(R_PV)
+        slit, ssrc, soff = row(R_SLIT), row(R_SSRC), row(R_SOFF)
+
+        live = (~done) & (status == OK)
+
+        # ---- band advances (round start; blocking DMAs, fire rarely) ----
+        cb_g0 = base_ref[0] // GROUP_W  # absolute group of comp band base
+        ob0 = base_ref[1]  # output band base (rows)
+        # lowest comp row any live lane still needs (copying lanes read
+        # literals at lit_src <= pos; everyone else reads at pos)
+        low_need = jnp.where(lit_rem > 0, jnp.minimum(lit_src, pos), pos)
+        low_row = jnp.min(
+            jnp.where(live, low_need >> 2, jnp.int32(1 << 30))
+        )
+        comp_left = jnp.any(live & ((n + 3) >> 2 > base_ref[0] + cband))
+
+        @pl.when((low_row >= base_ref[0] + CHALF) & comp_left)
+        def _():
+            cband_ref[0 : cband - CHALF, :] = cband_ref[CHALF:cband, :]
+            cp = pltpu.make_async_copy(
+                words_hbm.at[pl.ds(base_ref[0] + cband, CHALF)],
+                cband_ref.at[pl.ds(cband - CHALF, CHALF)],
+                dma_sem,
+            )
+            cp.start()
+            cp.wait()
+            base_ref[0] = base_ref[0] + CHALF
+            base_ref[2] = 0  # band advance counts as progress
+
+        # output band advance: the lower half may leave VMEM only when no
+        # live lane's future far source (>= out - window_bound) or
+        # unflushed byte can touch it
+        min_out = jnp.min(jnp.where(live, out, jnp.int32(1 << 30)))
+        min_flushed = jnp.min(jnp.where(live, flushed, jnp.int32(1 << 30)))
+        can_adv = (
+            (min_out - window_bound >= (ob0 + OHALF) * 4)
+            & (min_flushed >= (ob0 + OHALF) * 4)
+            & jnp.any(live)
+        )
+
+        @pl.when(can_adv)
+        def _():
+            cp = pltpu.make_async_copy(
+                oband_ref.at[pl.ds(0, OHALF)],
+                out_hbm.at[pl.ds(base_ref[1], OHALF)],
+                dma_sem,
+            )
+            cp.start()
+            cp.wait()
+            oband_ref[0 : oband - OHALF, :] = oband_ref[OHALF:oband, :]
+            base_ref[1] = base_ref[1] + OHALF
+            base_ref[2] = 0
+
+        cb_g = base_ref[0] // GROUP_W
+        ob = base_ref[1]
+
+        # lanes whose output would overrun the band pause this round
+        opause = out >= (ob + oband) * 4 - 2 * RING_W * 4
+        active = live & ~opause
+
+        # ---- parse (decode128's re-entrant structure) -------------------
+        need_rec = active & (lit_rem == 0) & (m_rem == 0)
+        pbase = (
+            pos
+            - (pph == PH_LIT).astype(jnp.int32)
+            - 2 * (pph == PH_MATCH).astype(jnp.int32)
+        )
+        gbase, pstall = ensure_page(
+            gbase, jnp.where(need_rec, pbase, lit_src),
+            active & (need_rec | (lit_rem > 0)), cb_g,
+        )
+        cont_pending = pph != PH_NONE
+        status = jnp.where(
+            need_rec & cont_pending & (pos >= n) & (status == OK),
+            ERR_UNEXPECTED_END, status,
+        )
+        parse_ok = need_rec & (pos < n) & ~pstall & (status == OK)
+        fresh = parse_ok & (pph == PH_NONE)
+        cont_lit = parse_ok & (pph == PH_LIT)
+        cont_match = parse_ok & (pph == PH_MATCH)
+        page = page_ref[:, :]
+
+        def span_at(p, enable):
+            base_row = jnp.clip(
+                (p >> 2) - gbase * GROUP_W, 0, PAGE_W - 5
+            )
+            w4 = gather_rows(page, PAGE_W, base_row, 4, 0)
+            ws = funnel(w4, p)
+            outb = []
+            for k in range(12):
+                word = jnp.broadcast_to(ws[k // 4 : k // 4 + 1], S8)
+                outb.append(
+                    jax.lax.shift_right_logical(word, (k % 4) * 8) & 0xFF
+                )
+            return outb
+
+        lit_en = fresh | cont_lit
+        span1 = span_at(jnp.where(lit_en, pbase, 0), lit_en)
+        tok = span1[0]
+        nib = jnp.where(cont_lit, soff, tok & 0xF)
+        lit_init = jnp.where(cont_lit, pv, jax.lax.shift_right_logical(tok, 4))
+        p = pos + fresh.astype(jnp.int32)
+        litv, p, status, lneed = lsic_from(
+            span1, 1, jnp.where(lit_en, lit_init, 0), p, lit_en, status,
+            cont=cont_lit,
+        )
+        susp_lit = lneed & (status == OK)
+        adv = lit_en & ~lneed & (status == OK)
+        new_lsrc = jnp.where(cont_match, ssrc, p)
+        litv = jnp.where(cont_match, slit, litv)
+        p = jnp.where(cont_match, pos, p + jnp.where(adv, litv, 0))
+        status = jnp.where(
+            adv & (p > n) & (status == OK), ERR_UNEXPECTED_END, status
+        )
+        adv = adv & (status == OK)
+
+        m_en = adv & (n - p >= 2)
+        m_parse = m_en | cont_match
+        span2_base = jnp.where(cont_match, pbase, p)
+        gbase, pstall2 = ensure_page(
+            gbase, jnp.where(m_parse, span2_base, pos), m_parse, cb_g
+        )
+        # a lane whose match header left the band defers the whole parse
+        # to a later round (no state commitment)
+        m_parse = m_parse & ~pstall2
+        m_en = m_en & ~pstall2
+        adv = adv & ~pstall2
+        page = page_ref[:, :]
+        span2 = span_at(jnp.where(m_parse, span2_base, 0), m_parse)
+        offv = jnp.where(
+            cont_match, soff,
+            jnp.where(m_en, span2[0] | (span2[1] << 8), 1),
+        )
+        p = p + 2 * m_en.astype(jnp.int32)
+        m_init = jnp.where(cont_match, pv, jnp.where(m_en, nib, 0))
+        mv, p, status, mneed = lsic_from(
+            span2, 2, m_init, p, m_parse, status, cont=cont_match
+        )
+        susp_match = mneed & (status == OK)
+        m_done = m_parse & ~mneed & (status == OK)
+        mlenv = jnp.where(m_done, mv + 4, 0)
+
+        ok = status == OK
+        status = jnp.where(
+            m_done & ok & (out + litv + mlenv > output_limit),
+            ERR_MEMORY_LIMIT, status,
+        )
+        ok = status == OK
+        # tail soft-limit: route buffer-overrunning tails to the host
+        buf_cap = ro_pad * 4 - 2 * CB - 8
+        status = jnp.where(
+            (adv & ~m_en) & ok & (out + litv > buf_cap),
+            STATUS_FALLBACK, status,
+        )
+        ok = status == OK
+        status = jnp.where(m_done & ok & (offv == 0), ERR_ZERO_OFFSET, status)
+        ok = status == OK
+        status = jnp.where(
+            m_done & ok & (offv > out + litv), ERR_INVALID_OFFSET, status
+        )
+        ok = status == OK
+        # offsets beyond the banding window (test-sized window_bound
+        # only; real offsets are <= 0xFFFF = the default bound) fall back
+        status = jnp.where(
+            m_done & ok & (offv > window_bound), STATUS_FALLBACK, status
+        )
+        seq_done = (adv & ~m_en) | m_done
+        accept = seq_done & (status == OK)
+
+        lit_rem = jnp.where(accept, litv, lit_rem)
+        lit_src = jnp.where(accept, new_lsrc, lit_src)
+        m_rem = jnp.where(accept, mlenv, m_rem)
+        m_off = jnp.where(accept, offv, m_off)
+        m_lag = jnp.where(accept, offv, m_lag)
+        tail_only = jnp.where(accept, (~m_done).astype(jnp.int32), tail_only)
+        pos = jnp.where(accept | susp_lit | susp_match, p, pos)
+        pph = jnp.where(
+            susp_lit, PH_LIT,
+            jnp.where(susp_match, PH_MATCH, jnp.where(accept, PH_NONE, pph)),
+        )
+        pv = jnp.where(susp_lit, litv, jnp.where(susp_match, mv, pv))
+        soff = jnp.where(susp_lit, nib, jnp.where(susp_match, offv, soff))
+        slit = jnp.where(susp_match, litv, slit)
+        ssrc = jnp.where(susp_match, new_lsrc, ssrc)
+
+        active = active & (status == OK)
+
+        # ---- flush (plus the final drain of lanes finishing this round,
+        # so band advances never outrun a finished lane's ring tail) ----
+        ring0 = ring_ref[:, :]
+        do_flush = active & (out - flushed >= FLUSH_THRESH)
+
+        @pl.when(jnp.any(do_flush))
+        def _():
+            fw = flushed >> 2
+            nw = jnp.where(do_flush, FLUSH_B >> 2, 0)
+            sweep_flush(ring0, fw, nw, ob)
+
+        flushed = jnp.where(do_flush, flushed + FLUSH_B, flushed)
+
+        # ---- literal chunk ----
+        lit_take = jnp.where(pstall, 0, jnp.clip(lit_rem, 0, CB))
+        gbase, lstall = ensure_page(
+            gbase, jnp.where(lit_take > 0, lit_src, pos),
+            active & (lit_take > 0), cb_g,
+        )
+        lit_take = jnp.where(lstall, 0, lit_take)
+        page = page_ref[:, :]
+        lsrc_row = jnp.clip(
+            (lit_src >> 2) - gbase * GROUP_W, 0, PAGE_W - CW - 2
+        )
+        litw = gather_rows(page, PAGE_W, lsrc_row, CW + 1, 0)
+        lit_bytes = funnel(litw, lit_src)
+
+        # ---- match chunk ----
+        lit_take1 = jnp.where(active, lit_take, 0)
+        m_ready = active & (lit_rem - lit_take == 0) & (m_rem > 0)
+        src_abs = out + lit_take - m_lag
+        near = m_ready & (src_abs >= flushed)
+        far = m_ready & (src_abs < flushed)
+
+        nsrc_row = jax.lax.rem(jnp.clip(src_abs, 0, None) >> 2, RING_W)
+        nearw = gather_rows(ring0, RING_W, nsrc_row, CW + 1, RING_W)
+        near_bytes = funnel(nearw, src_abs)
+
+        # far page: absolute FAR_G groups of the output; the band holds
+        # groups [ob/FAR_G, ob/FAR_G + far_slots_total)
+        ob_g = ob // FAR_G
+        fwant = (jnp.clip(src_abs, 0, None) >> 2) // FAR_G
+        rebuild = far & ((fwant != fgb) | (src_abs + CB > pgf))
+
+        @pl.when(jnp.any(rebuild))
+        def _():
+            fw1 = jnp.where(far, fwant, fgb)[0:1, :]
+            acc = jnp.zeros((FAR_W, LANES), jnp.int32)
+            for s in range(far_slots):
+                mask = ((fw1 - ob_g) == s).astype(jnp.int32)
+                acc = acc + oband_ref[s * FAR_G : s * FAR_G + FAR_W, :] * mask
+            far_ref[:, :] = acc
+
+        fgb = jnp.where(far, fwant, fgb)
+        pgf = jnp.where(rebuild, flushed, pgf)
+        farp = far_ref[:, :]
+        fsrc_row = jnp.clip(
+            (src_abs >> 2) - fgb * FAR_G, 0, FAR_W - CW - 2
+        )
+        farw = gather_rows(farp, FAR_W, fsrc_row, CW + 1, 0)
+        far_bytes = funnel(farw, src_abs)
+
+        m_bytes = jnp.where(
+            jnp.broadcast_to(near[0:1], (CW, LANES)), near_bytes, far_bytes
+        )
+        m_take = jnp.where(m_ready, jnp.minimum(jnp.minimum(m_rem, CB), m_lag), 0)
+        m_take = jnp.where(
+            far, jnp.clip(jnp.minimum(m_take, pgf - src_abs), 0, None), m_take
+        )
+        m_take = jnp.where(
+            near & (lit_take > 0),
+            jnp.minimum(m_take, jnp.clip(out - src_abs, 0, None)),
+            m_take,
+        )
+
+        ring2 = place_multi(
+            ring0, [(lit_bytes, lit_take1), (m_bytes, m_take)], out
+        )
+        ring_ref[:, :] = ring2
+
+        out = out + lit_take1 + m_take
+        lit_rem = lit_rem - lit_take1
+        lit_src = lit_src + lit_take1
+        m_rem = m_rem - m_take
+        m_lag = jnp.where(
+            (m_take > 0) & (m_take == m_lag) & (m_lag < CB), m_lag * 2, m_lag
+        )
+
+        done = done | (
+            active & (tail_only != 0) & (lit_rem == 0)
+        ) | (
+            (pos >= n) & (lit_rem == 0) & (m_rem == 0) & (pph == PH_NONE)
+        )
+
+        # drain the ring tail of lanes that FINISHED this round so band
+        # advances never strand their unflushed bytes
+        just_done = (done & ~done0) | ((status != OK) & ~done0)
+        fin_nw = jnp.where(
+            just_done, jnp.clip(((out - flushed) + 3) >> 2, 0, RING_W), 0
+        )
+
+        @pl.when(jnp.any(fin_nw > 0))
+        def _():
+            sweep_flush(ring_ref[:, :], flushed >> 2, fin_nw, ob)
+
+        flushed = jnp.where(fin_nw > 0, out, flushed)
+
+        # ---- cross-band deadlock backstop ----
+        # No lane progressed and no band advanced: divergent-ratio lanes
+        # are cross-blocking the bands.  First hand the output-paused
+        # (out-ahead) lanes to the host fallback; if still wedged, all
+        # remaining live lanes (fallback is always safe — the host
+        # engine redoes those blocks with identical typed semantics).
+        progressed = jnp.any(accept | (lit_take1 + m_take > 0))
+        base_ref[2] = jnp.where(progressed, 0, base_ref[2] + 1)
+        live_now = (~done) & (status == OK)
+        status = jnp.where(
+            (base_ref[2] >= 16) & live_now & opause, STATUS_FALLBACK, status
+        )
+        status = jnp.where(
+            (base_ref[2] >= 32) & live_now, STATUS_FALLBACK, status
+        )
+
+        finished = done | (status != OK)
+        doneat = jnp.where(finished & ~done0 & (doneat == 0), rnd + 1, doneat)
+        new_rows = [pos, out, status, done.astype(jnp.int32), gbase, flushed,
+                    lit_rem, lit_src, m_rem, m_off, m_lag, tail_only, fgb, pgf,
+                    rnd + 1, doneat, pph, pv, slit, ssrc, soff]
+        pad = (
+            [jnp.zeros((NSTATE - len(new_rows), LANES), jnp.int32)]
+            if len(new_rows) < NSTATE else []
+        )
+        state_ref[:, :] = jnp.concatenate([x[0:1] for x in new_rows] + pad, axis=0)
+        return 0
+
+    # ---- init: fill the initial bands, zero state ----------------------
+    base_ref[0] = 0
+    base_ref[1] = 0
+    base_ref[2] = 0
+    cp = pltpu.make_async_copy(
+        words_hbm.at[pl.ds(0, cband)], cband_ref, dma_sem
+    )
+    cp.start()
+    cp.wait()
+    oband_ref[:, :] = jnp.zeros((oband, LANES), jnp.int32)
+    z1 = jnp.zeros((1, LANES), jnp.int32)
+    one = jnp.full((1, LANES), 1, jnp.int32)
+    state_ref[:, :] = jnp.concatenate(
+        [z1, z1, jnp.full((1, LANES), OK, jnp.int32),
+         (0 >= n[0:1]).astype(jnp.int32), jnp.full((1, LANES), -1, jnp.int32),
+         z1, z1, z1, z1, one, one, z1, jnp.full((1, LANES), -1, jnp.int32),
+         z1, jnp.zeros((NSTATE - 14, LANES), jnp.int32)],
+        axis=0,
+    )
+    ring_ref[:, :] = jnp.zeros((RING_W, LANES), jnp.int32)
+
+    n_chunks = -(-max_rounds // 64)
+
+    def chunk_cond(c):
+        i, all_done = c
+        return (i < n_chunks) & (~all_done)
+
+    def chunk_body(c):
+        i, _ = c
+        jax.lax.fori_loop(0, 64, round_body, 0)
+        st = state_ref[:, :]
+        lane_live = (st[R_DONE : R_DONE + 1] == 0) & (st[R_ST : R_ST + 1] == OK)
+        return i + 1, ~jnp.any(lane_live)
+
+    jax.lax.while_loop(chunk_cond, chunk_body, (jnp.int32(0), jnp.bool_(False)))
+
+    st = state_ref[:, :]
+    live = (st[R_DONE : R_DONE + 1] == 0) & (st[R_ST : R_ST + 1] == OK)
+    state_ref[R_ST : R_ST + 1, :] = jnp.where(
+        live, STATUS_FALLBACK, st[R_ST : R_ST + 1]
+    )
+    st = state_ref[:, :]
+    # final drain: any ring tail not covered by the just-done drains
+    out_f = jnp.broadcast_to(st[R_OUT : R_OUT + 1], S8)
+    flushed_f = jnp.broadcast_to(st[R_FLUSH : R_FLUSH + 1], S8)
+    _lanes_sweep_flush(
+        oband_ref, ring_ref[:, :], flushed_f >> 2,
+        jnp.clip(((out_f - flushed_f) + 3) >> 2, 0, RING_W),
+        ring_w=RING_W, out_rows=oband, row_base=base_ref[1],
+    )
+    # publish the whole remaining band
+    cp = pltpu.make_async_copy(
+        oband_ref, out_hbm.at[pl.ds(base_ref[1], oband)], dma_sem
+    )
+    cp.start()
+    cp.wait()
+    out_len_ref[:, :] = jnp.concatenate(
+        [st[R_OUT : R_OUT + 1], st[R_DONEAT : R_DONEAT + 1],
+         st[R_RND : R_RND + 1]], axis=0,
+    )
+    status_ref[:, :] = st[R_ST : R_ST + 1]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "oband", "cband", "rw_pad", "ro_pad", "max_rounds", "output_limit",
+        "window_bound",
+    ),
+)
+def _decodebig_jit(
+    words, n, *, oband, cband, rw_pad, ro_pad, max_rounds, output_limit,
+    window_bound=65535,
+):
+    return pl.pallas_call(
+        functools.partial(
+            _decodebig_kernel,
+            oband=oband, cband=cband, rw_pad=rw_pad, ro_pad=ro_pad,
+            max_rounds=max_rounds, output_limit=output_limit,
+            window_bound=window_bound,
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((ro_pad, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((3, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((cband, LANES), jnp.int32),
+            pltpu.VMEM((oband, LANES), jnp.int32),
+            pltpu.VMEM((PAGE_W, LANES), jnp.int32),
+            pltpu.VMEM((FAR_W, LANES), jnp.int32),
+            pltpu.VMEM((RING_W, LANES), jnp.int32),
+            pltpu.VMEM((NSTATE, LANES), jnp.int32),
+            pltpu.SMEM((4,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=_interpret(),
+    )(words, n)
+
+
+def round_bound(max_comp_len: int, block_maxsize: int) -> int:
+    # parse/LSIC rounds + chunk rounds + pause slack per band advance
+    return (
+        3 * max_comp_len
+        + block_maxsize // CB
+        + 64 * (block_maxsize // (OHALF * 4) + max_comp_len // (CHALF * 4) + 4)
+        + 1024
+    )
+
+
+def decompress_blocks_big(
+    blocks, block_maxsize: int, *, _window_bound: int = 65535,
+    _oband: int | None = None, _cband: int | None = None,
+):
+    """Decode up to 128 independent raw blocks of up to ``block_maxsize``
+    (any frame size code incl. the reference-default 4 MiB) with the
+    HBM-staged lane kernel; per-lane typed errors raise ``DecodeError``,
+    fallback-flagged lanes re-decode on the host native engine.
+
+    The underscore knobs shrink the bands/window for CPU-interpret tests
+    of the banding machinery; real callers use the defaults."""
+    assert len(blocks) <= LANES
+    blocks = [bytes(b) for b in blocks]
+    nb = len(blocks)
+    if nb == 0:
+        return []
+    oband = _oband or OBAND
+    cband = _cband or CBAND
+    maxlen = max(max(len(b) for b in blocks), 4)
+    rw = -(-maxlen // 4)
+    rw_pad = -(-rw // CHALF) * CHALF + cband + CHALF  # DMA always in-bounds
+    ro_pad = -(-block_maxsize // 4)
+    ro_pad = -(-ro_pad // OHALF) * OHALF + oband + OHALF
+    max_rounds = round_bound(maxlen, block_maxsize)
+
+    arr = np.zeros((LANES, rw_pad * 4), np.uint8)
+    n = np.zeros((1, LANES), np.int32)
+    for i, b in enumerate(blocks):
+        arr[i, : len(b)] = np.frombuffer(b, np.uint8)
+        n[0, i] = len(b)
+    w = arr.reshape(LANES, rw_pad, 4).astype(np.uint32)
+    words = (
+        w[:, :, 0] | (w[:, :, 1] << 8) | (w[:, :, 2] << 16) | (w[:, :, 3] << 24)
+    ).astype(np.int32).T
+
+    out_w, out_len, status = _decodebig_jit(
+        jnp.asarray(np.ascontiguousarray(words)), jnp.asarray(n),
+        oband=oband, cband=cband, rw_pad=rw_pad, ro_pad=ro_pad,
+        max_rounds=max_rounds, output_limit=block_maxsize,
+        window_bound=_window_bound,
+    )
+    out_w = np.asarray(out_w)
+    out_len = np.asarray(out_len)[0]
+    status = np.asarray(status)[0]
+
+    results = []
+    for i in range(nb):
+        s = int(status[i])
+        if s == OK:
+            ww = out_w[:, i].astype(np.uint32)
+            by = np.empty((ro_pad, 4), np.uint8)
+            by[:, 0] = ww & 0xFF
+            by[:, 1] = (ww >> 8) & 0xFF
+            by[:, 2] = (ww >> 16) & 0xFF
+            by[:, 3] = (ww >> 24) & 0xFF
+            results.append(by.reshape(-1)[: out_len[i]].tobytes())
+        elif s == STATUS_FALLBACK:
+            from ..native import decompress_block as _native_decompress
+
+            results.append(
+                bytes(
+                    _native_decompress(
+                        blocks[i], b"", output_limit=block_maxsize
+                    )
+                )
+            )
+        else:
+            raise DecodeError(STATUS_TO_KIND[s])
+    return results

@@ -855,6 +855,30 @@ def decompress_frame_parallel(
                 )
             outputs[i] = o
 
+        # blocks beyond decode128's VMEM budget (frame block sizes >=
+        # 256 KiB, incl. the reference default 4 MiB) decode on-chip via
+        # the HBM-staged banded lane kernel; its per-lane fallback covers
+        # divergent-ratio stalls.  CPU interpret mode keeps the native
+        # engine (the banded kernel is only sensible on real hardware).
+        if jax.default_backend() == "tpu" and not dictionary:
+            big = [i for i in rest if len(to_decode[i]) > V4_MAX_COMP]
+            if big:
+                from ..kernels.decodebig import decompress_blocks_big
+
+                big.sort(key=lambda i: len(to_decode[i]))
+                for base in range(0, len(big), 128):
+                    idxs = big[base : base + 128]
+                    outs = decompress_blocks_big(
+                        [to_decode[i] for i in idxs],
+                        block_maxsize=reader.block_maxsize,
+                    )
+                    for i, o in zip(idxs, outs):
+                        if len(o) > reader.block_maxsize:
+                            raise BlockSizeOverflow(
+                                "a block decompressed to more data than allowed"
+                            )
+                        outputs[i] = o
+                rest = [i for i in rest if i not in outputs]
         small = []
         for i in rest:
             if len(to_decode[i]) > V4_MAX_COMP:

@@ -1,0 +1,87 @@
+"""HBM-staged big-block lane decoder (kernels/decodebig.py).
+
+CPU interpret tests shrink the bands and the offset window (with data
+whose offsets respect it) so the banding machinery — half-band DMAs,
+lane pauses, the far-page-over-band, the cross-band deadlock backstop —
+runs at tractable sizes; the real 64 KiB window / 1-4 MiB shapes run in
+the on-chip matrix (tools/chip_dbig_check.py)."""
+
+import random
+
+import pytest
+
+from lz4tpu.spec.block import DecodeError, compress_block
+from lz4tpu.spec.table import U32Table
+
+
+def local_data(seed: int, size: int) -> bytes:
+    """Locally-repetitive data: match offsets stay well under 4 KiB, so
+    a shrunken window_bound is honest."""
+    r = random.Random(seed)
+    out = bytearray()
+    while len(out) < size:
+        pat = bytes(r.getrandbits(8) for _ in range(r.randint(20, 180)))
+        out.extend(pat * r.randint(2, 8))
+        out.extend(bytes(r.getrandbits(8) for _ in range(r.randint(5, 120))))
+    return bytes(out[:size])
+
+
+@pytest.mark.slow
+def test_decodebig_banded_roundtrip():
+    """Blocks several times the output band: both bands advance many
+    times; every lane must finish in-kernel."""
+    import lz4tpu.kernels.decodebig as dbig
+    import lz4tpu.native as native
+
+    payloads = [local_data(1000 + s, 60_000) for s in range(5)]
+    comp = [bytes(compress_block(p, 0, U32Table())) for p in payloads]
+
+    orig = native.decompress_block
+
+    def no_fallback(*a, **k):
+        raise AssertionError("host fallback used for a homogeneous batch")
+
+    native.decompress_block = no_fallback
+    try:
+        out = dbig.decompress_blocks_big(
+            comp, block_maxsize=1 << 16, _window_bound=8192,
+            _oband=6144, _cband=2048,
+        )
+    finally:
+        native.decompress_block = orig
+    assert out == payloads
+
+
+@pytest.mark.slow
+def test_decodebig_divergent_ratio_backstop():
+    """A heavy-RLE lane races ahead in output while pinning the comp
+    band (cross-band deadlock); the no-progress backstop must hand the
+    blocking lanes to the host fallback and the batch must still decode
+    exactly."""
+    import lz4tpu.kernels.decodebig as dbig
+
+    payloads = [local_data(1000 + s, 60_000) for s in range(5)]
+    payloads.append(b"\x07" * 50_000 + local_data(1010, 10_000))
+    comp = [bytes(compress_block(p, 0, U32Table())) for p in payloads]
+    out = dbig.decompress_blocks_big(
+        comp, block_maxsize=1 << 16, _window_bound=8192,
+        _oband=6144, _cband=2048,
+    )
+    assert out == payloads
+
+
+@pytest.mark.slow
+def test_decodebig_error_kinds_and_tail():
+    import lz4tpu.kernels.decodebig as dbig
+
+    for bad, kind in [
+        (bytes([0x10, ord("a"), 2, 0]), DecodeError.KIND_INVALID_OFFSET),
+        (bytes([0x10, ord("a"), 0, 0]), DecodeError.KIND_ZERO_OFFSET),
+        (bytes([0x50, ord("a")]), DecodeError.KIND_UNEXPECTED_END),
+    ]:
+        with pytest.raises(DecodeError) as e:
+            dbig.decompress_blocks_big(
+                [bad], block_maxsize=1 << 16, _window_bound=8192,
+                _oband=6144, _cband=2048,
+            )
+        assert e.value.kind == kind

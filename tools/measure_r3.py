@@ -145,6 +145,8 @@ CONFIGS = [
     ("d128_seq2_cb8", "decode128", {"LZ4TPU_D128_CB": "8"}),
     ("d128_seq2_cb32", "decode128", {"LZ4TPU_D128_CB": "32"}),
     ("d128_seq2_b", "decode128", {}),
+    ("d128_consol", "decode128", {}),
+    ("c128_consol", "compress128", {}),
 ]
 
 
