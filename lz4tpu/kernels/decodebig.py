@@ -125,6 +125,8 @@ def _decodebig_kernel(
     max_rounds: int,
     output_limit: int,
     window_bound: int,
+    win_r: int,
+    ws_log: int,
 ):
     S8 = (8, LANES)
     n = jnp.broadcast_to(n_ref[0:1, :], S8)
@@ -264,6 +266,16 @@ def _decodebig_kernel(
 
         # ---- parse (decode128's re-entrant structure) -------------------
         need_rec = active & (lit_rem == 0) & (m_rem == 0)
+        if win_r:
+            # window-aligned comp layout: the next sequence's header lives
+            # in the chunk of its output window (k*win_r); jump when the
+            # previous match's output crossed window boundaries
+            wk_out = jax.lax.shift_right_logical(out, ws_log)
+            wk_pos = pos // win_r
+            pos = jnp.where(
+                need_rec & (pph == PH_NONE) & (wk_out > wk_pos),
+                wk_out * win_r, pos,
+            )
         pbase = (
             pos
             - (pph == PH_LIT).astype(jnp.int32)
@@ -312,7 +324,21 @@ def _decodebig_kernel(
         adv = lit_en & ~lneed & (status == OK)
         new_lsrc = jnp.where(cont_match, ssrc, p)
         litv = jnp.where(cont_match, slit, litv)
-        p = jnp.where(cont_match, pos, p + jnp.where(adv, litv, 0))
+        if win_r:
+            # literals split across window chunks: the match header sits
+            # in the chunk of the literal run's LAST output window, after
+            # that window's continuation bytes
+            oe = out + litv
+            m_w = jax.lax.shift_right_logical(oe, ws_log)
+            p_w = p // win_r
+            p_next = jnp.where(
+                adv & (m_w > p_w),
+                m_w * win_r + (oe & ((1 << ws_log) - 1)),
+                p + jnp.where(adv, litv, 0),
+            )
+            p = jnp.where(cont_match, pos, p_next)
+        else:
+            p = jnp.where(cont_match, pos, p + jnp.where(adv, litv, 0))
         status = jnp.where(
             adv & (p > n) & (status == OK), ERR_UNEXPECTED_END, status
         )
@@ -404,6 +430,13 @@ def _decodebig_kernel(
 
         # ---- literal chunk ----
         lit_take = jnp.where(pstall, 0, jnp.clip(lit_rem, 0, CB))
+        if win_r:
+            # a literal run's bytes continue in the next window's chunk;
+            # stop the copy at the boundary and jump lit_src below
+            to_boundary = (
+                (jax.lax.shift_right_logical(out, ws_log) + 1) << ws_log
+            ) - out
+            lit_take = jnp.minimum(lit_take, to_boundary)
         gbase, lstall = ensure_page(
             gbase, jnp.where(lit_take > 0, lit_src, pos),
             active & (lit_take > 0), cb_g,
@@ -472,6 +505,17 @@ def _decodebig_kernel(
         out = out + lit_take1 + m_take
         lit_rem = lit_rem - lit_take1
         lit_src = lit_src + lit_take1
+        if win_r:
+            # crossing lanes resume their literal run at the next chunk
+            crossed = (
+                (lit_rem > 0) & ((out & ((1 << ws_log) - 1)) == 0)
+                & (lit_take1 > 0)
+            )
+            lit_src = jnp.where(
+                crossed,
+                jax.lax.shift_right_logical(out, ws_log) * win_r,
+                lit_src,
+            )
         m_rem = m_rem - m_take
         m_lag = jnp.where(
             (m_take > 0) & (m_take == m_lag) & (m_lag < CB), m_lag * 2, m_lag
@@ -591,19 +635,19 @@ def _decodebig_kernel(
     jax.jit,
     static_argnames=(
         "oband", "cband", "rw_pad", "ro_pad", "max_rounds", "output_limit",
-        "window_bound",
+        "window_bound", "win_r", "ws_log",
     ),
 )
 def _decodebig_jit(
     words, n, *, oband, cband, rw_pad, ro_pad, max_rounds, output_limit,
-    window_bound=65535,
+    window_bound=65535, win_r=0, ws_log=12,
 ):
     return pl.pallas_call(
         functools.partial(
             _decodebig_kernel,
             oband=oband, cband=cband, rw_pad=rw_pad, ro_pad=ro_pad,
             max_rounds=max_rounds, output_limit=output_limit,
-            window_bound=window_bound,
+            window_bound=window_bound, win_r=win_r, ws_log=ws_log,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -633,6 +677,90 @@ def _decodebig_jit(
     )(words, n)
 
 
+
+WS_LOG = 12  # output window: 4 KiB
+WS = 1 << WS_LOG
+
+
+def _repack_block(comp: bytes, output_limit: int, ws_log: int = WS_LOG):
+    """Window-aligned comp layout: split the stream into per-output-window
+    chunks so every lane's comp consumption schedule is uniform in OUTPUT
+    space (chunk k at byte k*R) and the shared comp band can advance in
+    lockstep with the output band.  Chunk k holds: the continuation bytes
+    of a literal run crossing into window k, then the header + lsic +
+    window-k literal bytes of every sequence starting in window k.
+    Sequences are assigned by their output START; match bytes consume no
+    comp, so a long match simply leaves later windows empty.  Parsing
+    here doubles as hostile-input validation (typed DecodeError)."""
+    W = 1 << ws_log
+    chunks: list[bytearray] = []
+
+    def chunk(k: int) -> bytearray:
+        while len(chunks) <= k:
+            chunks.append(bytearray())
+        return chunks[k]
+
+    pos, out, n = 0, 0, len(comp)
+    while pos < n:
+        s0 = pos
+        tok = comp[pos]
+        pos += 1
+        lit = tok >> 4
+        if lit == 0xF:
+            while True:
+                if pos >= n:
+                    raise DecodeError(DecodeError.KIND_UNEXPECTED_END)
+                b = comp[pos]
+                pos += 1
+                lit += b
+                if b != 0xFF:
+                    break
+        hdr = comp[s0:pos]
+        if pos + lit > n:
+            raise DecodeError(DecodeError.KIND_UNEXPECTED_END)
+        lits = comp[pos : pos + lit]
+        pos += lit
+        k0 = out >> ws_log
+        first = min(lit, ((k0 + 1) << ws_log) - out)
+        c = chunk(k0)
+        c.extend(hdr)
+        c.extend(lits[:first])
+        x, j = first, k0 + 1
+        while x < lit:
+            t = min(W, lit - x)
+            chunk(j).extend(lits[x : x + t])
+            x += t
+            j += 1
+        out += lit
+        if out > output_limit + n:
+            raise DecodeError(DecodeError.KIND_MEMORY_LIMIT)
+        if pos >= n:
+            break  # literal-only tail
+        if pos + 2 > n:
+            # a single stray byte: the reference's read_u16 fails => tail;
+            # keep the byte unread at the stream end (n - p == 1 < 2)
+            chunk(out >> ws_log).extend(comp[pos:])
+            pos = n
+            break
+        m0 = pos
+        pos += 2
+        ml = tok & 0xF
+        if ml == 0xF:
+            while True:
+                if pos >= n:
+                    raise DecodeError(DecodeError.KIND_UNEXPECTED_END)
+                b = comp[pos]
+                pos += 1
+                ml += b
+                if b != 0xFF:
+                    break
+        chunk(out >> ws_log).extend(comp[m0:pos])
+        out += ml + 4
+        if out > output_limit:
+            raise DecodeError(DecodeError.KIND_MEMORY_LIMIT)
+    return chunks, out
+
+
 def round_bound(max_comp_len: int, block_maxsize: int) -> int:
     # parse/LSIC rounds + chunk rounds + pause slack per band advance
     return (
@@ -644,7 +772,8 @@ def round_bound(max_comp_len: int, block_maxsize: int) -> int:
 
 
 def decompress_blocks_big(
-    blocks, block_maxsize: int, *, _window_bound: int = 65535,
+    blocks, block_maxsize: int, *, repack: bool = True,
+    _window_bound: int = 65535,
     _oband: int | None = None, _cband: int | None = None,
 ):
     """Decode up to 128 independent raw blocks of up to ``block_maxsize``
@@ -652,8 +781,12 @@ def decompress_blocks_big(
     HBM-staged lane kernel; per-lane typed errors raise ``DecodeError``,
     fallback-flagged lanes re-decode on the host native engine.
 
-    The underscore knobs shrink the bands/window for CPU-interpret tests
-    of the banding machinery; real callers use the defaults."""
+    ``repack=True`` (default) lays each stream out window-aligned
+    (``_repack_block``) so lanes with divergent compression ratios share
+    one comp band without cross-band stalls; ``repack=False`` feeds the
+    raw streams (used by the banding tests).  The underscore knobs
+    shrink the bands/window for CPU-interpret tests; real callers use
+    the defaults."""
     assert len(blocks) <= LANES
     blocks = [bytes(b) for b in blocks]
     nb = len(blocks)
@@ -661,7 +794,29 @@ def decompress_blocks_big(
         return []
     oband = _oband or OBAND
     cband = _cband or CBAND
-    maxlen = max(max(len(b) for b in blocks), 4)
+
+    win_r = 0
+    if repack:
+        packed = [_repack_block(b, block_maxsize) for b in blocks]
+        maxchunk = max(
+            (len(c) for ch, _ in packed for c in ch), default=0
+        )
+        win_r = -(-(maxchunk + 16) // 512) * 512
+        # pathological header density (should not occur on valid LZ4 of
+        # sane ratio): keep the raw layout, divergence backstop applies
+        if win_r > 6 * WS:
+            repack = False
+            win_r = 0
+
+    if repack:
+        lens = [
+            ((len(ch) - 1) * win_r + len(ch[-1]) if ch else 0)
+            for ch, _ in packed
+        ]
+        maxlen = max(max(lens), 4)
+    else:
+        lens = [len(b) for b in blocks]
+        maxlen = max(max(lens), 4)
     rw = -(-maxlen // 4)
     rw_pad = -(-rw // CHALF) * CHALF + cband + CHALF  # DMA always in-bounds
     ro_pad = -(-block_maxsize // 4)
@@ -670,9 +825,15 @@ def decompress_blocks_big(
 
     arr = np.zeros((LANES, rw_pad * 4), np.uint8)
     n = np.zeros((1, LANES), np.int32)
-    for i, b in enumerate(blocks):
-        arr[i, : len(b)] = np.frombuffer(b, np.uint8)
-        n[0, i] = len(b)
+    for i in range(nb):
+        if repack:
+            for k, c in enumerate(packed[i][0]):
+                arr[i, k * win_r : k * win_r + len(c)] = np.frombuffer(
+                    bytes(c), np.uint8
+                )
+        else:
+            arr[i, : len(blocks[i])] = np.frombuffer(blocks[i], np.uint8)
+        n[0, i] = lens[i]
     w = arr.reshape(LANES, rw_pad, 4).astype(np.uint32)
     words = (
         w[:, :, 0] | (w[:, :, 1] << 8) | (w[:, :, 2] << 16) | (w[:, :, 3] << 24)
@@ -682,7 +843,7 @@ def decompress_blocks_big(
         jnp.asarray(np.ascontiguousarray(words)), jnp.asarray(n),
         oband=oband, cband=cband, rw_pad=rw_pad, ro_pad=ro_pad,
         max_rounds=max_rounds, output_limit=block_maxsize,
-        window_bound=_window_bound,
+        window_bound=_window_bound, win_r=win_r, ws_log=WS_LOG,
     )
     out_w = np.asarray(out_w)
     out_len = np.asarray(out_len)[0]

@@ -71,6 +71,65 @@ def test_decodebig_divergent_ratio_backstop():
 
 
 @pytest.mark.slow
+def test_decodebig_window_repack_divergent_mix():
+    """With the window-aligned comp layout, divergent-ratio lanes share
+    the comp band without cross-band stalls: the RLE + incompressible mix
+    that wedges the raw layout must stay in-kernel (small-offset lanes)
+    and still decode exactly."""
+    import lz4tpu.kernels.decodebig as dbig
+    import lz4tpu.native as native
+
+    payloads = [local_data(1000 + s, 60_000) for s in range(4)]
+    payloads.append(b"\x07" * 50_000 + local_data(1010, 10_000))
+    comp = [bytes(compress_block(p, 0, U32Table())) for p in payloads]
+
+    orig = native.decompress_block
+
+    def no_fallback(*a, **k):
+        raise AssertionError("fallback used despite window repack")
+
+    native.decompress_block = no_fallback
+    try:
+        out = dbig.decompress_blocks_big(
+            comp, block_maxsize=1 << 16, repack=True,
+            _window_bound=8192, _oband=6144, _cband=6144,
+        )
+    finally:
+        native.decompress_block = orig
+    assert out == payloads
+
+
+@pytest.mark.slow
+def test_decodebig_repack_oracle():
+    """_repack_block reassembles to the original output through the spec
+    decoder chunk-math: decoding the repacked layout via the kernel
+    equals the raw decode, for data with long literal runs crossing
+    windows and long matches leaving windows empty."""
+    import numpy as np
+
+    import lz4tpu.kernels.decodebig as dbig
+
+    rng = np.random.default_rng(12)
+    payloads = [
+        rng.integers(0, 256, 20_000, dtype=np.uint8).tobytes(),  # one huge lit run
+        b"\x00" * 30_000 + local_data(1020, 5_000),  # windows emptied by a match
+        local_data(1021, 9_000) + rng.integers(0, 256, 9_000, dtype=np.uint8).tobytes(),
+    ]
+    comp = [bytes(compress_block(p, 0, U32Table())) for p in payloads]
+    out = dbig.decompress_blocks_big(
+        comp, block_maxsize=1 << 16, repack=True,
+        _window_bound=8192, _oband=6144, _cband=6144,
+    )
+    assert out == payloads
+    # hostile inputs validate during repack with typed errors
+    with pytest.raises(DecodeError):
+        dbig.decompress_blocks_big(
+            [b"\xf0\xff\xff"], block_maxsize=1 << 16, repack=True,
+            _oband=6144, _cband=6144,
+        )
+
+
+@pytest.mark.slow
 def test_decodebig_error_kinds_and_tail():
     import lz4tpu.kernels.decodebig as dbig
 

@@ -42,8 +42,12 @@ def main() -> None:
     print(f"bit-exact: {exact}/{len(blocks)}", flush=True)
     assert exact == len(blocks)
 
-    # chained throughput (fetch-forced)
-    maxlen = max(len(c) for c in comp)
+    # chained throughput (fetch-forced) on the window-aligned layout
+    packed = [dbig._repack_block(c, block) for c in comp]
+    maxchunk = max(len(ch) for p_, _ in packed for ch in p_)
+    win_r = -(-(maxchunk + 16) // 512) * 512
+    lens = [(len(ch) - 1) * win_r + len(ch[-1]) for ch, _ in packed]
+    maxlen = max(lens)
     rw = -(-maxlen // 4)
     rw_pad = -(-rw // dbig.CHALF) * dbig.CHALF + dbig.CBAND + dbig.CHALF
     ro_pad = (
@@ -52,21 +56,26 @@ def main() -> None:
     mr = dbig.round_bound(maxlen, block)
     arr = np.zeros((128, rw_pad * 4), np.uint8)
     n = np.zeros((1, 128), np.int32)
-    for i, c in enumerate(comp):
-        arr[i, : len(c)] = np.frombuffer(c, np.uint8)
-        n[0, i] = len(c)
+    for i, (ch, _) in enumerate(packed):
+        for k, c in enumerate(ch):
+            arr[i, k * win_r : k * win_r + len(c)] = np.frombuffer(
+                bytes(c), np.uint8
+            )
+        n[0, i] = lens[i]
     w = arr.reshape(128, rw_pad, 4).astype(np.uint32)
     words = (
         w[:, :, 0] | (w[:, :, 1] << 8) | (w[:, :, 2] << 16) | (w[:, :, 3] << 24)
     ).astype(np.int32).T
     d_words = jnp.asarray(np.ascontiguousarray(words))
     d_n = jnp.asarray(n)
+    print(f"repacked: win_r={win_r} maxlen={maxlen}", flush=True)
 
     @jax.jit
     def chain(wds):
         _, ol, st = dbig._decodebig_jit(
             wds, d_n, oband=dbig.OBAND, cband=dbig.CBAND, rw_pad=rw_pad,
             ro_pad=ro_pad, max_rounds=mr, output_limit=block,
+            win_r=win_r, ws_log=dbig.WS_LOG,
         )
         return wds ^ (st.sum() * 0), ol, st
 
