@@ -84,9 +84,9 @@ STATUS_FALLBACK = 100
 # advance quantum + spread tolerance.  VMEM row sum at the defaults:
 # out 26624 + comp 3072 + pages/ring/state ~700 = ~30.4K rows = 15.6 MB.
 OBAND = int(_os.environ.get("LZ4TPU_DBIG_OBAND", str(26624)))
-OHALF = 2048
+OHALF = int(_os.environ.get("LZ4TPU_DBIG_OHALF", "2048"))
 CBAND = int(_os.environ.get("LZ4TPU_DBIG_CBAND", str(3072)))
-CHALF = 1024
+CHALF = int(_os.environ.get("LZ4TPU_DBIG_CHALF", "1024"))
 assert OBAND % OHALF == 0 and CBAND % CHALF == 0
 assert OHALF % FAR_G == 0 and CHALF % GROUP_W == 0
 assert OBAND % RING_W == 0
@@ -96,7 +96,7 @@ assert OBAND % RING_W == 0
  R_LREM, R_LSRC, R_MREM, R_MOFF, R_MLAG, R_TAIL, R_FGB, R_PGF,
  R_RND, R_DONEAT, R_PPH, R_PV, R_SLIT, R_SSRC, R_SOFF) = range(21)
 NSTATE = 24
-PH_NONE, PH_LIT, PH_MATCH = 0, 1, 2
+PH_NONE, PH_LIT, PH_MATCH, PH_MHDR = 0, 1, 2, 3
 
 
 def _interpret() -> bool:
@@ -285,15 +285,23 @@ def _decodebig_kernel(
             gbase, jnp.where(need_rec, pbase, lit_src),
             active & (need_rec | (lit_rem > 0)), cb_g,
         )
-        cont_pending = pph != PH_NONE
+        # mid-LSIC suspensions at EOF are real truncation; a PH_MHDR lane
+        # with < 2 bytes left is the reference's match-less stream end
+        # (read_u16 fails => done), e.g. a literal-only tail that crossed
+        # window chunks
+        cont_pending = (pph == PH_LIT) | (pph == PH_MATCH)
         status = jnp.where(
             need_rec & cont_pending & (pos >= n) & (status == OK),
             ERR_UNEXPECTED_END, status,
+        )
+        mhdr_tail = (
+            need_rec & (pph == PH_MHDR) & (n - pos < 2) & (status == OK)
         )
         parse_ok = need_rec & (pos < n) & ~pstall & (status == OK)
         fresh = parse_ok & (pph == PH_NONE)
         cont_lit = parse_ok & (pph == PH_LIT)
         cont_match = parse_ok & (pph == PH_MATCH)
+        cont_mhdr = parse_ok & (pph == PH_MHDR) & ~mhdr_tail
         page = page_ref[:, :]
 
         def span_at(p, enable):
@@ -326,18 +334,25 @@ def _decodebig_kernel(
         litv = jnp.where(cont_match, slit, litv)
         if win_r:
             # literals split across window chunks: the match header sits
-            # in the chunk of the literal run's LAST output window, after
-            # that window's continuation bytes
+            # in the chunk of the literal run's LAST output window — often
+            # several windows (and comp-band advances) ahead.  Accept the
+            # LITERAL part now (PH_MHDR) and parse the match field when
+            # the copy drains; by then the bands have advanced with out.
             oe = out + litv
             m_w = jax.lax.shift_right_logical(oe, ws_log)
             p_w = p // win_r
-            p_next = jnp.where(
-                adv & (m_w > p_w),
-                m_w * win_r + (oe & ((1 << ws_log) - 1)),
-                p + jnp.where(adv, litv, 0),
+            header_far = adv & (m_w > p_w)
+            p = jnp.where(
+                cont_match | cont_mhdr, pos,
+                jnp.where(
+                    header_far,
+                    m_w * win_r + (oe & ((1 << ws_log) - 1)),
+                    p + jnp.where(adv, litv, 0),
+                ),
             )
-            p = jnp.where(cont_match, pos, p_next)
+            adv = adv & ~header_far
         else:
+            header_far = adv & False
             p = jnp.where(cont_match, pos, p + jnp.where(adv, litv, 0))
         status = jnp.where(
             adv & (p > n) & (status == OK), ERR_UNEXPECTED_END, status
@@ -345,8 +360,8 @@ def _decodebig_kernel(
         adv = adv & (status == OK)
 
         m_en = adv & (n - p >= 2)
-        m_parse = m_en | cont_match
-        span2_base = jnp.where(cont_match, pbase, p)
+        m_parse = m_en | cont_match | cont_mhdr
+        span2_base = jnp.where(cont_match, pbase, jnp.where(cont_mhdr, pos, p))
         gbase, pstall2 = ensure_page(
             gbase, jnp.where(m_parse, span2_base, pos), m_parse, cb_g
         )
@@ -359,10 +374,17 @@ def _decodebig_kernel(
         span2 = span_at(jnp.where(m_parse, span2_base, 0), m_parse)
         offv = jnp.where(
             cont_match, soff,
-            jnp.where(m_en, span2[0] | (span2[1] << 8), 1),
+            jnp.where(
+                m_en | cont_mhdr, span2[0] | (span2[1] << 8), 1
+            ),
         )
-        p = p + 2 * m_en.astype(jnp.int32)
-        m_init = jnp.where(cont_match, pv, jnp.where(m_en, nib, 0))
+        p = p + 2 * (m_en | cont_mhdr).astype(jnp.int32)
+        # cont_mhdr: the match nibble was saved in soff at the literal
+        # acceptance; its literals are already copied (litv = 0 below)
+        m_init = jnp.where(
+            cont_match, pv,
+            jnp.where(cont_mhdr, soff, jnp.where(m_en, nib, 0)),
+        )
         mv, p, status, mneed = lsic_from(
             span2, 2, m_init, p, m_parse, status, cont=cont_match
         )
@@ -394,22 +416,42 @@ def _decodebig_kernel(
         status = jnp.where(
             m_done & ok & (offv > window_bound), STATUS_FALLBACK, status
         )
-        seq_done = (adv & ~m_en) | m_done
+        seq_done = (adv & ~m_en) | m_done | mhdr_tail
         accept = seq_done & (status == OK)
+        # header_far: accept the LITERAL part now; the match field parses
+        # (PH_MHDR) once the copy drains and the bands caught up
+        accept_lit = header_far & (status == OK)
+        litv = jnp.where(mhdr_tail, 0, litv)
+        mlenv = jnp.where(mhdr_tail, 0, mlenv)
 
-        lit_rem = jnp.where(accept, litv, lit_rem)
-        lit_src = jnp.where(accept, new_lsrc, lit_src)
-        m_rem = jnp.where(accept, mlenv, m_rem)
+        lit_rem = jnp.where(accept | accept_lit, litv, lit_rem)
+        lit_src = jnp.where(accept | accept_lit, new_lsrc, lit_src)
+        m_rem = jnp.where(accept, mlenv, jnp.where(accept_lit, 0, m_rem))
         m_off = jnp.where(accept, offv, m_off)
         m_lag = jnp.where(accept, offv, m_lag)
-        tail_only = jnp.where(accept, (~m_done).astype(jnp.int32), tail_only)
-        pos = jnp.where(accept | susp_lit | susp_match, p, pos)
+        tail_only = jnp.where(
+            accept, (~(m_done | mhdr_tail)).astype(jnp.int32),
+            jnp.where(accept_lit, 0, tail_only),
+        )
+        pos = jnp.where(
+            accept | accept_lit | susp_lit | susp_match,
+            jnp.where(mhdr_tail, n, p), pos,
+        )
         pph = jnp.where(
             susp_lit, PH_LIT,
-            jnp.where(susp_match, PH_MATCH, jnp.where(accept, PH_NONE, pph)),
+            jnp.where(
+                susp_match, PH_MATCH,
+                jnp.where(
+                    accept_lit, PH_MHDR,
+                    jnp.where(accept, PH_NONE, pph),
+                ),
+            ),
         )
         pv = jnp.where(susp_lit, litv, jnp.where(susp_match, mv, pv))
-        soff = jnp.where(susp_lit, nib, jnp.where(susp_match, offv, soff))
+        soff = jnp.where(
+            susp_lit, nib,
+            jnp.where(susp_match, offv, jnp.where(accept_lit, nib, soff)),
+        )
         slit = jnp.where(susp_match, litv, slit)
         ssrc = jnp.where(susp_match, new_lsrc, ssrc)
 
@@ -546,7 +588,12 @@ def _decodebig_kernel(
         # (out-ahead) lanes to the host fallback; if still wedged, all
         # remaining live lanes (fallback is always safe — the host
         # engine redoes those blocks with identical typed semantics).
-        progressed = jnp.any(accept | (lit_take1 + m_take > 0))
+        # Parse-side motion (LSIC suspensions, literal-part acceptance)
+        # counts as progress.
+        progressed = jnp.any(
+            accept | accept_lit | susp_lit | susp_match
+            | (lit_take1 + m_take > 0)
+        )
         base_ref[2] = jnp.where(progressed, 0, base_ref[2] + 1)
         live_now = (~done) & (status == OK)
         status = jnp.where(
