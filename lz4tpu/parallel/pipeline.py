@@ -945,3 +945,151 @@ def decompress_frame_parallel(
         if make_hasher(0).update(result).digest() != expected_sum:
             raise FrameChecksumFail("the frame checksum was invalid")
     return result
+
+
+def _scan_frame(frame: bytes, verify_checksums: bool = True):
+    """Parse one frame's header + block chain without decoding (the same
+    hostile-input validations the streaming reader enforces).  Returns
+    (reader, blocks, expected_sum) with blocks = [(compressed, payload)]."""
+    from ..frame.decompress import LZ4FrameReader, _read_exact
+    from ..frame.errors import BlockChecksumFail, BlockSizeOverflow
+
+    reader = LZ4FrameReader(bytes(frame), engine="native")
+    stream = reader.reader
+    blocks = []
+    expected_sum = None
+    while True:
+        block_length = int.from_bytes(_read_exact(stream, 4), "little")
+        if block_length == 0:
+            if reader.flags.content_checksum:
+                expected_sum = int.from_bytes(_read_exact(stream, 4), "little")
+            break
+        compressed = (block_length & INCOMPRESSIBLE) == 0
+        block_length &= ~INCOMPRESSIBLE & 0xFFFFFFFF
+        if block_length > reader.block_maxsize:
+            raise BlockSizeOverflow(
+                "a block is larger than the frame's block maxsize"
+            )
+        payload = _read_exact(stream, block_length)
+        if reader.flags.block_checksums:
+            checksum = int.from_bytes(_read_exact(stream, 4), "little")
+            if verify_checksums:
+                from ..spec.xxhash32 import xxh32
+
+                if xxh32(payload) != checksum:
+                    raise BlockChecksumFail("a block checksum was invalid")
+        blocks.append((compressed, payload))
+    return reader, blocks, expected_sum
+
+
+def decompress_frames_parallel(
+    frames,
+    mesh=None,
+    verify_checksums: bool = True,
+    dictionaries=None,
+) -> list[bytes]:
+    """Decode MANY LZ4 frames concurrently on the TPU — the parallel
+    answer to linked-block frames, whose blocks form a strictly serial
+    chain WITHIN a frame (block i needs block i-1's decoded 64 KiB tail,
+    ``framed/decompress.rs:237-269``; the format itself makes a single
+    chain unparallelizable, matching its seekability caveat).  Across
+    frames the chains are independent, so wave ``w`` decodes block ``w``
+    of every linked frame lane-parallel, each lane seeded with its own
+    frame's carryover window (dictionary tail on the first block), the
+    windows handed off between waves.
+
+    Independent-block frames decode via ``decompress_frame_parallel``
+    (their blocks already fan out within the frame).  Engine routing per
+    wave: decode128's prefix mode when the shapes fit its VMEM budget,
+    the v4 scalar pipeline (64 KiB prefix support) otherwise, native for
+    oversized blocks.
+    """
+    frames = [bytes(f) for f in frames]
+    if dictionaries is None:
+        dictionaries = [None] * len(frames)
+    assert len(dictionaries) == len(frames)
+    if mesh is None:
+        mesh = make_mesh()
+
+    results: dict[int, bytes] = {}
+    linked: list[int] = []
+    scans: dict[int, tuple] = {}
+    for fi, frame in enumerate(frames):
+        reader, blocks, expected = _scan_frame(frame, verify_checksums)
+        scans[fi] = (reader, blocks, expected)
+        if reader.flags.independent_blocks:
+            results[fi] = decompress_frame_parallel(
+                frame, mesh=mesh, verify_checksums=verify_checksums,
+                dictionary=dictionaries[fi],
+            )
+        else:
+            linked.append(fi)
+
+    if linked:
+        from ..kernels.decode128 import (
+            decompress_blocks_128, lanes_eligible as d128_eligible,
+        )
+        from ..kernels.decompress_v4 import (
+            V4_MAX_COMP, V4_MAX_OUT, decompress_blocks_v4,
+        )
+
+        outputs = {fi: [] for fi in linked}
+        windows = {
+            fi: bytes(dictionaries[fi] or b"")[-WINDOW_SIZE:] for fi in linked
+        }
+        max_waves = max(len(scans[fi][1]) for fi in linked)
+        for w in range(max_waves):
+            wave = [fi for fi in linked if w < len(scans[fi][1])]
+            todo = []
+            for fi in wave:
+                compressed, payload = scans[fi][1][w]
+                if compressed:
+                    todo.append(fi)
+                else:
+                    outputs[fi].append(payload)
+                    windows[fi] = (windows[fi] + payload)[-WINDOW_SIZE:]
+            for base in range(0, len(todo), 128):
+                batch = todo[base : base + 128]
+                payloads = [scans[fi][1][w][1] for fi in batch]
+                prefixes = [windows[fi] for fi in batch]
+                bms = max(scans[fi][0].block_maxsize for fi in batch)
+                maxc = max(len(p) for p in payloads)
+                maxp = max(len(p) for p in prefixes)
+                if d128_eligible(maxc, bms, maxp):
+                    outs = decompress_blocks_128(
+                        payloads, block_maxsize=bms, prefixes=prefixes
+                    )
+                elif maxc <= V4_MAX_COMP and bms <= V4_MAX_OUT:
+                    outs = decompress_blocks_v4(
+                        payloads, block_maxsize=bms, prefixes=prefixes
+                    )
+                else:
+                    from ..native import decompress_block as _nd
+
+                    outs = [
+                        bytes(_nd(p, pre, output_limit=bms))
+                        for p, pre in zip(payloads, prefixes)
+                    ]
+                for fi, o in zip(batch, outs):
+                    if len(o) > scans[fi][0].block_maxsize:
+                        from ..frame.errors import BlockSizeOverflow
+
+                        raise BlockSizeOverflow(
+                            "a block decompressed to more data than allowed"
+                        )
+                    outputs[fi].append(o)
+                    windows[fi] = (windows[fi] + o)[-WINDOW_SIZE:]
+        for fi in linked:
+            data = b"".join(outputs[fi])
+            reader, _, expected = scans[fi]
+            if (
+                verify_checksums
+                and reader.flags.content_checksum
+                and expected is not None
+            ):
+                from ..frame.errors import FrameChecksumFail
+
+                if make_hasher(0).update(data).digest() != expected:
+                    raise FrameChecksumFail("the frame checksum was invalid")
+            results[fi] = data
+    return [results[fi] for fi in range(len(frames))]
