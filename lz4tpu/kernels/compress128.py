@@ -96,6 +96,18 @@ GATE2 = _os.environ.get("LZ4TPU_C128_GATE2", "0") == "1"
 # backward match extension (reference backtrack semantics) at the
 # ext_done transition; opportunistic on page residency — see the kernel
 BACKTRACK = _os.environ.get("LZ4TPU_C128_BACKTRACK", "1") == "1"
+# STRICT: byte-for-byte parity with the reference greedy parse
+# (``compress/mod.rs:147-260``; oracle ``spec/block.py``): the 5-byte
+# reference hash buckets a 4-byte-word tag (equal words => equal tags,
+# so tag rejects are never false negatives for C's >=4-byte verify),
+# empty slots read as position 0 with word-0's tag (C's zero-init
+# quirk), inserts are suppressed after the round's first tag hit,
+# tag-false-hit lanes resume the exact skip-accelerated walk, the
+# backward extension is unbounded (PH_BT continuation rounds), and
+# cursor-2 re-inserts after every match.  Flow proven byte-exact vs the
+# oracle in tools/sim_c128_strict.py; the kernel is differentially
+# tested in tests/test_compress128_strict.py.
+STRICT = _os.environ.get("LZ4TPU_C128_STRICT", "0") == "1"
 # output staging ring geometry.  Compressed outputs DESYNC across lanes
 # (per-lane ratio), so each flush sweep spans many output blocks — a
 # bigger ring with bigger, rarer flushes amortizes that spread
@@ -114,15 +126,22 @@ assert FLUSH_B >= CB
 MAX_B = 32 << 10  # per-lane input cap (VMEM budget)
 
 # phases
-(PH_SEARCH, PH_EXTEND, PH_TOK, PH_EXT_L, PH_LCOPY, PH_MHDR, PH_EXT_M) = range(7)
+(PH_SEARCH, PH_EXTEND, PH_TOK, PH_EXT_L, PH_LCOPY, PH_MHDR, PH_EXT_M,
+ PH_BT) = range(8)
 
-# state rows
+# state rows (C_STEP..C_PND: strict-mode walk state — current step, the
+# saved false-hit resume triple, pending cursor-2 reinsert flag)
 (C_CUR, C_ANCHOR, C_PH, C_OUT, C_FLUSH, C_GB, C_GB2, C_MOFF, C_MSTART,
- C_MLEN, C_EMR, C_LREM, C_LSRC, C_TAIL, C_DONE, C_FAIL, C_MISS) = range(17)
-NSTATE = 17
+ C_MLEN, C_EMR, C_LREM, C_LSRC, C_TAIL, C_DONE, C_FAIL, C_MISS,
+ C_STEP, C_RQ, C_RSC, C_RST, C_PND) = range(22)
+NSTATE = 22
 SKIP_TRIGGER = 6  # C-style skip acceleration (raw/compress/mod.rs:147-148)
 
 HASH_MUL = np.uint32(2654435761)
+# 32-bit limbs of the reference 5-byte hash multiplier (strict mode)
+from ..spec.table import HASH64_MUL as _HASH64_MUL  # noqa: E402
+_SM0 = _HASH64_MUL & 0xFFFFFFFF
+_SM1 = _HASH64_MUL >> 32
 
 
 def _interpret() -> bool:
@@ -229,6 +248,9 @@ def _compress128_kernel(
         tail, done = row(C_TAIL) != 0, row(C_DONE) != 0
         fail = row(C_FAIL) != 0
         miss = row(C_MISS)
+        stepv = row(C_STEP)
+        rq, rsc, rst = row(C_RQ), row(C_RSC), row(C_RST)
+        pnd = row(C_PND)
 
         active = ~done
 
@@ -247,12 +269,30 @@ def _compress128_kernel(
         e_search = active & (ph == PH_SEARCH)
         e_extend = active & (ph == PH_EXTEND)
         e_lcopy = active & (ph == PH_LCOPY)
+        if STRICT:
+            e_bt0 = active & (ph == PH_BT)
         near_anchor = (cur - anchor) < 15
         want_pos = cur
-        want_pos = jnp.where(e_search & near_anchor, anchor, want_pos)
+        if STRICT:
+            # the probe read is based at cur-4 (pending cursor-2 reinsert
+            # hash bytes); the fused-emission anchor read shares the page
+            want_pos = jnp.where(
+                e_search, jnp.maximum(cur - 4, 0), want_pos
+            )
+            want_pos = jnp.where(
+                e_search & near_anchor,
+                jnp.maximum(jnp.minimum(anchor, cur - 4), 0), want_pos,
+            )
+        else:
+            want_pos = jnp.where(e_search & near_anchor, anchor, want_pos)
         want_pos = jnp.where(e_extend, mstart + mlen, want_pos)
         want_pos = jnp.where(e_lcopy, lsrc, want_pos)
         reads_page = e_search | e_extend | e_lcopy
+        if STRICT:
+            want_pos = jnp.where(
+                e_bt0, jnp.maximum(mstart - emr - CB, 0), want_pos
+            )
+            reads_page = reads_page | e_bt0
         gb, stall = ensure(page_ref, gb, want_pos, reads_page, granted)
 
         # ---- SEARCH ----------------------------------------------------
@@ -271,67 +311,152 @@ def _compress128_kernel(
         RW = 2 if PROBES == 1 else CW
         if "noprobeword" in TIMING:
             wv = jnp.zeros((RW, LANES), jnp.int32)
-        else:
+        elif not STRICT:
             wv = read_words(page_ref, gb, jnp.where(probing, cur, 0), RW)
 
-        # probe schedule: q0 = cur, q[j+1] = q[j] + ((miss+j) >> TRIGGER)
-        # (the C skip-acceleration walk, K steps per round); a probe is
-        # valid while within the read span and the n-12 end rule.  valid
-        # is prefix-shaped (positions are monotone), so on all-miss the
-        # cursor advances to the first unprobed position.
+        # probe schedule.  Non-strict: q[j+1] = q[j] + ((miss+j) >> TRIGGER)
+        # (approximate C walk).  STRICT: the exact C schedule — per-probe
+        # step with the one-miss lag (`anchor+1 != next` rule), the
+        # step-aware tail bail (cursor + step > n-11), and saved resume
+        # state for tag false hits (tools/sim_c128_strict.py).
         curs1 = cur[0:1, :]
         probe1 = probing[0:1, :]
         n1 = n[0:1, :]
-        qs = [curs1]
-        m_ctr = miss[0:1, :]
-        for j in range(1, PROBES):
-            st = jax.lax.shift_right_logical(m_ctr, SKIP_TRIGGER)
-            qs.append(qs[-1] + st)
-            m_ctr = m_ctr + 1
-        nxt = qs[-1] + jax.lax.shift_right_logical(m_ctr, SKIP_TRIGGER)
-        valids = [probe1]
-        for j in range(1, PROBES):
-            valids.append(
-                probe1
-                & (qs[j] + 12 <= n1)
-                & (qs[j] - curs1 <= RW * 4 - 8)
-            )
+        anchor1 = anchor[0:1, :]
+        if STRICT:
+            span_cap = RW * 4 - 8 - 4  # read base shifted 4 for cursor-2
+            qs = [curs1]
+            valids = []
+            qnexts = []
+            scs = []
+            sts = []
+            sc_c = miss[0:1, :]
+            st_c = stepv[0:1, :]
+            for j in range(PROBES):
+                vj = (
+                    probe1
+                    & (qs[j] + st_c <= n1 - 11)
+                    & (qs[j] - curs1 <= span_cap)
+                )
+                valids.append(vj)
+                qn = qs[j] + st_c
+                upd = (anchor1 + 1) != qn
+                nst = jnp.where(
+                    upd, jax.lax.shift_right_logical(sc_c, SKIP_TRIGGER), st_c
+                )
+                nsc = jnp.where(upd, sc_c + 1, sc_c)
+                qnexts.append(qn)
+                scs.append(nsc)
+                sts.append(nst)
+                if j < PROBES - 1:
+                    qs.append(qn)
+                sc_c, st_c = nsc, nst
+            # strict tail: the FIRST probe already fails the step-aware
+            # bail (overrides the plain cur+12>n rule computed above)
+            ended_s = searching & ~stall & ~jnp.broadcast_to(valids[0], S8)
+            ended_new = ended_s & ~ended
+            tail = tail | ended_s
+            ph = jnp.where(ended_new, PH_TOK, ph)
+            mlen = jnp.where(ended_new, 4, mlen)
+            mstart = jnp.where(ended_new, n, mstart)
+            # un-end lanes the plain rule ended but strict keeps probing
+            # (cannot happen: strict bail is never later than cur+12>n at
+            # step >= 1... it can be EARLIER under acceleration only)
+        else:
+            qs = [curs1]
+            m_ctr = miss[0:1, :]
+            for j in range(1, PROBES):
+                st = jax.lax.shift_right_logical(m_ctr, SKIP_TRIGGER)
+                qs.append(qs[-1] + st)
+                m_ctr = m_ctr + 1
+            nxt = qs[-1] + jax.lax.shift_right_logical(m_ctr, SKIP_TRIGGER)
+            valids = [probe1]
+            for j in range(1, PROBES):
+                valids.append(
+                    probe1
+                    & (qs[j] + 12 <= n1)
+                    & (qs[j] - curs1 <= RW * 4 - 8)
+                )
 
         # probe words: funnel 4 bytes at q[j] out of the cursor read
-        vs = [wv[0:1]]
-        for j in range(1, PROBES):
-            d = jnp.where(valids[j], qs[j] - curs1, 0)
-            wi = d >> 2
-            sh = (d & 3) * 8
+        # (strict: the read is based at cur-4 so the pending cursor-2
+        # reinsert's 8 hash bytes are in-span)
+        read_base = jnp.maximum(curs1 - 4, 0) if STRICT else curs1
+        if STRICT and "noprobeword" not in TIMING:
+            wv = read_words(
+                page_ref, gb,
+                jnp.where(probing, jnp.maximum(cur - 4, 0), 0), RW,
+            )
+
+        def word_at(d1):
+            """4 LE bytes at read-relative byte offset d1 (1,128)."""
+            wi = d1 >> 2
+            shb = (d1 & 3) * 8
             lo = jnp.zeros((1, LANES), jnp.int32)
             hi = jnp.zeros((1, LANES), jnp.int32)
             for k in range(RW):
                 lo = lo + wv[k : k + 1] * (wi == k).astype(jnp.int32)
                 if k >= 1:
                     hi = hi + wv[k : k + 1] * (wi == k - 1).astype(jnp.int32)
-            vs.append(
-                jnp.where(
-                    sh == 0,
-                    lo,
-                    jax.lax.shift_right_logical(lo, sh) | (hi << ((32 - sh) & 31)),
-                )
+            return jnp.where(
+                shb == 0,
+                lo,
+                jax.lax.shift_right_logical(lo, shb) | (hi << ((32 - shb) & 31)),
             )
+
+        vs = []
+        for j in range(PROBES):
+            d = jnp.where(valids[j], qs[j] - read_base, 0)
+            vs.append(word_at(d))
+
+        def h5_of(j_word, j_b4):
+            """Reference 5-byte hash, 32-bit-limb form (kernels/compress.py):
+            bucket = hi32 >> (32 - HASHLOG)."""
+            b0 = j_word & 0xFF
+            w1 = jax.lax.shift_right_logical(j_word, 8) | ((j_b4 & 0xFF) << 24)
+            m0 = jnp.int32(np.int32(_SM0))
+            hi32 = (
+                b0 * jnp.int32(np.int32(_SM0 >> 8))
+                + jax.lax.shift_right_logical(b0 * jnp.int32(_SM0 & 0xFF), 8)
+                + (((b0 * jnp.int32(_SM1)) & 0xFF) << 24)
+                + w1 * m0
+            )
+            return jax.lax.shift_right_logical(hi32, 32 - hashlog)
+
         hsj = []
         tags = []
         pk = []
         for j in range(PROBES):
             vm = vs[j] * jnp.int32(np.int32(HASH_MUL))
-            hj = jax.lax.shift_right_logical(vm, 32 - hashlog) & (T_ROWS - 1)
-            hsj.append(jnp.where(valids[j], hj, 0))
             tj = jax.lax.shift_right_logical(vm, 6) & 0x7FFF
+            if STRICT:
+                b4 = word_at(
+                    jnp.where(valids[j], qs[j] - read_base + 4, 0)
+                )
+                hj = h5_of(vs[j], b4) & (T_ROWS - 1)
+            else:
+                hj = jax.lax.shift_right_logical(vm, 32 - hashlog) & (T_ROWS - 1)
+            hsj.append(jnp.where(valids[j], hj, 0))
             tags.append(tj)
             pk.append(qs[j] | (tj << 17))  # packed entry: pos17 | tag15
 
-        # probe + insert share one sweep over the SINGLE packed table
-        # array (the sweep is slab-ld/st bound, so one array instead of
-        # positions+keys halves it).  Gathers read the pre-round table;
-        # same-bucket collisions between this round's probes are fixed up
-        # after the sweep.
+        if STRICT:
+            # pending cursor-2 reinsert (C inserts it at match accept;
+            # deferred to the next search round, read-fixed-up below so
+            # probes see it exactly as C would)
+            pnd1 = (pnd[0:1, :] != 0) & probe1 & (curs1 >= 2)
+            dp = jnp.where(pnd1, curs1 - 2 - read_base, 0)
+            wpnd = word_at(dp)
+            b4p = word_at(jnp.where(pnd1, dp + 4, 0))
+            tpnd = (
+                jax.lax.shift_right_logical(
+                    wpnd * jnp.int32(np.int32(HASH_MUL)), 6
+                ) & 0x7FFF
+            )
+            hpnd = h5_of(wpnd, b4p) & (T_ROWS - 1)
+            pkpnd = (curs1 - 2) | (tpnd << 17)
+            pnd = jnp.where(jnp.broadcast_to(pnd1, S8), 0, pnd)
+
         rowcmps = [
             (rowi8 == jnp.broadcast_to(hsj[j] & 7, S8)) for j in range(PROBES)
         ]
@@ -339,16 +464,29 @@ def _compress128_kernel(
         pkb = [jnp.broadcast_to(p1, S8) for p1 in pk]
         validb = [jnp.broadcast_to(valids[j], S8) for j in range(PROBES)]
         accp = [jnp.zeros(S8, jnp.int32) for _ in range(PROBES)]
-        for s in range(0 if "nosweep" in TIMING else T_ROWS // 8):
-            slab = table_ref[s * 8 : s * 8 + 8, :]
-            news = slab
-            for j in range(PROBES):
-                oh = rowcmps[j] & jnp.broadcast_to(sbhs[j] == s, S8)
-                accp[j] = accp[j] + slab * oh.astype(jnp.int32)
-                news = jnp.where(oh & validb[j], pkb[j], news)
-            table_ref[s * 8 : s * 8 + 8, :] = news
+        if STRICT:
+            # two-pass: gather-only sweep, then hit-gated insert sweep —
+            # C never probes past a hit, so later inserts must not land
+            for st_ in range(0 if "nosweep" in TIMING else T_ROWS // 8):
+                slab = table_ref[st_ * 8 : st_ * 8 + 8, :]
+                for j in range(PROBES):
+                    oh = rowcmps[j] & jnp.broadcast_to(sbhs[j] == st_, S8)
+                    accp[j] = accp[j] + slab * oh.astype(jnp.int32)
+        else:
+            for st_ in range(0 if "nosweep" in TIMING else T_ROWS // 8):
+                slab = table_ref[st_ * 8 : st_ * 8 + 8, :]
+                news = slab
+                for j in range(PROBES):
+                    oh = rowcmps[j] & jnp.broadcast_to(sbhs[j] == st_, S8)
+                    accp[j] = accp[j] + slab * oh.astype(jnp.int32)
+                    news = jnp.where(oh & validb[j], pkb[j], news)
+                table_ref[st_ * 8 : st_ * 8 + 8, :] = news
         cands = [jnp.sum(accp[j], axis=0, keepdims=True) for j in range(PROBES)]
-        # same-bucket fix-up: probe j must see probe i<j's insert
+        # fix-ups: probe j must see the pending reinsert and probes i<j
+        if STRICT:
+            for j in range(PROBES):
+                eqp = pnd1 & valids[j] & (hpnd == hsj[j])
+                cands[j] = jnp.where(eqp, pkpnd, cands[j])
         for j in range(1, PROBES):
             for i in range(j):
                 eq = valids[i] & valids[j] & (hsj[i] == hsj[j])
@@ -360,11 +498,16 @@ def _compress128_kernel(
             ctag = jax.lax.shift_right_logical(cands[j], 17) & 0x7FFF
             # positions reach 96 KiB in window mode, so the LZ4 offset
             # bound is explicit; the init sentinel pos 0x1FFFF never
-            # satisfies cpos < q (buffers are <= 96 KiB + margin)
-            hits.append(
+            # satisfies cpos < q (buffers are <= 96 KiB + margin).  In
+            # strict mode position 0 is a REAL candidate (zero-init
+            # quirk) and only the first cursor position is excluded.
+            ok_j = (
                 valids[j] & (cpos < qs[j]) & (qs[j] - cpos <= 0xFFFF)
                 & (ctag == tags[j])
             )
+            if STRICT:
+                ok_j = ok_j & (qs[j] > 0)
+            hits.append(ok_j)
             cands[j] = cpos
         anyhit1 = hits[0]
         for j in range(1, PROBES):
@@ -373,11 +516,47 @@ def _compress128_kernel(
         for j in range(PROBES - 1, -1, -1):  # earliest hit wins (greedy)
             hitq = jnp.where(hits[j], qs[j], hitq)
             hitc = jnp.where(hits[j], cands[j], hitc)
-        nvalid = valids[0].astype(jnp.int32)
-        for j in range(1, PROBES):
-            nvalid = nvalid + valids[j].astype(jnp.int32)
-        for j in range(PROBES - 1, 0, -1):  # stop at first unprobed position
-            nxt = jnp.where(~valids[j], qs[j], nxt)
+
+        if STRICT:
+            # insert sweep: pending reinsert + probes up to (and incl.)
+            # the first tag hit
+            ins_ok = []
+            no_hit_before = jnp.ones_like(valids[0])
+            for j in range(PROBES):
+                ins_ok.append(valids[j] & no_hit_before)
+                no_hit_before = no_hit_before & ~hits[j]
+            insb = [jnp.broadcast_to(x, S8) for x in ins_ok]
+            pndb = jnp.broadcast_to(pnd1, S8)
+            pkpb = jnp.broadcast_to(pkpnd, S8)
+            rowp = rowi8 == jnp.broadcast_to(hpnd & 7, S8)
+            sbp = hpnd >> 3
+            for st_ in range(0 if "nosweep" in TIMING else T_ROWS // 8):
+                slab = table_ref[st_ * 8 : st_ * 8 + 8, :]
+                news = jnp.where(
+                    rowp & jnp.broadcast_to(sbp == st_, S8) & pndb, pkpb, slab
+                )
+                for j in range(PROBES):
+                    oh = rowcmps[j] & jnp.broadcast_to(sbhs[j] == st_, S8)
+                    news = jnp.where(oh & insb[j], pkb[j], news)
+                table_ref[st_ * 8 : st_ * 8 + 8, :] = news
+            # all-miss / false-hit resume points (prefix-valid selects)
+            res_q, res_sc, res_st = qnexts[0], scs[0], sts[0]
+            for j in range(1, PROBES):
+                res_q = jnp.where(valids[j], qnexts[j], res_q)
+                res_sc = jnp.where(valids[j], scs[j], res_sc)
+                res_st = jnp.where(valids[j], sts[j], res_st)
+            # the resume triple AT the hit probe (for EXTEND tag rejects)
+            hq_n, hq_sc, hq_st = qnexts[0], scs[0], sts[0]
+            for j in range(PROBES - 1, -1, -1):
+                hq_n = jnp.where(hits[j], qnexts[j], hq_n)
+                hq_sc = jnp.where(hits[j], scs[j], hq_sc)
+                hq_st = jnp.where(hits[j], sts[j], hq_st)
+        else:
+            nvalid = valids[0].astype(jnp.int32)
+            for j in range(1, PROBES):
+                nvalid = nvalid + valids[j].astype(jnp.int32)
+            for j in range(PROBES - 1, 0, -1):  # stop at first unprobed position
+                nxt = jnp.where(~valids[j], qs[j], nxt)
 
         hit = jnp.broadcast_to(anyhit1, S8)
         hq8 = jnp.broadcast_to(hitq, S8)
@@ -389,8 +568,18 @@ def _compress128_kernel(
         mlen = jnp.where(hit, 0, mlen)
         ph = jnp.where(hit, PH_EXTEND, ph)
         missed = probing & ~hit
-        cur = jnp.where(missed, jnp.broadcast_to(nxt, S8), cur)
-        miss = jnp.where(missed, miss + jnp.broadcast_to(nvalid, S8), miss)
+        if STRICT:
+            missed = missed & jnp.broadcast_to(valids[0], S8)
+            cur = jnp.where(missed, jnp.broadcast_to(res_q, S8), cur)
+            miss = jnp.where(missed, jnp.broadcast_to(res_sc, S8), miss)
+            stepv = jnp.where(missed, jnp.broadcast_to(res_st, S8), stepv)
+            # save the false-hit resume triple for EXTEND's verify reject
+            rq = jnp.where(hit, jnp.broadcast_to(hq_n, S8), rq)
+            rsc = jnp.where(hit, jnp.broadcast_to(hq_sc, S8), rsc)
+            rst = jnp.where(hit, jnp.broadcast_to(hq_st, S8), rst)
+        else:
+            cur = jnp.where(missed, jnp.broadcast_to(nxt, S8), cur)
+            miss = jnp.where(missed, miss + jnp.broadcast_to(nvalid, S8), miss)
 
         # ---- EXTEND ----------------------------------------------------
         extending = active & (ph == PH_EXTEND) & ~stall
@@ -430,8 +619,15 @@ def _compress128_kernel(
         # a true >=4-byte match always reaches mlen >= 4 in one round.
         false_hit = ext_done & (mlen < 4)
         ph = jnp.where(ext_done, jnp.where(false_hit, PH_SEARCH, PH_TOK), ph)
-        cur = jnp.where(false_hit, mstart + 1, cur)
-        miss = jnp.where(false_hit, miss + 1, miss)
+        if STRICT:
+            # resume the exact skip-accelerated walk where C would after
+            # its byte verify fails (saved at the tag hit)
+            cur = jnp.where(false_hit, rq, cur)
+            miss = jnp.where(false_hit, rsc, miss)
+            stepv = jnp.where(false_hit, rst, stepv)
+        else:
+            cur = jnp.where(false_hit, mstart + 1, cur)
+            miss = jnp.where(false_hit, miss + 1, miss)
 
         # ---- opportunistic backward extension (reference backtrack,
         # raw/compress/mod.rs:211-214): pending literals that also match
@@ -442,6 +638,36 @@ def _compress128_kernel(
         # 0.5995 unbounded on the bench corpus).  Runs in the ext_done
         # round itself, so it costs two gathers per round and NO extra
         # rounds.
+        def backward_count(da, w_ok_bytes):
+            """Matched-byte count from the TOP of the XOR window ``da``,
+            ignoring the top (CB - w_ok_bytes) bytes (per-lane)."""
+            # zero the diff above the valid top so the scan skips it
+            wp = jax.lax.broadcasted_iota(jnp.int32, (CW, LANES), 0)
+            okb = jnp.broadcast_to(w_ok_bytes[0:1, :], (CW, LANES))
+            masked = da
+            for jj in range(4):
+                bi = wp * 4 + jj
+                bytemask = jnp.int32(np.int32(np.uint32(0xFF) << (8 * jj)))
+                masked = jnp.where(bi >= okb, masked & ~bytemask, masked)
+            kmax = jnp.full(S8, -1, jnp.int32)
+            for k in range(CW):
+                nz = jnp.broadcast_to(masked[k : k + 1] != 0, S8)
+                kmax = jnp.where(nz, k, kmax)
+            dwb2 = jnp.zeros((1, LANES), jnp.int32)
+            for k in range(CW):
+                dwb2 = dwb2 + masked[k : k + 1] * (kmax[0:1] == k).astype(
+                    jnp.int32
+                )
+            dwb2 = jnp.broadcast_to(dwb2, S8)
+            hb3 = (dwb2 & jnp.int32(np.int32(np.uint32(0xFF000000)))) == 0
+            hb2 = (dwb2 & 0xFF0000) == 0
+            hb1 = (dwb2 & 0xFF00) == 0
+            hz = jnp.where(hb3, jnp.where(hb2, jnp.where(hb1, 3, 2), 1), 0)
+            cnt = jnp.where(kmax < 0, CB, (CW - 1 - kmax) * 4 + hz)
+            # bytes counted above the valid top are the (known-equal or
+            # zeroed) skip region; subtract it
+            return jnp.clip(cnt - (CB - w_ok_bytes), 0, None)
+
         if BACKTRACK:
             mc_pos = mstart - moff
             bt_en = (
@@ -453,28 +679,74 @@ def _compress128_kernel(
             ab = read_words(page_ref, gb, jnp.where(bt_en, mstart - CB, 0), CW)
             bb = read_words(page2_ref, gb2, jnp.where(bt_en, mc_pos - CB, 0), CW)
             db = ab ^ bb
-            # matched run length counted from the TOP of the window
-            # (byte CB-1 = mstart-1 downward): locate the highest
-            # differing byte
-            kmax = jnp.full(S8, -1, jnp.int32)
-            for k in range(CW):
-                nz = jnp.broadcast_to(db[k : k + 1] != 0, S8)
-                kmax = jnp.where(nz, k, kmax)
-            dwb2 = jnp.zeros((1, LANES), jnp.int32)
-            for k in range(CW):
-                dwb2 = dwb2 + db[k : k + 1] * (kmax[0:1] == k).astype(jnp.int32)
-            dwb2 = jnp.broadcast_to(dwb2, S8)
-            hb3 = (dwb2 & jnp.int32(np.int32(np.uint32(0xFF000000)))) == 0
-            hb2 = (dwb2 & 0xFF0000) == 0
-            hb1 = (dwb2 & 0xFF00) == 0
-            hz = jnp.where(hb3, jnp.where(hb2, jnp.where(hb1, 3, 2), 1), 0)
-            bt_all = jnp.where(kmax < 0, CB, (CW - 1 - kmax) * 4 + hz)
+            full_w = jnp.full(S8, CB, jnp.int32)
+            bt_all = backward_count(db, full_w)
             bt = jnp.minimum(bt_all, mstart - anchor)
+            if STRICT:
+                # the reference also stops at candidate position 0
+                bt = jnp.minimum(bt, mc_pos)
             bt = jnp.where(bt_en, bt, 0)
+            if STRICT:
+                # exact mode: a saturated or page-gated backward extension
+                # continues in PH_BT rounds instead of being dropped
+                saturated = bt_en & (bt == CB) & (bt < mstart - anchor) & (
+                    bt < mc_pos
+                )
+                gated = (
+                    ext_done & ~false_hit & ~bt_en
+                    & (mstart > anchor) & (mc_pos > 0)
+                )
+                to_bt = saturated | gated
+                emr = jnp.where(to_bt, jnp.where(bt_en, bt, 0), emr)
+                ph = jnp.where(to_bt, PH_BT, ph)
+                bt = jnp.where(to_bt, 0, bt)
             mstart = mstart - bt
             mlen = mlen + bt
 
-        # ---- emission --------------------------------------------------
+        # ---- PH_BT: exact backward-extension continuation (strict) -----
+        if STRICT:
+            e_btp = active & (ph == PH_BT)
+            mc_bt = mstart - moff
+            bt0 = emr
+            baseA = mstart - bt0 - CB
+            baseB = mc_bt - bt0 - CB
+            # shift both windows up equally so neither starts below 0 —
+            # pairing is preserved; the skipped top bytes are masked out
+            # of the count (they lie inside the already-matched span or
+            # beyond it)
+            shb_ = jnp.clip(-jnp.minimum(baseA, baseB), 0, CB)
+            okb = CB - shb_
+            gb, _st_bt = ensure(
+                page_ref, gb, jnp.where(e_btp, baseA + shb_, cur),
+                e_btp, jnp.bool_(True),
+            )
+            gb2, _st_bt2 = ensure(
+                page2_ref, gb2, jnp.where(e_btp, baseB + shb_, cur),
+                e_btp, jnp.bool_(True),
+            )
+            ab2 = read_words(
+                page_ref, gb, jnp.where(e_btp, baseA + shb_, 0), CW
+            )
+            bb2 = read_words(
+                page2_ref, gb2, jnp.where(e_btp, baseB + shb_, 0), CW
+            )
+            cnt = backward_count(ab2 ^ bb2, okb)
+            cap = jnp.minimum(
+                jnp.minimum(okb, mstart - anchor - bt0), mc_bt - bt0
+            )
+            bt_add = jnp.where(e_btp, jnp.minimum(cnt, cap), 0)
+            emr = jnp.where(e_btp, emr + bt_add, emr)
+            done_bt = e_btp & ((bt_add < cap) | (cap <= 0) | (
+                (bt0 + bt_add >= mstart - anchor)
+                | (bt0 + bt_add >= mc_bt)
+            ))
+            # a full-cap round with room left continues next round
+            mstart = jnp.where(done_bt, mstart - emr, mstart)
+            mlen = jnp.where(done_bt, mlen + emr, mlen)
+            emr = jnp.where(done_bt, 0, emr)
+            ph = jnp.where(done_bt, PH_TOK, ph)
+
+        # ---- emission ---        # ---- emission --------------------------------------------------
         lit = jnp.where(tail, n - anchor, mstart - anchor)
         mv = mlen - 4
         litx = jnp.clip(lit - 15, 0, None)
@@ -651,10 +923,14 @@ def _compress128_kernel(
         cur = jnp.where(seq_end, mstart + mlen, cur)
         anchor = jnp.where(seq_end, mstart + mlen, anchor)
         miss = jnp.where(seq_end, 1 << SKIP_TRIGGER, miss)
+        if STRICT:
+            stepv = jnp.where(seq_end, 1, stepv)
+            pnd = jnp.where(seq_end, 1, pnd)
 
         new_rows = [cur, anchor, ph, out, flushed, gb, gb2, moff, mstart,
                     mlen, emr, lrem, lsrc, tail.astype(jnp.int32),
-                    done.astype(jnp.int32), fail.astype(jnp.int32), miss]
+                    done.astype(jnp.int32), fail.astype(jnp.int32), miss,
+                    stepv, rq, rsc, rst, pnd]
         assert len(new_rows) == NSTATE
         state_ref[:, :] = jnp.concatenate([x[0:1] for x in new_rows], axis=0)
         return 0
@@ -666,7 +942,10 @@ def _compress128_kernel(
         [c01, c01, z1, z1, z1, jnp.full((1, LANES), -1, jnp.int32),
          jnp.full((1, LANES), -1, jnp.int32), jnp.full((1, LANES), 1, jnp.int32),
          z1, jnp.full((1, LANES), 4, jnp.int32), z1, z1, z1, z1,
-         z1, z1, jnp.full((1, LANES), 1 << SKIP_TRIGGER, jnp.int32)],
+         z1, z1, jnp.full((1, LANES), 1 << SKIP_TRIGGER, jnp.int32),
+         jnp.full((1, LANES), 1, jnp.int32), z1,
+         jnp.full((1, LANES), 1 << SKIP_TRIGGER, jnp.int32),
+         jnp.full((1, LANES), 1, jnp.int32), z1],
         axis=0,
     )
     ring_ref[:, :] = jnp.zeros((RING_W, LANES), jnp.int32)
@@ -674,6 +953,18 @@ def _compress128_kernel(
         # host-primed window/dictionary entries (step-3 insertion,
         # framed/compress.rs:205-214, already in packed pos|tag form)
         table_ref[:, :] = tinit_ref[:, :]
+    elif STRICT:
+        # C's zero-init quirk: an unwritten slot reads as position 0 —
+        # a REAL candidate whenever the bytes there match — so empty
+        # entries carry word-0's tag (compress/mod.rs:196-206 semantics)
+        w0 = words_ref[0:1, :]
+        t0 = (
+            jax.lax.shift_right_logical(
+                w0 * jnp.int32(np.int32(HASH_MUL)), 6
+            )
+            & 0x7FFF
+        )
+        table_ref[:, :] = jnp.broadcast_to(t0 << 17, (T_ROWS, LANES))
     else:
         # sentinel: pos 0x1FFFF (> any valid buffer position), tag 0
         table_ref[:, :] = jnp.full((T_ROWS, LANES), 0x1FFFF, jnp.int32)
@@ -807,6 +1098,11 @@ def compress_blocks_128(blocks, *, hashlog: int | None = None, prefixes=None):
     if nb == 0:
         return []
     hl = HASHLOG if hashlog is None else hashlog
+    if STRICT:
+        assert hl == 12, "strict parity mode is defined for the C table size"
+        assert not prefixes or not any(prefixes), (
+            "strict parity mode covers independent blocks (no window)"
+        )
     if prefixes is not None:
         prefixes = [bytes(p or b"")[-65536:] for p in prefixes]
         assert len(prefixes) == nb

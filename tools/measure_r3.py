@@ -147,6 +147,7 @@ CONFIGS = [
     ("d128_seq2_b", "decode128", {}),
     ("d128_consol", "decode128", {}),
     ("c128_consol", "compress128", {}),
+    ("c128_strict", "compress128", {"LZ4TPU_C128_STRICT": "1", "MEASURE_PARITY": "1"}),
 ]
 
 
