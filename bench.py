@@ -10,16 +10,19 @@ The ``extra`` dict reports the BASELINE.md configurations:
 
 * config #1/#2 (Silesia-stand-in frames, xxhash32 checksums): the
   ``frame_*`` entries time the whole-frame parallel pipeline on the chip
-  (kernels + host mux).  4 MiB blocks exceed VMEM with the kernels'
-  unpacked-int32 layout, so the on-chip frame configs use 64 KiB blocks
-  and the 4 MiB-block frame numbers come from the native host engine.
+  (kernels + host mux).  Blocks >= 256 KiB (incl. the reference-default
+  4 MiB) decode on-chip via the HBM-staged banded lane kernel
+  (``tpu_decodebig_*``; throughput scales with lane occupancy — the
+  default 8 MiB corpus fills only 8 of 128 lanes at 1 MiB blocks; at 96
+  lanes the same kernel measured 230.5 MB/s, tools/chip_dbig_check.py).
 * config #3 (linked + dictionary): ``frame_linked_dict_ratio`` from the
-  ring-halo parallel-linked mode with a broadcast dictionary.  KNOWN
-  LIMIT: on the chip this cell fails to compile at 64 KiB blocks — the
-  linked window doubles the compress kernel's SMEM-resident data
-  (in+out+hashes ≈ 350 KB > SMEM); the CPU-mesh tests cover the
-  semantics and the section is guarded so the headline survives.
+  ring-halo parallel-linked mode with a broadcast dictionary, compressed
+  ON-CHIP by the windowed lane kernel (``tpu_linked_dict_*``: per-lane
+  [window|block] buffers with host-primed tables).
 * config #4 (levels): ``hc_level9_*`` host HC parse vs greedy.
+* parity: ``tpu_compress128_strict_*`` — the lane compressor's STRICT
+  mode, byte-for-byte equal to the reference greedy parse on every
+  bench block (the accelerated parity path).
 * config #5 (sharded corpus): exercised by tests/test_multiprocess.py and
   the resumable runner; not timed here (single chip).
 
@@ -213,6 +216,74 @@ def bench_tpu_compress128(data, m=4):
     return best, ratio
 
 
+def bench_tpu_decodebig(data, bb, m=2):
+    """HBM-staged banded decode of >=256 KiB blocks: bit-exactness through
+    the wrapper once, then the chained on-device protocol on the
+    window-aligned layout; every timed lane must be in-kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    import lz4tpu.kernels.decodebig as dbig
+    from lz4tpu.native import compress_block
+    from lz4tpu.spec.table import U32Table
+
+    bigs = [data[i : i + bb] for i in range(0, len(data), bb)]
+    bigs = [b for b in bigs if len(b) == bb][:128]
+    if not bigs:
+        return None
+    bcomp = [bytes(compress_block(b, 0, U32Table())) for b in bigs]
+    outs = dbig.decompress_blocks_big(bcomp, block_maxsize=bb)
+    assert outs == bigs, "decodebig mismatch"
+
+    packed = [dbig._repack_block(c, bb) for c in bcomp]
+    maxchunk = max(len(ch) for p_, _ in packed for ch in p_)
+    win_r = -(-(maxchunk + 16) // 512) * 512
+    lens = [(len(ch) - 1) * win_r + len(ch[-1]) for ch, _ in packed]
+    maxlen = max(lens)
+    rw = -(-maxlen // 4)
+    rw_pad = -(-rw // dbig.CHALF) * dbig.CHALF + dbig.CBAND + dbig.CHALF
+    ro_pad = -(-bb // 4 // dbig.OHALF) * dbig.OHALF + dbig.OBAND + dbig.OHALF
+    mr = dbig.round_bound(maxlen, bb)
+    arr = np.zeros((128, rw_pad * 4), np.uint8)
+    n = np.zeros((1, 128), np.int32)
+    for i, (ch, _) in enumerate(packed):
+        for k, c in enumerate(ch):
+            arr[i, k * win_r : k * win_r + len(c)] = np.frombuffer(
+                bytes(c), np.uint8
+            )
+        n[0, i] = lens[i]
+    w = arr.reshape(128, rw_pad, 4).astype(np.uint32)
+    words = (
+        w[:, :, 0] | (w[:, :, 1] << 8) | (w[:, :, 2] << 16) | (w[:, :, 3] << 24)
+    ).astype(np.int32).T
+    d_words = jnp.asarray(np.ascontiguousarray(words))
+    d_n = jnp.asarray(n)
+
+    @jax.jit
+    def chain(wds):
+        _, ol, st = dbig._decodebig_jit(
+            wds, d_n, oband=dbig.OBAND, cband=dbig.CBAND, rw_pad=rw_pad,
+            ro_pad=ro_pad, max_rounds=mr, output_limit=bb,
+            win_r=win_r, ws_log=dbig.WS_LOG,
+        )
+        return wds ^ (st.sum() * 0), ol, st
+
+    _, ol, st = chain(d_words)
+    np.asarray(ol)
+    st = np.asarray(st)[0][: len(bigs)]
+    in_kernel = int((st == 0).sum())
+    total = sum(len(b) for b in bigs)
+    best = 0.0
+    for _ in range(3):
+        a = d_words
+        t0 = time.perf_counter()
+        for _ in range(m):
+            a, ol, st_ = chain(a)
+        np.asarray(ol[:1])
+        best = max(best, total / ((time.perf_counter() - t0) / m))
+    return best, len(bigs), in_kernel
+
+
 def bench_frame_parallel(data, extra):
     """Whole-frame pipeline on the chip (config #1/#2/#3 shapes)."""
     from lz4tpu.parallel.mesh import make_mesh
@@ -233,15 +304,25 @@ def bench_frame_parallel(data, extra):
     assert out == data
     extra["frame_parallel_ratio"] = round(len(frame) / len(data), 4)
 
-    # config #3: linked + broadcast dictionary (ratio, on-chip compress)
+    # config #3: linked + broadcast dictionary compressed on-chip by the
+    # WINDOWED lane kernel (per-lane [window|block] + host-primed tables)
     dictionary = data[: 1 << 16]
     fl = compress_frame_parallel(
-        data, block_size=BLOCK, mesh=mesh, parallel_linked=True, dictionary=dictionary
+        data, block_size=BLOCK, mesh=mesh, parallel_linked=True,
+        dictionary=dictionary, lane_kernel=True,
     )
     from lz4tpu import decompress_frame
 
     assert decompress_frame(fl, dictionary=dictionary, engine="native") == data
     extra["frame_linked_dict_ratio"] = round(len(fl) / len(data), 4)
+    t0 = time.perf_counter()
+    compress_frame_parallel(
+        data, block_size=BLOCK, mesh=mesh, parallel_linked=True,
+        dictionary=dictionary, lane_kernel=True,
+    )
+    extra["tpu_linked_dict_compress_mbps"] = round(
+        len(data) / (time.perf_counter() - t0) / 1e6, 1
+    )
 
 
 def bench_native(data, extra):
@@ -408,6 +489,49 @@ def main() -> None:
             extra["tpu_compress128_ratio"] = round(c128_ratio, 4)
         except Exception as e:  # pragma: no cover
             extra["tpu_compress128_error"] = str(e)[:160]
+        # HBM-staged big-block decode (reference-default frame shapes);
+        # throughput scales with lane occupancy — the corpus size caps it
+        for name, bb in (("1m", 1 << 20), ("4m", 1 << 22)):
+            try:
+                r = bench_tpu_decodebig(data, bb)
+                if r is None:
+                    continue
+                bps, nlanes, in_kernel = r
+                extra[f"tpu_decodebig_{name}_mbps"] = round(bps / 1e6, 1)
+                extra[f"tpu_decodebig_{name}_lanes"] = (
+                    f"{in_kernel}/{nlanes} in-kernel of 128"
+                )
+            except Exception as e:  # pragma: no cover
+                extra[f"tpu_decodebig_{name}_error"] = str(e)[:160]
+
+        # STRICT lane compressor: byte parity with the reference greedy
+        try:
+            import lz4tpu.kernels.compress128 as c128m
+
+            old_strict = c128m.STRICT
+            c128m.STRICT = True
+            c128m._compress128_jit.clear_cache()
+            try:
+                sblocks = [
+                    data[i : i + c128m.MAX_B]
+                    for i in range(0, len(data), c128m.MAX_B)
+                ][:128]
+                scomp = c128m.compress_blocks_128(sblocks, hashlog=12)
+                refs = [
+                    bytes(compress_block(b, 0, U32Table())) for b in sblocks
+                ]
+                parity = sum(1 for a, b in zip(scomp, refs) if a == b)
+                extra["tpu_compress128_strict_parity"] = (
+                    f"{parity}/{len(sblocks)}"
+                )
+                bps, _r = bench_tpu_compress128(data)
+                extra["tpu_compress128_strict_mbps"] = round(bps / 1e6, 1)
+            finally:
+                c128m.STRICT = old_strict
+                c128m._compress128_jit.clear_cache()
+        except Exception as e:  # pragma: no cover
+            extra["tpu_compress128_strict_error"] = str(e)[:160]
+
         try:
             bench_frame_parallel(data, extra)
         except Exception as e:  # pragma: no cover
