@@ -121,6 +121,100 @@ def bench_tpu_decode(blocks, comp, kernel_jit, m=6):
     return total / ((time.perf_counter() - t0) / m)
 
 
+def bench_tpu_decode128_sched(extra, size_mb: float = 32.0, m=2):
+    """Scheduled multi-batch lane decode: a 32 MiB corpus (512 x 64 KiB
+    blocks) decoded as four 128-lane batches.  The batch scheduler sorts
+    blocks by the C++ round model (``native.model_decode_rounds`` — the
+    lane kernel's lockstep-round state machine), so each batch groups
+    similar-cost lanes and wall time approaches the sum of batch means
+    instead of n_batches x the global slowest lane.  One compile serves
+    all batches (shapes bucketed to the global max comp length); both
+    natural and scheduled orders are timed with the chained protocol and
+    every lane must complete in-kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    from lz4tpu.kernels import decode128 as d128
+    from lz4tpu.native import compress_block, model_decode_rounds
+    from lz4tpu.spec.table import U32Table
+
+    data = make_corpus(size_mb)
+    blocks = [data[i : i + BLOCK] for i in range(0, len(data), BLOCK)]
+    comp = [bytes(compress_block(b, 0, U32Table())) for b in blocks]
+    maxlen = max(len(c) for c in comp)
+    rw, ro, _pr = d128.buffer_rows(maxlen, BLOCK)
+    max_rounds = d128.round_bound(maxlen, BLOCK)
+    mid_w = d128.pick_mid_w(rw, ro)
+    rounds = np.array(
+        [
+            model_decode_rounds(
+                c, cb=d128.CB, flush_thresh=d128.FLUSH_THRESH,
+                far_g_bytes=d128.FAR_G * 4,
+                mid_bytes=max(mid_w * 4 - 4, 0),
+            )
+            for c in comp
+        ]
+    )
+    nb = len(blocks)
+    n_batches = -(-nb // 128)
+    orders = {
+        "natural": np.arange(nb),
+        "sched": np.argsort(-rounds, kind="stable"),
+    }
+    total = sum(len(b) for b in blocks)
+    kw = dict(rw=rw, ro=ro, max_rounds=max_rounds, output_limit=BLOCK)
+
+    for name, order in orders.items():
+        d_ws, d_ns, metas = [], [], []
+        for bi in range(n_batches):
+            idx = order[bi * 128 : bi * 128 + 128]
+            bc = [comp[i] for i in idx]
+            arr = np.zeros((128, rw * 4), np.uint8)
+            n1 = np.zeros((1, 128), np.int32)
+            for j, c in enumerate(bc):
+                arr[j, : len(c)] = np.frombuffer(c, np.uint8)
+                n1[0, j] = len(c)
+            w = arr.reshape(128, rw, 4).astype(np.uint32)
+            words = (
+                w[:, :, 0] | (w[:, :, 1] << 8) | (w[:, :, 2] << 16)
+                | (w[:, :, 3] << 24)
+            ).astype(np.int32).T
+            d_ws.append(jnp.asarray(np.ascontiguousarray(words)))
+            d_ns.append(jnp.asarray(n1))
+            metas.append(idx)
+
+        @jax.jit
+        def pass_all(t, *ws):
+            ols = []
+            for w, nn in zip(ws, d_ns):
+                _, ol, st = d128._decode128_jit(w ^ t, nn, **kw)
+                t = (st.sum() * 0 + ol.sum() * 0).astype(jnp.int32)
+                ols.append((ol, st))
+            return t, ols
+
+        t0v, ols = pass_all(jnp.int32(0), *d_ws)
+        for bi, (ol, st) in enumerate(ols):
+            st_h = np.asarray(st)[0]
+            ol_h = np.asarray(ol)[0]
+            for j, i in enumerate(metas[bi]):
+                assert st_h[j] == 0, f"lane status {st_h[j]} batch {bi} lane {j}"
+                assert ol_h[j] == len(blocks[i])
+        best = 0.0
+        for _ in range(3):
+            t = jnp.int32(0)
+            t0 = time.perf_counter()
+            for _ in range(m):
+                t, ols = pass_all(t, *d_ws)
+            np.asarray(t)
+            best = max(best, total / ((time.perf_counter() - t0) / m))
+        extra[f"tpu_decode128_{name}_32m_mbps"] = round(best / 1e6, 1)
+    extra["sched_model_rounds"] = (
+        f"max {int(rounds.max())} p50 {int(np.percentile(rounds, 50))} "
+        f"mean {int(rounds.mean())}"
+    )
+    return extra.get("tpu_decode128_sched_32m_mbps", 0.0) * 1e6
+
+
 def bench_tpu_compress(blocks, comp, m=6):
     import jax
     import jax.numpy as jnp
@@ -476,6 +570,15 @@ def main() -> None:
                 tpu_best = best
         except Exception as e:  # pragma: no cover
             extra["tpu_decode128_error"] = str(e)[:160]
+
+        # scheduled multi-batch lane decode on a 32 MiB corpus (the
+        # production shape: many batches, model-sorted lane composition)
+        try:
+            bps = bench_tpu_decode128_sched(extra)
+            if bps and (tpu_best is None or bps > tpu_best):
+                tpu_best = bps
+        except Exception as e:  # pragma: no cover
+            extra["tpu_decode128_sched_error"] = str(e)[:160]
 
         try:
             extra["tpu_compress_mbps"] = round(

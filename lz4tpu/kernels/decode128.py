@@ -56,6 +56,7 @@ from .lanes import funnel
 from .lanes import gather_rows as _lanes_gather_rows
 from .lanes import place_multi as _lanes_place_multi
 from .lanes import sweep_flush as _lanes_sweep_flush
+from .lanes import window_extend, window_geometry, window_merge
 from .status import (
     ERR_INVALID_OFFSET,
     ERR_MEMORY_LIMIT,
@@ -77,7 +78,13 @@ FAR_G = int(_os2.environ.get("LZ4TPU_D128_FARG", "256"))  # far group granularit
 # rebuild, unlike the far page); serves match offsets up to ~mid_w*4.
 # The actual mid_w is chosen PER BATCH SHAPE to fill the VMEM headroom
 # left by the comp/output buffers (pick_mid_w); this is the cap.
-MID_CAP = int(_os1.environ.get("LZ4TPU_D128_MIDW", "0"))  # measured -7% on mixed; opt-in for high-locality corpora
+# Pre-SEQ2 the unconditional mid gather measured -7% (PERF_NOTES round
+# 2); under SEQ2 the economics flipped: the host round model shows ~60%
+# of rounds carry a match because the PHASE-2 far want lost the single
+# per-round far rebuild, and a 2 KiB mid window serves most of those
+# wants rebuild-free (sim: rounds_max 5206 -> 4287 on the bench corpus,
+# tools/sim_d128_seqk.py) — so a small mid is now ON by default.
+MID_CAP = int(_os1.environ.get("LZ4TPU_D128_MIDW", "512"))
 # row-sum budget anchored on observed v5e compiles: 16.26 MB row sum
 # (53 KB comp, no mid) ran; 16.52 MB (mid 512) OOMed by 3 KB
 VMEM_ROWSUM_BUDGET = 16_300_000
@@ -119,14 +126,26 @@ FAR_W = FAR_G + _MARGIN  # far page rows: group + chunk margin
 # CB=64 both cannot hold in a 256 B ring, hence the bigger default.
 RING_W = int(
     _os1.environ.get(
-        "LZ4TPU_D128_RINGW", {8: "64", 16: "64", 32: "96", 64: "128"}[CB]
+        "LZ4TPU_D128_RINGW", {8: "64", 16: "128", 32: "128", 64: "128"}[CB]
     )
 )
-FLUSH_B = 128  # ring flush granularity (bytes; 32 word rows)
+# ring flush granularity (bytes; FLUSH_B/4 word rows).  The flush sweep
+# (and its mid-mirror write) fires on ANY lane crossing the threshold
+# and costs the firing lanes' fw SPREAD in ring-block RMWs, so coarser
+# flushes with a bigger ring fire it half as often, trading a few
+# place/near slab ops — measured 378.4 vs 371.8 MB/s at RING_W 128 with
+# FLUSH_B 256 under SEQ2+mid (the pre-SEQ2 tuning preferred RING_W 64).
 # phase-2 rounds place up to FOUR chunks (litA|mA|litB|mB), so the slop
 # tail extends up to 4*CB+3 past the round-start fill
 _NCHUNK = 4 if SEQ2 else 2
-FLUSH_THRESH = min(176, RING_W * 4 - _NCHUNK * CB - 4)
+FLUSH_THRESH = min(
+    int(_os1.environ.get("LZ4TPU_D128_FLUSHT", "400")),
+    RING_W * 4 - _NCHUNK * CB - 4,
+)
+FLUSH_B = min(
+    int(_os1.environ.get("LZ4TPU_D128_FLUSHB", str(RING_W * 2))),
+    (FLUSH_THRESH // 64) * 64,
+)
 assert FLUSH_THRESH >= FLUSH_B, (RING_W, CB)
 assert FLUSH_THRESH - 1 + _NCHUNK * CB + 3 <= RING_W * 4
 LSIC_STEPS = int(_os.environ.get("LZ4TPU_D128_LSIC", "8"))  # unrolled LSIC ext bytes/field
@@ -481,23 +500,17 @@ def _decode128_kernel(
         m_ready = active & (lit_rem - lit_take == 0) & (m_rem > 0)
         src_abs = out + lit_take - m_lag
         near = m_ready & (src_abs >= flushed)
+        # phase 1 never reads the mid mirror: it always wins the round's
+        # far rebuild anyway, so mid service saves it no rounds (host
+        # model: B-only mid 4293 vs A+B 4287 rounds) — the mirror serves
+        # PHASE 2, whose far want loses the rebuild to phase 1
         far = m_ready & (src_abs < flushed)
-        if mid_w and variant != "nomid":
-            # flushed bytes within the mid mirror's window need no far
-            # page (and hence no rebuild) at all
-            midp = far & (src_abs >= flushed - (mid_w * 4 - 4))
-            far = far & ~midp
-        else:
-            midp = far & False
 
-        # m_take without the far-page watermark clamp (exact for near/mid
+        # m_take without the far-page watermark clamp (exact for near
         # lanes; used to speculate the phase-2 parse position and far
         # group before the rebuild)
         m_take_pre = jnp.where(
             m_ready, jnp.minimum(jnp.minimum(m_rem, CB), m_lag), 0
-        )
-        m_take_pre = jnp.where(
-            midp, jnp.minimum(m_take_pre, flushed - src_abs), m_take_pre
         )
         m_take_pre = jnp.where(
             near & (lit_take > 0),
@@ -565,6 +578,12 @@ def _decode128_kernel(
             farB_pre = (
                 m_doneB & (src_absB_pre < flushed) & (src_absB_pre >= 0)
             )
+            if mid_w:
+                # mid-servable wants need no far page: keep them out of
+                # the fold so they never burn the round's single rebuild
+                farB_pre = farB_pre & (
+                    src_absB_pre < flushed - (mid_w * 4 - 4)
+                )
             fwantB = jnp.clip(
                 (jnp.clip(src_absB_pre, 0, None) >> 2) // FAR_G,
                 0, far_groups - 1,
@@ -579,13 +598,6 @@ def _decode128_kernel(
         else:
             nearw = gather_rows(ring0, RING_W, nsrc_row, CW + 1, RING_W)
             near_bytes = funnel(nearw, src_abs)
-
-        if mid_w and variant not in ("nomid", "nogather"):
-            msrc_row = jax.lax.rem(jnp.clip(src_abs, 0, None) >> 2, mid_w)
-            midw = gather_rows(mid_ref[:, :], mid_w, msrc_row, CW + 1, mid_w)
-            mid_bytes = funnel(midw, src_abs)
-        else:
-            mid_bytes = jnp.zeros((CW, LANES), jnp.int32)
 
         fwant = jnp.clip(
             (jnp.clip(src_abs, 0, None) >> 2) // FAR_G, 0, far_groups - 1
@@ -627,11 +639,7 @@ def _decode128_kernel(
             far_bytes = funnel(farw, src_abs)
 
         m_bytes = jnp.where(
-            jnp.broadcast_to(near[0:1], (CW, LANES)),
-            near_bytes,
-            jnp.where(
-                jnp.broadcast_to(midp[0:1], (CW, LANES)), mid_bytes, far_bytes
-            ),
+            jnp.broadcast_to(near[0:1], (CW, LANES)), near_bytes, far_bytes
         )
         m_take = m_take_pre
         if variant != "nofar":  # timing variant: keep progress guaranteed
@@ -682,8 +690,21 @@ def _decode128_kernel(
             lit_takeB = jnp.where(acceptB, jnp.minimum(litvB, CB), 0)
             m_readyB = acceptB & (litvB == lit_takeB) & (mlenvB > 0)
             src_absB = out1 + lit_takeB - offvB
-            nearB = m_readyB & (src_absB >= flushed)
+            # span: source bytes placed THIS round (phase-1/2 literal or
+            # phase-1 match chunks) — gathered from the in-register span
+            # window below; the dominant phase-2 source on sequence-dense
+            # lanes (short offsets reference just-written bytes)
+            spanB = m_readyB & (src_absB >= out)
+            nearB = m_readyB & (src_absB >= flushed) & ~spanB
             farB = m_readyB & (src_absB < flushed)
+            if mid_w:
+                # the mod-addressed flush mirror serves phase-2 sources
+                # within its window with no rebuild at all — the dominant
+                # carried-match case in the host round model
+                midB = farB & (src_absB >= flushed - (mid_w * 4 - 4))
+                farB = farB & ~midB
+            else:
+                midB = farB & False
             m_takeB = jnp.where(
                 m_readyB, jnp.minimum(jnp.minimum(mlenvB, CB), offvB), 0
             )
@@ -692,6 +713,12 @@ def _decode128_kernel(
             m_takeB = jnp.where(
                 nearB,
                 jnp.clip(jnp.minimum(m_takeB, out - src_absB), 0, None),
+                m_takeB,
+            )
+            # mid: the mirror holds flushed bytes only
+            m_takeB = jnp.where(
+                midB,
+                jnp.clip(jnp.minimum(m_takeB, flushed - src_absB), 0, None),
                 m_takeB,
             )
             # far: only when the (possibly folded) page holds B's group
@@ -711,6 +738,27 @@ def _decode128_kernel(
             lrowB = jnp.clip(lrowB_raw, 0, PAGE_W - CW - 2)
             litBw = gather_rows(page, PAGE_W, lrowB, CW + 1, 0)
             litB_bytes = funnel(litBw, lsrcB)
+
+            # span window: scatter the three already-known chunks, so the
+            # phase-2 match can gather this round's bytes before the last
+            # chunk lands (litB's tail is zeroed — chunk 4 lands after it)
+            PW_, shW, baseW = window_geometry(
+                _NCHUNK, CW, out, cb=CB, ring_w=RING_W
+            )
+            winW = jnp.zeros((PW_, LANES), jnp.int32)
+            winW, cumW = window_extend(
+                winW,
+                [(lit_bytes, lit_take1), (m_bytes, m_take),
+                 (litB_bytes, lit_takeB)],
+                shW, baseW, jnp.zeros((1, LANES), jnp.int32),
+                zero_tails=True,
+            )
+            dspan = jnp.clip(src_absB - out, 0, None)
+            idxB = jnp.broadcast_to((baseW & 7) * 4 + shW, S8) + dspan
+            idxB = jnp.clip(idxB, 0, (PW_ - CW - 2) * 4)
+            spw = gather_rows(winW, PW_, idxB >> 2, CW + 1, 0)
+            spanB_bytes = funnel(spw, idxB)
+
             nsrcB = jax.lax.rem(jnp.clip(src_absB, 0, None) >> 2, RING_W)
             nearBw = gather_rows(ring0, RING_W, nsrcB, CW + 1, RING_W)
             nearB_bytes = funnel(nearBw, src_absB)
@@ -720,22 +768,43 @@ def _decode128_kernel(
             )
             farBw = gather_rows(far_ref[:, :], FAR_W, fsrcB, CW + 1, 0)
             farB_bytes = funnel(farBw, src_absB)
+            if mid_w:
+                msrcB = jax.lax.rem(jnp.clip(src_absB, 0, None) >> 2, mid_w)
+                midBw = gather_rows(mid_ref[:, :], mid_w, msrcB, CW + 1, mid_w)
+                midB_bytes = funnel(midBw, src_absB)
+            else:
+                midB_bytes = farB_bytes
             mB_bytes = jnp.where(
-                jnp.broadcast_to(nearB[0:1], (CW, LANES)),
-                nearB_bytes, farB_bytes,
+                jnp.broadcast_to(spanB[0:1], (CW, LANES)),
+                spanB_bytes,
+                jnp.where(
+                    jnp.broadcast_to(nearB[0:1], (CW, LANES)),
+                    nearB_bytes,
+                    jnp.where(
+                        jnp.broadcast_to(midB[0:1], (CW, LANES)),
+                        midB_bytes, farB_bytes,
+                    ),
+                ),
             )
-            chunks = [(lit_bytes, lit_take1), (m_bytes, m_take),
-                      (litB_bytes, lit_takeB), (mB_bytes, m_takeB)]
+            if variant == "noplace":
+                ring2 = ring0
+            else:
+                winW, totW = window_extend(
+                    winW, [(mB_bytes, m_takeB)], shW, baseW, cumW,
+                    zero_tails=False,
+                )
+                ring2 = window_merge(
+                    ring0, winW, shW, baseW, totW, ring_w=RING_W
+                )
         else:
             lit_takeB = jnp.zeros(S8, jnp.int32)
             m_takeB = jnp.zeros(S8, jnp.int32)
             acceptB = active & False
             chunks = [(lit_bytes, lit_take1), (m_bytes, m_take)]
-
-        if variant == "noplace":
-            ring2 = ring0
-        else:
-            ring2 = place_multi(ring0, chunks, out)
+            if variant == "noplace":
+                ring2 = ring0
+            else:
+                ring2 = place_multi(ring0, chunks, out)
         ring_ref[:, :] = ring2
 
         out = out + lit_take1 + m_take + lit_takeB + m_takeB

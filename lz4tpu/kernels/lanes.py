@@ -92,36 +92,37 @@ def byte_shift(bytes_w, sh):
     )
 
 
-def place_multi(ring, chunks, dst, *, cb, ring_w):
-    """Write the ``chunks`` list of ((cw, LANES) word rows, (8-or-1,
-    LANES) take) as ONE contiguous span at per-lane byte position
-    ``dst``; see module docstring for the slop invariant.  The ring must
-    satisfy fill + len(chunks)*cb + 3 <= ring_w*4 at placement time."""
-    nch = len(chunks)
-    cw = chunks[0][0].shape[0]
-    PW = -(-(7 + ((3 + (nch - 1) * cb) >> 2) + cw + 1) // 8) * 8
+def window_geometry(n_chunks, cw, dst, *, cb, ring_w):
+    """Window shape + per-lane alignment for a ``n_chunks``-chunk span
+    at byte position ``dst``: output position ``dst + d`` lives at
+    window byte ``off*4 + sh + d``."""
+    PW = -(-(7 + ((3 + (n_chunks - 1) * cb) >> 2) + cw + 1) // 8) * 8
     assert PW <= ring_w  # the window merge may not lap the ring
     sh = (dst & 3)[0:1, :]
     base = jax.lax.rem(dst >> 2, ring_w)[0:1, :]
+    return PW, sh, base
+
+
+def window_extend(win, chunks, sh, base, cum, *, zero_tails):
+    """Scatter ``chunks`` into the span window starting at byte
+    ``cum`` past the span start; returns (win, new cum).  ``zero_tails``
+    chunks get their bytes at/after their end zeroed — mandatory for
+    every chunk that another chunk (or a later window_extend call) will
+    land after, because the scatter ADDs and the boundary word is
+    shared."""
+    PW = win.shape[0]
+    cw = chunks[0][0].shape[0]
     off = base & 7
-    sb = base >> 3
-    nsl = ring_w // 8
     wpi = jax.lax.broadcasted_iota(jnp.int32, (PW, LANES), 0)
-    win = jnp.zeros((PW, LANES), jnp.int32)
     offb = jnp.broadcast_to(off, (PW, LANES))
     rowi_c = jax.lax.broadcasted_iota(jnp.int32, (cw + 1, LANES), 0)
-    cum = jnp.zeros((1, LANES), jnp.int32)
-    total = jnp.zeros((1, LANES), jnp.int32)
     for ci, (bytes_w, take) in enumerate(chunks):
         s_k = sh + cum
         shk = s_k & 3
         rk = s_k >> 2
         shifted = byte_shift(bytes_w, shk)
         e_k = s_k + take[0:1, :]
-        if ci < nch - 1:
-            # zero this chunk's bytes at/after its end: the boundary word
-            # shares bytes with the next chunk's first word, and the
-            # scatter ADDs — stale slop must not mix into later chunks
+        if ci < len(chunks) - 1 or zero_tails:
             brow = jnp.broadcast_to((e_k >> 2) - rk, (cw + 1, LANES))
             lowm = (1 << (8 * jnp.broadcast_to(e_k & 3, (cw + 1, LANES)))) - 1
             shifted = jnp.where(
@@ -133,7 +134,19 @@ def place_multi(ring, chunks, dst, *, cb, ring_w):
             sel = (wpi == offk + k).astype(jnp.int32)
             win = win + jnp.broadcast_to(shifted[k : k + 1], (PW, LANES)) * sel
         cum = cum + take[0:1, :]
-        total = total + take[0:1, :]
+    return win, cum
+
+
+def window_merge(ring, win, sh, base, total, *, ring_w):
+    """Merge the span window into the staging ring at slab granularity
+    under the slop-write invariant (bytes below the span preserved;
+    slop above it is rewritten before it is observable)."""
+    PW = win.shape[0]
+    off = base & 7
+    sb = base >> 3
+    nsl = ring_w // 8
+    wpi = jax.lax.broadcasted_iota(jnp.int32, (PW, LANES), 0)
+    offb = jnp.broadcast_to(off, (PW, LANES))
     # row validity over the COMBINED span; first row keeps bytes below
     # dst&3.  When all takes are 0 but dst&3 > 0, the head row's bytes
     # >= dst&3 are still rewritten with slop — safe under the invariant.
@@ -151,6 +164,22 @@ def place_multi(ring, chunks, dst, *, cb, ring_w):
             acc = (acc & ~mm) | (win[w * 8 : w * 8 + 8, :] & mm)
         out_slabs.append(acc)
     return jnp.concatenate(out_slabs, axis=0)
+
+
+def place_multi(ring, chunks, dst, *, cb, ring_w):
+    """Write the ``chunks`` list of ((cw, LANES) word rows, (8-or-1,
+    LANES) take) as ONE contiguous span at per-lane byte position
+    ``dst``; see module docstring for the slop invariant.  The ring must
+    satisfy fill + len(chunks)*cb + 3 <= ring_w*4 at placement time.
+    (Thin composition of window_geometry/extend/merge — decode128 builds
+    the window incrementally so phase-2 matches can gather THIS round's
+    bytes from it before the last chunk lands.)"""
+    cw = chunks[0][0].shape[0]
+    PW, sh, base = window_geometry(len(chunks), cw, dst, cb=cb, ring_w=ring_w)
+    win = jnp.zeros((PW, LANES), jnp.int32)
+    cum = jnp.zeros((1, LANES), jnp.int32)
+    win, total = window_extend(win, chunks, sh, base, cum, zero_tails=False)
+    return window_merge(ring, win, sh, base, total, ring_w=ring_w)
 
 
 def sweep_flush(

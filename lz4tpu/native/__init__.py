@@ -62,6 +62,17 @@ _lib.lz4tpu_compress_block_hc.argtypes = [
     ctypes.c_uint64,  # out capacity
 ]
 
+_lib.lz4tpu_model_rounds.restype = ctypes.c_int64
+_lib.lz4tpu_model_rounds.argtypes = [
+    ctypes.c_char_p,  # comp stream
+    ctypes.c_uint64,  # n
+    ctypes.c_uint64,  # cb
+    ctypes.c_uint64,  # flush threshold
+    ctypes.c_uint64,  # flush granularity
+    ctypes.c_uint64,  # far group bytes
+    ctypes.c_uint64,  # mid window bytes
+]
+
 _lib.lz4tpu_decompress_block.restype = ctypes.c_int64
 _lib.lz4tpu_decompress_block.argtypes = [
     ctypes.c_char_p,  # in
@@ -242,3 +253,23 @@ def decompress_block(
         out.extend(result)
         return out
     return result
+
+
+def model_decode_rounds(
+    comp,
+    cb: int = 16,
+    flush_thresh: int = 400,
+    flush_b: int = 256,
+    far_g_bytes: int = 1024,
+    mid_bytes: int = 2044,
+) -> int:
+    """Modeled decode128 lockstep rounds for one raw block (the lane
+    kernel's SEQ2 round state machine — scheduling advice for the
+    multi-batch balancer; defaults mirror the kernel's shipping config:
+    CB=16, RING_W=128, FLUSH_THRESH=400, FLUSH_B=256, FAR_G=256 rows, mid_w=512 rows)."""
+    comp = bytes(comp)
+    return int(
+        _lib.lz4tpu_model_rounds(
+            comp, len(comp), cb, flush_thresh, flush_b, far_g_bytes, mid_bytes
+        )
+    )

@@ -501,3 +501,112 @@ extern "C" i64 lz4tpu_decompress_block(const u8* in, u64 n, const u8* prefix, u6
     return (i64)out_len;
 }
 
+
+// ---------------------------------------------------------------------------
+// decode128 round model (batch scheduling).
+//
+// Replays a raw block's sequence stream through the lane kernel's
+// lockstep-round state machine (SEQ2 two-phase rounds, mid-mirror,
+// single far-page rebuild per round — lz4tpu/kernels/decode128.py) and
+// returns the modeled round count.  The multi-batch scheduler sorts
+// blocks by this so each 128-lane batch groups similar-cost lanes and
+// the wall time approaches the sum of batch MEANS instead of
+// n_batches * global max (tools/sim_d128_seqk.py; the same model
+// predicted the measured rounds_max within 0.4%, PERF_NOTES round 3).
+// Malformed streams return a best-effort count — this is scheduling
+// advice, the decoder itself validates.
+
+static inline bool model_parse_seq(const u8* in, u64 n, u64& pos,
+                                   u64& lit, u64& off, u64& mlen) {
+    if (pos >= n) return false;
+    u32 tok = in[pos++];
+    lit = tok >> 4;
+    if (lit == 0xF) {
+        for (;;) {
+            if (pos >= n) return false;
+            u8 b = in[pos++];
+            lit += b;
+            if (b != 0xFF) break;
+        }
+    }
+    pos += lit;
+    if (pos > n) { pos = n; off = 0; mlen = 0; return true; }
+    if (n - pos < 2) { off = 0; mlen = 0; pos = n; return true; }  // tail
+    off = in[pos] | ((u64)in[pos + 1] << 8);
+    pos += 2;
+    mlen = tok & 0xF;
+    if (mlen == 0xF) {
+        for (;;) {
+            if (pos >= n) return false;
+            u8 b = in[pos++];
+            mlen += b;
+            if (b != 0xFF) break;
+        }
+    }
+    mlen += MINMATCH;
+    return true;
+}
+
+extern "C" i64 lz4tpu_model_rounds(const u8* in, u64 n, u64 cb,
+                                   u64 flush_thresh, u64 flush_b,
+                                   u64 far_g_bytes, u64 mid_bytes) {
+    u64 pos = 0;
+    i64 rounds = 0, out = 0, flushed = 0;
+    u64 lit_rem = 0, m_rem = 0, lag = 1;
+    // guard: parse rounds are comp-bounded, chunk rounds output-bounded
+    // (out grows monotonically), RLE lag-doubling adds a small constant
+    while (lit_rem || m_rem || pos < n) {
+        if (++rounds > (i64)(4 * n) + out / (i64)cb + 256) break;
+        const i64 out0 = out;
+        i64 slot = -2;  // the round's single far-rebuild group (-2 free)
+        // use_mid: only phase 2 reads the mid mirror (phase 1 always
+        // wins the round's rebuild, so mid service saves it nothing)
+        auto far_ok = [&](i64 src, bool use_mid) -> bool {
+            if (use_mid && mid_bytes && src >= flushed - (i64)mid_bytes) return true;
+            i64 g = src / (i64)far_g_bytes;
+            if (slot == -2) { slot = g; return true; }
+            return slot == g;
+        };
+        // phase 1: parse when drained, then one literal + one match chunk
+        if (!lit_rem && !m_rem) {
+            u64 l, o, m;
+            if (!model_parse_seq(in, n, pos, l, o, m)) break;
+            lit_rem = l; m_rem = m; lag = o ? o : 1;
+        }
+        u64 lt = lit_rem < cb ? lit_rem : cb;
+        lit_rem -= lt; out += (i64)lt;
+        if (!lit_rem && m_rem) {
+            i64 src = out - (i64)lag;
+            if (src >= flushed || far_ok(src, false)) {
+                u64 take = m_rem;
+                if (take > cb) take = cb;
+                if (take > lag) take = lag;
+                if (take == lag && lag < cb) lag *= 2;
+                m_rem -= take; out += (i64)take;
+            }
+        }
+        // phase 2: second sequence in the same round when phase 1 drained
+        if (!lit_rem && !m_rem && pos < n) {
+            u64 l, o, m;
+            if (!model_parse_seq(in, n, pos, l, o, m)) break;
+            u64 ltB = l < cb ? l : cb;
+            out += (i64)ltB;
+            lit_rem = l - ltB; m_rem = m; lag = o ? o : 1;
+            if (!lit_rem && m_rem) {
+                i64 srcB = out - (i64)lag;
+                u64 take = m_rem;
+                if (take > cb) take = cb;
+                if (take > lag) take = lag;
+                // srcB >= out0: served from the in-register span window
+                if (srcB < out0 && srcB + (i64)take > out0) take = (u64)(out0 - srcB);
+                else if (srcB < flushed && !far_ok(srcB, true)) take = 0;
+                if (take) {
+                    if (take == lag && lag < cb) lag *= 2;
+                    m_rem -= take; out += (i64)take;
+                }
+            }
+        }
+        while (out - flushed >= (i64)flush_thresh) flushed += (i64)flush_b;
+    }
+    return rounds;
+}

