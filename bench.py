@@ -174,12 +174,9 @@ def bench_tpu_decode128_sched(extra, size_mb: float = 32.0, m=2):
             for j, c in enumerate(bc):
                 arr[j, : len(c)] = np.frombuffer(c, np.uint8)
                 n1[0, j] = len(c)
-            w = arr.reshape(128, rw, 4).astype(np.uint32)
-            words = (
-                w[:, :, 0] | (w[:, :, 1] << 8) | (w[:, :, 2] << 16)
-                | (w[:, :, 3] << 24)
-            ).astype(np.int32).T
-            d_ws.append(jnp.asarray(np.ascontiguousarray(words)))
+            from lz4tpu.hostpack import pack_words_le
+
+            d_ws.append(jnp.asarray(pack_words_le(arr)))
             d_ns.append(jnp.asarray(n1))
             metas.append(idx)
 
@@ -282,11 +279,9 @@ def bench_tpu_compress128(data, m=4):
     for i, b in enumerate(blocks):
         arr[i, : len(b)] = np.frombuffer(b, np.uint8)
         n[0, i] = len(b)
-    w = arr.reshape(c128.LANES, ri, 4).astype(np.uint32)
-    words = (
-        w[:, :, 0] | (w[:, :, 1] << 8) | (w[:, :, 2] << 16) | (w[:, :, 3] << 24)
-    ).astype(np.int32).T
-    d_words = jnp.asarray(np.ascontiguousarray(words))
+    from lz4tpu.hostpack import pack_words_le
+
+    d_words = jnp.asarray(pack_words_le(arr))
     d_n = jnp.asarray(n)
     total = sum(len(b) for b in blocks)
 
@@ -346,11 +341,9 @@ def bench_tpu_decodebig(data, bb, m=2):
                 bytes(c), np.uint8
             )
         n[0, i] = lens[i]
-    w = arr.reshape(128, rw_pad, 4).astype(np.uint32)
-    words = (
-        w[:, :, 0] | (w[:, :, 1] << 8) | (w[:, :, 2] << 16) | (w[:, :, 3] << 24)
-    ).astype(np.int32).T
-    d_words = jnp.asarray(np.ascontiguousarray(words))
+    from lz4tpu.hostpack import pack_words_le
+
+    d_words = jnp.asarray(pack_words_le(arr))
     d_n = jnp.asarray(n)
 
     @jax.jit
@@ -534,12 +527,9 @@ def main() -> None:
             for i, b in enumerate(subc):
                 arr128[i, : len(b)] = np.frombuffer(b, np.uint8)
                 n128[0, i] = len(b)
-            ww = arr128.reshape(128, rw, 4).astype(np.uint32)
-            words = (
-                ww[:, :, 0] | (ww[:, :, 1] << 8) | (ww[:, :, 2] << 16)
-                | (ww[:, :, 3] << 24)
-            ).astype(np.int32).T
-            d_words = jnp.asarray(np.ascontiguousarray(words))
+            from lz4tpu.hostpack import pack_words_le
+
+            d_words = jnp.asarray(pack_words_le(arr128))
             d_n = jnp.asarray(n128)
 
             @jax.jit

@@ -1,0 +1,31 @@
+"""Host-side byte<->word packing for the transposed lane layouts.
+
+Every lane kernel stages per-lane byte streams as little-endian int32
+words in a transposed (rows, LANES) layout.  The original pack built the
+words arithmetically (reshape + 4 shifts + or) and measured **113 ms**
+per 128 x 53 KB batch — 5x the decode kernel itself; reinterpreting the
+bytes as '<i4' (dtype-level little-endian, host-endianness-proof) and
+transposing copies the same data in **1.3 ms**.  These helpers are the
+single packing path for kernels, pipeline and bench.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def pack_words_le(arr: np.ndarray) -> np.ndarray:
+    """(lanes, nbytes) uint8 -> transposed (nbytes//4, lanes) int32 LE
+    words (C-contiguous).  nbytes must be a multiple of 4."""
+    assert arr.dtype == np.uint8 and arr.shape[-1] % 4 == 0
+    if not arr.flags.c_contiguous:
+        arr = np.ascontiguousarray(arr)
+    return np.ascontiguousarray(arr.view("<i4").T)
+
+
+def unpack_bytes_le(words: np.ndarray, n_lanes: int | None = None) -> np.ndarray:
+    """Transposed (rows, lanes) int32 LE words -> (n_lanes, rows*4)
+    uint8 byte view (C-contiguous)."""
+    if n_lanes is not None:
+        words = words[:, :n_lanes]
+    return np.ascontiguousarray(words.T).view(np.uint8)

@@ -1128,17 +1128,16 @@ def compress_blocks_128(blocks, *, hashlog: int | None = None, prefixes=None):
         arr[i, len(p) : len(p) + len(b)] = np.frombuffer(b, np.uint8)
         n[0, i] = len(p) + len(b)
         cur0[0, i] = len(p)
-    w = arr.reshape(LANES, ri, 4).astype(np.uint32)
-    words = (
-        w[:, :, 0] | (w[:, :, 1] << 8) | (w[:, :, 2] << 16) | (w[:, :, 3] << 24)
-    ).astype(np.int32).T
+    from ..hostpack import pack_words_le
+
+    words = pack_words_le(arr)
 
     kw = {}
     if prefixes:
         kw["cur0"] = jnp.asarray(cur0)
         kw["tinit"] = jnp.asarray(prime_tables_packed(prefixes, hl))
     out_w, out_len = _compress128_jit(
-        jnp.asarray(np.ascontiguousarray(words)), jnp.asarray(n),
+        jnp.asarray(words), jnp.asarray(n),
         ri=ri, ro=ro, max_rounds=max_rounds, hashlog=hl, **kw,
     )
     out_w = np.asarray(out_w)
@@ -1173,11 +1172,10 @@ def compress_blocks_128(blocks, *, hashlog: int | None = None, prefixes=None):
                     bytes(_native_compress(blocks[i], 0, U32Table()))
                 )
             continue
-        ww = out_w[:, i].astype(np.uint32)
-        by = np.empty((ro, 4), np.uint8)
-        by[:, 0] = ww & 0xFF
-        by[:, 1] = (ww >> 8) & 0xFF
-        by[:, 2] = (ww >> 16) & 0xFF
-        by[:, 3] = (ww >> 24) & 0xFF
-        results.append(by.reshape(-1)[:ln].tobytes())
+        results.append(
+            np.ascontiguousarray(out_w[:, i])
+            .astype("<i4", copy=False)
+            .view(np.uint8)[:ln]
+            .tobytes()
+        )
     return results

@@ -755,7 +755,12 @@ def _decode128_kernel(
             )
             dspan = jnp.clip(src_absB - out, 0, None)
             idxB = jnp.broadcast_to((baseW & 7) * 4 + shW, S8) + dspan
-            idxB = jnp.clip(idxB, 0, (PW_ - CW - 2) * 4)
+            # in-bounds cap for garbage lanes: the gather reads CW+1 rows
+            # from idxB>>2, so legitimate indices reach (PW_-CW-1)*4+3
+            # (start byte <= 31 + dspan <= 3*CB-1); the old (PW_-CW-2)*4
+            # cap clipped real reads at idxB in (72, 78] — wrong bytes
+            # for short-offset phase-2 matches far into the span
+            idxB = jnp.clip(idxB, 0, (PW_ - CW - 1) * 4 + 3)
             spw = gather_rows(winW, PW_, idxB >> 2, CW + 1, 0)
             spanB_bytes = funnel(spw, idxB)
 
@@ -1016,17 +1021,15 @@ def lanes_eligible(
 def _pack_transposed(rows, width_bytes, items):
     """uint8 item list -> transposed little-endian int32 words
     (rows, LANES), right-padded with zeros."""
+    from ..hostpack import pack_words_le
+
     arr = np.zeros((LANES, rows * 4), np.uint8)
     for i, (b, align_right) in enumerate(items):
         if align_right:
             arr[i, width_bytes - len(b) : width_bytes] = np.frombuffer(b, np.uint8)
         else:
             arr[i, : len(b)] = np.frombuffer(b, np.uint8)
-    w = arr.reshape(LANES, rows, 4).astype(np.uint32)
-    words = (
-        w[:, :, 0] | (w[:, :, 1] << 8) | (w[:, :, 2] << 16) | (w[:, :, 3] << 24)
-    ).astype(np.int32).T
-    return np.ascontiguousarray(words)
+    return pack_words_le(arr)
 
 
 def decompress_blocks_128(blocks, block_maxsize: int = 1 << 14, prefixes=None):
@@ -1087,13 +1090,11 @@ def decompress_blocks_128(blocks, block_maxsize: int = 1 << 14, prefixes=None):
     for i in range(nb):
         s = int(status[i])
         if s == OK:
-            ww = out_w[:, i].astype(np.uint32)
-            by = np.empty((ro, 4), np.uint8)
-            by[:, 0] = ww & 0xFF
-            by[:, 1] = (ww >> 8) & 0xFF
-            by[:, 2] = (ww >> 16) & 0xFF
-            by[:, 3] = (ww >> 24) & 0xFF
-            flat = by.reshape(-1)
+            flat = (
+                np.ascontiguousarray(out_w[:, i])
+                .astype("<i4", copy=False)
+                .view(np.uint8)
+            )
             results.append(flat[pr * 4 : pr * 4 + out_len[i]].tobytes())
         elif s == STATUS_FALLBACK:
             from .decompress_v4 import decompress_blocks_v4

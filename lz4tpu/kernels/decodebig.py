@@ -32,10 +32,17 @@ CONSTANT VMEM by staging both streams in HBM:
   statuses (``decompress.rs:8-17`` semantics) validated on the host.
 
 Scope: independent blocks (the reference's big-block frames are
-independent by default); dictionary/linked prefixes and the phase-2
-second sequence stay decode128 features for now.  ``window_bound`` is
-65535 in real use; tests shrink it (with matching data) to exercise the
-banding machinery at CPU-interpret-tractable sizes.
+independent by default); dictionary/linked prefixes stay decode128
+features.  The phase-2 second sequence per round (SEQ2) is ported from
+decode128: when the running record drains mid-round, the NEXT sequence
+parses speculatively in the same round and executes its literal chunk
+plus its match chunk when the source is servable — this round's span
+(in-register window), the pre-place ring, or the banded far page whose
+single rebuild folds phase-2 wants.  All phase-2 state commitment is
+gated on the exact drain; aborted lanes re-parse identically next
+round.  ``window_bound`` is 65535 in real use; tests shrink it (with
+matching data) to exercise the banding machinery at
+CPU-interpret-tractable sizes.
 """
 
 from __future__ import annotations
@@ -54,6 +61,7 @@ from .lanes import funnel
 from .lanes import gather_rows as _lanes_gather_rows
 from .lanes import place_multi as _lanes_place_multi
 from .lanes import sweep_flush as _lanes_sweep_flush
+from .lanes import window_extend, window_geometry, window_merge
 from .status import (
     ERR_INVALID_OFFSET,
     ERR_MEMORY_LIMIT,
@@ -72,9 +80,15 @@ _MARGIN = -(-max(CW + 2, 5) // 8) * 8
 PAGE_W = GROUP_W + _MARGIN
 FAR_W = FAR_G + _MARGIN
 RING_W = 64 if CB <= 16 else 128
+# phase-2 second sequence per round (decode128's SEQ2, ported): rounds
+# place up to FOUR chunks (litA|mA|litB|mB), so the slop tail extends up
+# to 4*CB+3 past the round-start fill
+SEQ2 = _os.environ.get("LZ4TPU_DBIG_SEQ2", "1") == "1"
+_NCHUNK = 4 if SEQ2 else 2
 FLUSH_B = 128
-FLUSH_THRESH = min(176, RING_W * 4 - 2 * CB - 4)
+FLUSH_THRESH = min(176, RING_W * 4 - _NCHUNK * CB - 4)
 assert FLUSH_THRESH >= FLUSH_B
+assert FLUSH_THRESH - 1 + _NCHUNK * CB + 3 <= RING_W * 4
 LSIC_STEPS = 8
 assert 2 + LSIC_STEPS <= 12
 STATUS_FALLBACK = 100
@@ -142,13 +156,19 @@ def _decodebig_kernel(
     # ---------------- banded comp page machinery ------------------------
     def refill_page(gbase, cb_g):
         """gbase is the lane's ABSOLUTE comp group; the band holds groups
-        [cb_g, cb_g + n_slots_total)."""
+        [cb_g, cb_g + n_slots_total).  Lanes whose page group has dropped
+        BELOW the band keep their existing page: its content is still
+        correct (pages hold absolute groups, copied while in band), and
+        phase 2's residency check is arithmetic — zeroing stale lanes
+        here made B parse zeros (the on-chip ERR_ZERO_OFFSET, 24/96
+        lanes on the 96 MiB corpus)."""
         acc = jnp.zeros((PAGE_W, LANES), jnp.int32)
         gb = gbase[0:1, :]
         for s in range(n_slots):
             mask = ((gb - cb_g) == s).astype(jnp.int32)
             acc = acc + cband_ref[s * GROUP_W : s * GROUP_W + PAGE_W, :] * mask
-        page_ref[:, :] = acc
+        keep = ((gb < cb_g) | (gb - cb_g >= n_slots)).astype(jnp.int32)
+        page_ref[:, :] = acc + page_ref[:, :] * keep
 
     def ensure_page(gbase, pos, active, cb_g):
         """Absolute-group ensure; lanes whose wanted group is not fully
@@ -399,7 +419,7 @@ def _decodebig_kernel(
         )
         ok = status == OK
         # tail soft-limit: route buffer-overrunning tails to the host
-        buf_cap = ro_pad * 4 - 2 * CB - 8
+        buf_cap = ro_pad * 4 - _NCHUNK * CB - 8
         status = jnp.where(
             (adv & ~m_en) & ok & (out + litv > buf_cap),
             STATUS_FALLBACK, status,
@@ -498,26 +518,131 @@ def _decodebig_kernel(
         near = m_ready & (src_abs >= flushed)
         far = m_ready & (src_abs < flushed)
 
+        # m_take without the far-page watermark clamp (exact for near
+        # lanes; used to speculate the phase-2 parse position and far
+        # group before the rebuild)
+        m_take_pre = jnp.where(
+            m_ready, jnp.minimum(jnp.minimum(m_rem, CB), m_lag), 0
+        )
+        m_take_pre = jnp.where(
+            near & (lit_take > 0),
+            jnp.minimum(m_take_pre, jnp.clip(out - src_abs, 0, None)),
+            m_take_pre,
+        )
+
+        ob_g = ob // FAR_G
+
+        # ---- phase 2: speculative parse of the NEXT sequence (SEQ2,
+        # decode128's structure under the banded geometry; every read is
+        # gated on residency in the CURRENT page/band — out-of-band lanes
+        # abort and re-parse via phase 1 next round) ----
+        if SEQ2:
+            out1_pre = out + lit_take1 + m_take_pre
+            ph2s = (
+                active
+                & (lit_rem - lit_take == 0)
+                & (m_rem - m_take_pre == 0)
+                & (pos < n)
+                & (pph == PH_NONE)
+                & (tail_only == 0)
+            )
+            if win_r:
+                # B's header lives in the chunk of its output window when
+                # phase 1's match crossed window boundaries (no literal
+                # continuation bytes precede it there — matches consume
+                # no comp)
+                wkB = jax.lax.shift_right_logical(out1_pre, ws_log)
+                posB = jnp.where(
+                    ph2s & (wkB > pos // win_r), wkB * win_r, pos
+                )
+            else:
+                posB = pos
+            rowB = (posB >> 2) - gbase * GROUP_W
+            ph2s = ph2s & (rowB >= 0) & (rowB <= PAGE_W - 5)
+            statusB = status
+            span1B = span_at(jnp.where(ph2s, posB, 0), ph2s)
+            tokB = span1B[0]
+            pB = posB + ph2s.astype(jnp.int32)
+            litvB, pB, statusB, lneedB = lsic_from(
+                span1B, 1, jnp.where(
+                    ph2s, jax.lax.shift_right_logical(tokB, 4), 0
+                ), pB, ph2s, statusB, cont=ph2s & False,
+            )
+            advB = ph2s & ~lneedB & (statusB == OK)
+            lsrcB = pB
+            if win_r:
+                # match header beyond the literal run's last window
+                # (PH_MHDR territory): abort B, phase 1 handles it
+                oeB = out1_pre + litvB
+                advB = advB & (
+                    jax.lax.shift_right_logical(oeB, ws_log) <= pB // win_r
+                )
+            pB = pB + jnp.where(advB, litvB, 0)
+            statusB = jnp.where(
+                advB & (pB > n) & (statusB == OK), ERR_UNEXPECTED_END, statusB
+            )
+            advB = advB & (statusB == OK)
+            lrowB_raw = (lsrcB >> 2) - gbase * GROUP_W
+            advB = advB & (lrowB_raw >= 0) & (lrowB_raw <= PAGE_W - CW - 2)
+            tailB = advB & (n - pB < 2)
+            m_enB = advB & (n - pB >= 2)
+            rowB2 = (pB >> 2) - gbase * GROUP_W
+            m_enB = m_enB & (rowB2 >= 0) & (rowB2 <= PAGE_W - 5)
+            span2B = span_at(jnp.where(m_enB, pB, 0), m_enB)
+            offvB = jnp.where(m_enB, span2B[0] | (span2B[1] << 8), 1)
+            pB = pB + 2 * m_enB.astype(jnp.int32)
+            mvB, pB, statusB, mneedB = lsic_from(
+                span2B, 2, jnp.where(m_enB, tokB & 0xF, 0), pB, m_enB,
+                statusB, cont=m_enB & False,
+            )
+            m_doneB = m_enB & ~mneedB & (statusB == OK)
+            mlenvB = jnp.where(m_doneB, mvB + 4, 0)
+            lit_takeB_pre = jnp.where(advB, jnp.minimum(litvB, CB), 0)
+            if win_r:
+                to_bB = (
+                    (jax.lax.shift_right_logical(out1_pre, ws_log) + 1)
+                    << ws_log
+                ) - out1_pre
+                lit_takeB_pre = jnp.minimum(lit_takeB_pre, to_bB)
+            src_absB_pre = out1_pre + lit_takeB_pre - offvB
+            farB_pre = (
+                m_doneB & (src_absB_pre < flushed) & (src_absB_pre >= 0)
+            )
+            fwantB = (jnp.clip(src_absB_pre, 0, None) >> 2) // FAR_G
+            # only in-band groups may fold into the rebuild (out-of-band
+            # wants carry; the one-hot below would serve zeros otherwise)
+            farB_pre = farB_pre & (fwantB >= ob_g) & (fwantB - ob_g < far_slots)
+        else:
+            farB_pre = active & False
+            fwantB = fgb
+
         nsrc_row = jax.lax.rem(jnp.clip(src_abs, 0, None) >> 2, RING_W)
         nearw = gather_rows(ring0, RING_W, nsrc_row, CW + 1, RING_W)
         near_bytes = funnel(nearw, src_abs)
 
         # far page: absolute FAR_G groups of the output; the band holds
-        # groups [ob/FAR_G, ob/FAR_G + far_slots_total)
-        ob_g = ob // FAR_G
+        # groups [ob/FAR_G, ob/FAR_G + far_slots_total).  Phase-2 wants
+        # fold into the SAME single rebuild on lanes whose phase-1 record
+        # needs no far group this round.
         fwant = (jnp.clip(src_abs, 0, None) >> 2) // FAR_G
+        foldB = farB_pre & ~far
         rebuild = far & ((fwant != fgb) | (src_abs + CB > pgf))
+        if SEQ2:
+            rebuild = rebuild | (
+                foldB & ((fwantB != fgb) | (src_absB_pre + CB > pgf))
+            )
+        want_all = jnp.where(far, fwant, jnp.where(foldB, fwantB, fgb))
 
         @pl.when(jnp.any(rebuild))
         def _():
-            fw1 = jnp.where(far, fwant, fgb)[0:1, :]
+            fw1 = want_all[0:1, :]
             acc = jnp.zeros((FAR_W, LANES), jnp.int32)
             for s in range(far_slots):
                 mask = ((fw1 - ob_g) == s).astype(jnp.int32)
                 acc = acc + oband_ref[s * FAR_G : s * FAR_G + FAR_W, :] * mask
             far_ref[:, :] = acc
 
-        fgb = jnp.where(far, fwant, fgb)
+        fgb = want_all
         pgf = jnp.where(rebuild, flushed, pgf)
         farp = far_ref[:, :]
         fsrc_row = jnp.clip(
@@ -529,39 +654,171 @@ def _decodebig_kernel(
         m_bytes = jnp.where(
             jnp.broadcast_to(near[0:1], (CW, LANES)), near_bytes, far_bytes
         )
-        m_take = jnp.where(m_ready, jnp.minimum(jnp.minimum(m_rem, CB), m_lag), 0)
         m_take = jnp.where(
-            far, jnp.clip(jnp.minimum(m_take, pgf - src_abs), 0, None), m_take
-        )
-        m_take = jnp.where(
-            near & (lit_take > 0),
-            jnp.minimum(m_take, jnp.clip(out - src_abs, 0, None)),
-            m_take,
+            far, jnp.clip(jnp.minimum(m_take_pre, pgf - src_abs), 0, None),
+            m_take_pre,
         )
 
-        ring2 = place_multi(
-            ring0, [(lit_bytes, lit_take1), (m_bytes, m_take)], out
-        )
+        # ---- phase 2 commitment + execution -----------------------------
+        if SEQ2:
+            drained = (
+                active & (lit_rem - lit_take1 == 0) & (m_rem - m_take == 0)
+            )
+            commitB = ph2s & drained & (m_take == m_take_pre)
+            statusB = jnp.where(commitB, statusB, status)
+            okB = statusB == OK
+            statusB = jnp.where(
+                commitB & m_doneB & okB
+                & (out + lit_take1 + m_take + litvB + mlenvB > output_limit),
+                ERR_MEMORY_LIMIT, statusB,
+            )
+            okB = statusB == OK
+            statusB = jnp.where(
+                commitB & tailB & okB
+                & (out + lit_take1 + m_take + litvB > buf_cap),
+                STATUS_FALLBACK, statusB,
+            )
+            okB = statusB == OK
+            statusB = jnp.where(
+                commitB & m_doneB & okB & (offvB == 0), ERR_ZERO_OFFSET,
+                statusB,
+            )
+            okB = statusB == OK
+            statusB = jnp.where(
+                commitB & m_doneB & okB
+                & (offvB > out + lit_take1 + m_take + litvB),
+                ERR_INVALID_OFFSET, statusB,
+            )
+            okB = statusB == OK
+            # offsets beyond the banding window fall back exactly like
+            # phase 1 (test-sized window_bound only in real use)
+            statusB = jnp.where(
+                commitB & m_doneB & okB & (offvB > window_bound),
+                STATUS_FALLBACK, statusB,
+            )
+            status = jnp.where(commitB, statusB, status)
+            acceptB = commitB & (tailB | m_doneB) & (status == OK)
+
+            out1 = out + lit_take1 + m_take
+            lit_takeB = jnp.where(acceptB, lit_takeB_pre, 0)
+            m_readyB = acceptB & (litvB == lit_takeB) & (mlenvB > 0)
+            src_absB = out1 + lit_takeB - offvB
+            # span: source bytes placed THIS round — gathered from the
+            # in-register span window below
+            spanB = m_readyB & (src_absB >= out)
+            nearB = m_readyB & (src_absB >= flushed) & ~spanB
+            farB = m_readyB & (src_absB < flushed)
+            m_takeB = jnp.where(
+                m_readyB, jnp.minimum(jnp.minimum(mlenvB, CB), offvB), 0
+            )
+            m_takeB = jnp.where(
+                nearB,
+                jnp.clip(jnp.minimum(m_takeB, out - src_absB), 0, None),
+                m_takeB,
+            )
+            # far: only when the (possibly folded) page holds B's group
+            fwantB_x = (jnp.clip(src_absB, 0, None) >> 2) // FAR_G
+            m_takeB = jnp.where(
+                farB,
+                jnp.where(
+                    fwantB_x == fgb,
+                    jnp.clip(jnp.minimum(m_takeB, pgf - src_absB), 0, None),
+                    0,
+                ),
+                m_takeB,
+            )
+
+            lrowB = jnp.clip(lrowB_raw, 0, PAGE_W - CW - 2)
+            litBw = gather_rows(page, PAGE_W, lrowB, CW + 1, 0)
+            litB_bytes = funnel(litBw, lsrcB)
+
+            # span window: scatter the three already-known chunks so the
+            # phase-2 match can gather this round's bytes before the last
+            # chunk lands
+            PW_, shW, baseW = window_geometry(
+                _NCHUNK, CW, out, cb=CB, ring_w=RING_W
+            )
+            winW = jnp.zeros((PW_, LANES), jnp.int32)
+            winW, cumW = window_extend(
+                winW,
+                [(lit_bytes, lit_take1), (m_bytes, m_take),
+                 (litB_bytes, lit_takeB)],
+                shW, baseW, jnp.zeros((1, LANES), jnp.int32),
+                zero_tails=True,
+            )
+            dspan = jnp.clip(src_absB - out, 0, None)
+            idxB = jnp.broadcast_to((baseW & 7) * 4 + shW, S8) + dspan
+            # in-bounds cap for garbage lanes: the gather reads CW+1 rows
+            # from idxB>>2 (legitimate reads never exceed this — start
+            # byte <= 31, dspan <= 3*CB - 1)
+            idxB = jnp.clip(idxB, 0, (PW_ - CW - 1) * 4 + 3)
+            spw = gather_rows(winW, PW_, idxB >> 2, CW + 1, 0)
+            spanB_bytes = funnel(spw, idxB)
+
+            nsrcB = jax.lax.rem(jnp.clip(src_absB, 0, None) >> 2, RING_W)
+            nearBw = gather_rows(ring0, RING_W, nsrcB, CW + 1, RING_W)
+            nearB_bytes = funnel(nearBw, src_absB)
+            fsrcB = jnp.clip(
+                (jnp.clip(src_absB, 0, None) >> 2) - fgb * FAR_G,
+                0, FAR_W - CW - 2,
+            )
+            farBw = gather_rows(far_ref[:, :], FAR_W, fsrcB, CW + 1, 0)
+            farB_bytes = funnel(farBw, src_absB)
+            mB_bytes = jnp.where(
+                jnp.broadcast_to(spanB[0:1], (CW, LANES)),
+                spanB_bytes,
+                jnp.where(
+                    jnp.broadcast_to(nearB[0:1], (CW, LANES)),
+                    nearB_bytes, farB_bytes,
+                ),
+            )
+            winW, totW = window_extend(
+                winW, [(mB_bytes, m_takeB)], shW, baseW, cumW,
+                zero_tails=False,
+            )
+            ring2 = window_merge(ring0, winW, shW, baseW, totW, ring_w=RING_W)
+        else:
+            lit_takeB = jnp.zeros(S8, jnp.int32)
+            m_takeB = jnp.zeros(S8, jnp.int32)
+            acceptB = active & False
+            ring2 = place_multi(
+                ring0, [(lit_bytes, lit_take1), (m_bytes, m_take)], out
+            )
         ring_ref[:, :] = ring2
 
-        out = out + lit_take1 + m_take
-        lit_rem = lit_rem - lit_take1
-        lit_src = lit_src + lit_take1
+        out = out + lit_take1 + m_take + lit_takeB + m_takeB
+        if SEQ2:
+            lit_rem = jnp.where(acceptB, litvB - lit_takeB, lit_rem - lit_take1)
+            lit_src = jnp.where(acceptB, lsrcB + lit_takeB, lit_src + lit_take1)
+            m_rem = jnp.where(acceptB, mlenvB - m_takeB, m_rem - m_take)
+        else:
+            lit_rem = lit_rem - lit_take1
+            lit_src = lit_src + lit_take1
+            m_rem = m_rem - m_take
+        take_last = jnp.where(acceptB, lit_takeB, lit_take1)
         if win_r:
             # crossing lanes resume their literal run at the next chunk
             crossed = (
                 (lit_rem > 0) & ((out & ((1 << ws_log) - 1)) == 0)
-                & (lit_take1 > 0)
+                & (take_last > 0)
             )
             lit_src = jnp.where(
                 crossed,
                 jax.lax.shift_right_logical(out, ws_log) * win_r,
                 lit_src,
             )
-        m_rem = m_rem - m_take
         m_lag = jnp.where(
             (m_take > 0) & (m_take == m_lag) & (m_lag < CB), m_lag * 2, m_lag
         )
+        if SEQ2:
+            lagB = jnp.where(
+                (m_takeB > 0) & (m_takeB == offvB) & (offvB < CB),
+                offvB * 2, offvB,
+            )
+            m_lag = jnp.where(acceptB, lagB, m_lag)
+            m_off = jnp.where(acceptB, offvB, m_off)
+            tail_only = jnp.where(acceptB, tailB.astype(jnp.int32), tail_only)
+            pos = jnp.where(acceptB, pB, pos)
 
         done = done | (
             active & (tail_only != 0) & (lit_rem == 0)
@@ -591,8 +848,8 @@ def _decodebig_kernel(
         # Parse-side motion (LSIC suspensions, literal-part acceptance)
         # counts as progress.
         progressed = jnp.any(
-            accept | accept_lit | susp_lit | susp_match
-            | (lit_take1 + m_take > 0)
+            accept | accept_lit | susp_lit | susp_match | acceptB
+            | (lit_take1 + m_take + lit_takeB + m_takeB > 0)
         )
         base_ref[2] = jnp.where(progressed, 0, base_ref[2] + 1)
         live_now = (~done) & (status == OK)
@@ -881,13 +1138,12 @@ def decompress_blocks_big(
         else:
             arr[i, : len(blocks[i])] = np.frombuffer(blocks[i], np.uint8)
         n[0, i] = lens[i]
-    w = arr.reshape(LANES, rw_pad, 4).astype(np.uint32)
-    words = (
-        w[:, :, 0] | (w[:, :, 1] << 8) | (w[:, :, 2] << 16) | (w[:, :, 3] << 24)
-    ).astype(np.int32).T
+    from ..hostpack import pack_words_le
+
+    words = pack_words_le(arr)
 
     out_w, out_len, status = _decodebig_jit(
-        jnp.asarray(np.ascontiguousarray(words)), jnp.asarray(n),
+        jnp.asarray(words), jnp.asarray(n),
         oband=oband, cband=cband, rw_pad=rw_pad, ro_pad=ro_pad,
         max_rounds=max_rounds, output_limit=block_maxsize,
         window_bound=_window_bound, win_r=win_r, ws_log=WS_LOG,
@@ -900,13 +1156,12 @@ def decompress_blocks_big(
     for i in range(nb):
         s = int(status[i])
         if s == OK:
-            ww = out_w[:, i].astype(np.uint32)
-            by = np.empty((ro_pad, 4), np.uint8)
-            by[:, 0] = ww & 0xFF
-            by[:, 1] = (ww >> 8) & 0xFF
-            by[:, 2] = (ww >> 16) & 0xFF
-            by[:, 3] = (ww >> 24) & 0xFF
-            results.append(by.reshape(-1)[: out_len[i]].tobytes())
+            results.append(
+                np.ascontiguousarray(out_w[:, i])
+                .astype("<i4", copy=False)
+                .view(np.uint8)[: out_len[i]]
+                .tobytes()
+            )
         elif s == STATUS_FALLBACK:
             from ..native import decompress_block as _native_decompress
 

@@ -264,27 +264,26 @@ def _compress128_sharded(
 
 def _pack_transposed(blocks, lanes: int, rows: int):
     """Pack byte strings into the lane kernels' transposed word layout:
-    ``words[j, l]`` = little-endian word ``j`` of lane ``l``."""
+    ``words[j, l]`` = little-endian word ``j`` of lane ``l`` (via the
+    dtype-reinterpret fast path in ``lz4tpu.hostpack`` — the arithmetic
+    pack measured 113 ms per 128 x 53 KB batch, 5x the decode kernel)."""
+    from ..hostpack import pack_words_le
+
     arr = np.zeros((lanes, rows * 4), np.uint8)
     n = np.zeros((1, lanes), np.int32)
     for i, b in enumerate(blocks):
         arr[i, : len(b)] = np.frombuffer(b, np.uint8)
         n[0, i] = len(b)
-    w = arr.reshape(lanes, rows, 4).astype(np.uint32)
-    words = (
-        w[:, :, 0] | (w[:, :, 1] << 8) | (w[:, :, 2] << 16) | (w[:, :, 3] << 24)
-    ).astype(np.int32).T
-    return np.ascontiguousarray(words), n
+    return pack_words_le(arr), n
 
 
 def _unpack_column(out_w, col: int, nbytes: int) -> bytes:
-    ww = out_w[:, col].astype(np.uint32)
-    by = np.empty((ww.shape[0], 4), np.uint8)
-    by[:, 0] = ww & 0xFF
-    by[:, 1] = (ww >> 8) & 0xFF
-    by[:, 2] = (ww >> 16) & 0xFF
-    by[:, 3] = (ww >> 24) & 0xFF
-    return by.reshape(-1)[:nbytes].tobytes()
+    return (
+        np.ascontiguousarray(out_w[:, col])
+        .astype("<i4", copy=False)
+        .view(np.uint8)[:nbytes]
+        .tobytes()
+    )
 
 
 def _lane_decode_batch(blocks, block_maxsize: int, mesh, dictionary=None):
