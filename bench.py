@@ -249,17 +249,20 @@ def bench_tpu_compress(blocks, comp, m=6):
     return total / ((time.perf_counter() - t0) / m)
 
 
-def bench_tpu_compress128(data, m=4):
+def bench_tpu_compress128(data, m=4, blk=None):
     """Lane-parallel compressor: 128 x 32 KiB blocks per kernel step.
     Correctness (valid LZ4, not reference-byte-exact) is checked through
-    the host wrapper once; timing uses the chained on-device protocol."""
+    the host wrapper once; timing uses the chained on-device protocol.
+    ``blk`` overrides the per-lane block size (STRICT mode's extra table
+    sweeps push the 32 KiB shape ~2.6 MB past the 16 MB scoped-VMEM
+    limit, so its parity entry times 16 KiB lanes)."""
     import jax
     import jax.numpy as jnp
 
     from lz4tpu.kernels import compress128 as c128
     from lz4tpu.native import decompress_block as native_decompress
 
-    blk = c128.MAX_B
+    blk = blk or c128.MAX_B
     blocks = [data[i : i + blk] for i in range(0, len(data), blk)][:128]
     comp = c128.compress_blocks_128(blocks)
     for b, c in zip(blocks, comp):
@@ -316,6 +319,8 @@ def bench_tpu_decodebig(data, bb, m=2):
     from lz4tpu.native import compress_block
     from lz4tpu.spec.table import U32Table
 
+    from lz4tpu.native import repack_window_into, repack_window_lens
+
     bigs = [data[i : i + bb] for i in range(0, len(data), bb)]
     bigs = [b for b in bigs if len(b) == bb][:128]
     if not bigs:
@@ -324,10 +329,10 @@ def bench_tpu_decodebig(data, bb, m=2):
     outs = dbig.decompress_blocks_big(bcomp, block_maxsize=bb)
     assert outs == bigs, "decodebig mismatch"
 
-    packed = [dbig._repack_block(c, bb) for c in bcomp]
-    maxchunk = max(len(ch) for p_, _ in packed for ch in p_)
+    chunk_lens = [repack_window_lens(c, bb, dbig.WS_LOG) for c in bcomp]
+    maxchunk = max(int(cl.max()) for cl, _ in chunk_lens)
     win_r = -(-(maxchunk + 16) // 512) * 512
-    lens = [(len(ch) - 1) * win_r + len(ch[-1]) for ch, _ in packed]
+    lens = [(len(cl) - 1) * win_r + int(cl[-1]) for cl, _ in chunk_lens]
     maxlen = max(lens)
     rw = -(-maxlen // 4)
     rw_pad = -(-rw // dbig.CHALF) * dbig.CHALF + dbig.CBAND + dbig.CHALF
@@ -335,11 +340,8 @@ def bench_tpu_decodebig(data, bb, m=2):
     mr = dbig.round_bound(maxlen, bb)
     arr = np.zeros((128, rw_pad * 4), np.uint8)
     n = np.zeros((1, 128), np.int32)
-    for i, (ch, _) in enumerate(packed):
-        for k, c in enumerate(ch):
-            arr[i, k * win_r : k * win_r + len(c)] = np.frombuffer(
-                bytes(c), np.uint8
-            )
+    for i, c in enumerate(bcomp):
+        repack_window_into(c, bb, dbig.WS_LOG, win_r, arr[i])
         n[0, i] = lens[i]
     from lz4tpu.hostpack import pack_words_le
 
@@ -582,11 +584,19 @@ def main() -> None:
             extra["tpu_compress128_ratio"] = round(c128_ratio, 4)
         except Exception as e:  # pragma: no cover
             extra["tpu_compress128_error"] = str(e)[:160]
-        # HBM-staged big-block decode (reference-default frame shapes);
-        # throughput scales with lane occupancy — the corpus size caps it
+        # HBM-staged big-block decode (reference-default frame shapes).
+        # Throughput scales with lane occupancy, so these entries use a
+        # dedicated corpus big enough to fill the 128 lanes at 1 MiB
+        # blocks (32 lanes at 4 MiB; the host repack is the native C++
+        # lz4tpu_repack_window pass)
+        try:
+            dbig_mb = float(os.environ.get("LZ4TPU_BENCH_DBIG_MB", "128"))
+            dbig_data = make_corpus(dbig_mb)
+        except Exception:  # pragma: no cover
+            dbig_data = data
         for name, bb in (("1m", 1 << 20), ("4m", 1 << 22)):
             try:
-                r = bench_tpu_decodebig(data, bb)
+                r = bench_tpu_decodebig(dbig_data, bb)
                 if r is None:
                     continue
                 bps, nlanes, in_kernel = r
@@ -596,6 +606,7 @@ def main() -> None:
                 )
             except Exception as e:  # pragma: no cover
                 extra[f"tpu_decodebig_{name}_error"] = str(e)[:160]
+        del dbig_data
 
         # STRICT lane compressor: byte parity with the reference greedy
         try:
@@ -605,9 +616,11 @@ def main() -> None:
             c128m.STRICT = True
             c128m._compress128_jit.clear_cache()
             try:
+                # 16 KiB lanes: STRICT's split table sweeps OOM scoped
+                # VMEM at the 32 KiB shape (18.6 MB vs the 16 MB limit)
+                sblk = c128m.MAX_B // 2
                 sblocks = [
-                    data[i : i + c128m.MAX_B]
-                    for i in range(0, len(data), c128m.MAX_B)
+                    data[i : i + sblk] for i in range(0, len(data), sblk)
                 ][:128]
                 scomp = c128m.compress_blocks_128(sblocks, hashlog=12)
                 refs = [
@@ -615,9 +628,9 @@ def main() -> None:
                 ]
                 parity = sum(1 for a, b in zip(scomp, refs) if a == b)
                 extra["tpu_compress128_strict_parity"] = (
-                    f"{parity}/{len(sblocks)}"
+                    f"{parity}/{len(sblocks)} (16 KiB blocks)"
                 )
-                bps, _r = bench_tpu_compress128(data)
+                bps, _r = bench_tpu_compress128(data, blk=sblk)
                 extra["tpu_compress128_strict_mbps"] = round(bps / 1e6, 1)
             finally:
                 c128m.STRICT = old_strict

@@ -141,6 +141,7 @@ def _decodebig_kernel(
     window_bound: int,
     win_r: int,
     ws_log: int,
+    debug_state: bool = False,
 ):
     S8 = (8, LANES)
     n = jnp.broadcast_to(n_ref[0:1, :], S8)
@@ -235,6 +236,21 @@ def _decodebig_kernel(
         # lowest comp row any live lane still needs (copying lanes read
         # literals at lit_src <= pos; everyone else reads at pos)
         low_need = jnp.where(lit_rem > 0, jnp.minimum(lit_src, pos), pos)
+        # re-entrant LSIC suspensions still need bytes BEHIND the cursor:
+        # a PH_MATCH lane's literal source (ssrc) is only committed to
+        # lit_src when the match field completes, and cont resumes re-read
+        # 1 (PH_LIT) / 2 (PH_MATCH) bytes before pos.  Without these the
+        # band can advance past a suspended lane's pending reads and its
+        # resume stalls below the base forever (observed: 4 MiB blocks,
+        # lsrc one group under cb_base, both lanes wedged -> backstop)
+        low_need = jnp.where(
+            pph == PH_LIT, jnp.minimum(low_need, pos - 1), low_need
+        )
+        low_need = jnp.where(
+            pph == PH_MATCH,
+            jnp.minimum(jnp.minimum(low_need, ssrc), pos - 2),
+            low_need,
+        )
         low_row = jnp.min(
             jnp.where(live, low_need >> 2, jnp.int32(1 << 30))
         )
@@ -914,6 +930,27 @@ def _decodebig_kernel(
         live, STATUS_FALLBACK, st[R_ST : R_ST + 1]
     )
     st = state_ref[:, :]
+    if debug_state:
+        # diagnostics-only: clobber the head of the output with the final
+        # state rows + band bases (tools/chip_dbig_debug.py reads them)
+        dbg = jnp.concatenate(
+            [st, jnp.broadcast_to(base_ref[0], (1, LANES)).astype(jnp.int32),
+             jnp.broadcast_to(base_ref[1], (1, LANES)).astype(jnp.int32)],
+            axis=0,
+        )
+        cp = pltpu.make_async_copy(
+            oband_ref.at[pl.ds(0, NSTATE + 2)],
+            out_hbm.at[pl.ds(0, NSTATE + 2)], dma_sem,
+        )
+        oband_ref[0 : NSTATE + 2, :] = dbg
+        cp.start()
+        cp.wait()
+        out_len_ref[:, :] = jnp.concatenate(
+            [st[R_OUT : R_OUT + 1], st[R_DONEAT : R_DONEAT + 1],
+             st[R_RND : R_RND + 1]], axis=0,
+        )
+        status_ref[:, :] = st[R_ST : R_ST + 1]
+        return
     # final drain: any ring tail not covered by the just-done drains
     out_f = jnp.broadcast_to(st[R_OUT : R_OUT + 1], S8)
     flushed_f = jnp.broadcast_to(st[R_FLUSH : R_FLUSH + 1], S8)
@@ -939,12 +976,12 @@ def _decodebig_kernel(
     jax.jit,
     static_argnames=(
         "oband", "cband", "rw_pad", "ro_pad", "max_rounds", "output_limit",
-        "window_bound", "win_r", "ws_log",
+        "window_bound", "win_r", "ws_log", "debug_state",
     ),
 )
 def _decodebig_jit(
     words, n, *, oband, cband, rw_pad, ro_pad, max_rounds, output_limit,
-    window_bound=65535, win_r=0, ws_log=12,
+    window_bound=65535, win_r=0, ws_log=12, debug_state=False,
 ):
     return pl.pallas_call(
         functools.partial(
@@ -952,6 +989,7 @@ def _decodebig_jit(
             oband=oband, cband=cband, rw_pad=rw_pad, ro_pad=ro_pad,
             max_rounds=max_rounds, output_limit=output_limit,
             window_bound=window_bound, win_r=win_r, ws_log=ws_log,
+            debug_state=debug_state,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -1101,9 +1139,19 @@ def decompress_blocks_big(
 
     win_r = 0
     if repack:
-        packed = [_repack_block(b, block_maxsize) for b in blocks]
+        # native two-pass repack (lz4tpu_repack_window): pass 1 sizes the
+        # batch stride from the max chunk length, pass 2 writes the
+        # strided layout straight into the transposed pack buffer.  The
+        # C++ walk replaces the original per-sequence Python loop (which
+        # cost more host time than the kernel itself on 4 MiB blocks);
+        # _repack_block stays as its differential oracle.
+        from ..native import repack_window_lens
+
+        chunk_lens = [
+            repack_window_lens(b, block_maxsize, WS_LOG) for b in blocks
+        ]
         maxchunk = max(
-            (len(c) for ch, _ in packed for c in ch), default=0
+            (int(cl.max()) for cl, _ in chunk_lens if len(cl)), default=0
         )
         win_r = -(-(maxchunk + 16) // 512) * 512
         # pathological header density (should not occur on valid LZ4 of
@@ -1114,8 +1162,8 @@ def decompress_blocks_big(
 
     if repack:
         lens = [
-            ((len(ch) - 1) * win_r + len(ch[-1]) if ch else 0)
-            for ch, _ in packed
+            ((len(cl) - 1) * win_r + int(cl[-1]) if len(cl) else 0)
+            for cl, _ in chunk_lens
         ]
         maxlen = max(max(lens), 4)
     else:
@@ -1129,12 +1177,13 @@ def decompress_blocks_big(
 
     arr = np.zeros((LANES, rw_pad * 4), np.uint8)
     n = np.zeros((1, LANES), np.int32)
+    if repack:
+        from ..native import repack_window_into
     for i in range(nb):
         if repack:
-            for k, c in enumerate(packed[i][0]):
-                arr[i, k * win_r : k * win_r + len(c)] = np.frombuffer(
-                    bytes(c), np.uint8
-                )
+            repack_window_into(
+                blocks[i], block_maxsize, WS_LOG, win_r, arr[i]
+            )
         else:
             arr[i, : len(blocks[i])] = np.frombuffer(blocks[i], np.uint8)
         n[0, i] = lens[i]

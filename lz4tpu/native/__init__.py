@@ -73,6 +73,20 @@ _lib.lz4tpu_model_rounds.argtypes = [
     ctypes.c_uint64,  # mid window bytes
 ]
 
+_lib.lz4tpu_repack_window.restype = ctypes.c_int64
+_lib.lz4tpu_repack_window.argtypes = [
+    ctypes.c_char_p,  # comp stream
+    ctypes.c_uint64,  # n
+    ctypes.c_uint64,  # output_limit
+    ctypes.c_uint32,  # ws_log
+    ctypes.c_uint64,  # win_r (stride; 0 in the lengths-only pass)
+    ctypes.c_void_p,  # out (NULL = lengths-only pass)
+    ctypes.c_uint64,  # out capacity
+    ctypes.c_void_p,  # chunk_lens (u32[max_chunks])
+    ctypes.c_uint64,  # max_chunks
+    ctypes.c_void_p,  # total_out (u64*)
+]
+
 _lib.lz4tpu_decompress_block.restype = ctypes.c_int64
 _lib.lz4tpu_decompress_block.argtypes = [
     ctypes.c_char_p,  # in
@@ -273,3 +287,38 @@ def model_decode_rounds(
             comp, len(comp), cb, flush_thresh, flush_b, far_g_bytes, mid_bytes
         )
     )
+
+
+def repack_window_lens(comp, output_limit: int, ws_log: int) -> tuple[np.ndarray, int]:
+    """Pass 1 of the decodebig window-aligned repack: per-output-window
+    chunk lengths (native walk of the sequence stream; typed
+    ``DecodeError`` on malformed input).  Returns (chunk_lens, total_out)."""
+    comp = bytes(comp)
+    max_chunks = (output_limit + len(comp) >> ws_log) + 2
+    lens = np.zeros(max_chunks, np.uint32)
+    total = np.zeros(1, np.uint64)
+    rc = _lib.lz4tpu_repack_window(
+        comp, len(comp), output_limit, ws_log, 0, None, 0,
+        lens.ctypes.data, max_chunks, total.ctypes.data,
+    )
+    if rc < 0:
+        raise DecodeError(_DECODE_ERRORS.get(int(rc), DecodeError.KIND_UNEXPECTED_END))
+    return lens[:rc], int(total[0])
+
+
+def repack_window_into(comp, output_limit: int, ws_log: int, win_r: int, out: np.ndarray) -> int:
+    """Pass 2: write chunk k's bytes at ``out[k*win_r:]`` (uint8 buffer,
+    zero-filled by the caller).  Returns the chunk count."""
+    comp = bytes(comp)
+    assert out.dtype == np.uint8 and out.flags.c_contiguous
+    max_chunks = (output_limit + len(comp) >> ws_log) + 2
+    lens = np.zeros(max_chunks, np.uint32)
+    total = np.zeros(1, np.uint64)
+    rc = _lib.lz4tpu_repack_window(
+        comp, len(comp), output_limit, ws_log, win_r,
+        out.ctypes.data, out.nbytes, lens.ctypes.data, max_chunks,
+        total.ctypes.data,
+    )
+    if rc < 0:
+        raise DecodeError(_DECODE_ERRORS.get(int(rc), DecodeError.KIND_UNEXPECTED_END))
+    return int(rc)

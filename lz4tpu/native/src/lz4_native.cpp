@@ -610,3 +610,99 @@ extern "C" i64 lz4tpu_model_rounds(const u8* in, u64 n, u64 cb,
     }
     return rounds;
 }
+
+
+// ---------------------------------------------------------------------------
+// Window-aligned comp repack (decodebig host layout).
+//
+// Mirrors lz4tpu/kernels/decodebig.py::_repack_block: split a raw LZ4
+// block stream into per-output-window chunks — chunk k holds the
+// continuation bytes of a literal run crossing into window k, then the
+// header + lsic + window-k literal bytes of every sequence STARTING in
+// window k (matches consume no comp, so long matches leave later chunks
+// empty).  This makes every lane's comp consumption uniform in OUTPUT
+// space so decodebig's shared comp band advances in lockstep with its
+// output band.  Doubles as hostile-input validation (negative
+// DecodeError kinds, same codes as lz4tpu_decompress_block).
+//
+// Two-pass ABI: with out == nullptr only chunk_lens[] is filled (the
+// caller sizes the batch stride win_r from the max chunk length), else
+// chunk k's bytes are written at out + k*win_r.  Returns the chunk
+// count, or a negative error.  total_out receives the decoded size.
+
+extern "C" i64 lz4tpu_repack_window(const u8* in, u64 n, u64 output_limit,
+                                    u32 ws_log, u64 win_r, u8* out,
+                                    u64 out_cap, u32* chunk_lens,
+                                    u64 max_chunks, u64* total_out) {
+    const u64 W = (u64)1 << ws_log;
+    std::memset(chunk_lens, 0, max_chunks * sizeof(u32));
+    u64 n_chunks = 0;
+    auto put = [&](u64 k, const u8* src, u64 len) -> bool {
+        if (k >= max_chunks) return false;
+        while (n_chunks <= k) chunk_lens[n_chunks++] = 0;
+        if (out) {
+            u64 at = k * win_r + chunk_lens[k];
+            if (chunk_lens[k] + len > win_r || at + len > out_cap)
+                return false;
+            std::memcpy(out + at, src, len);
+        }
+        chunk_lens[k] += (u32)len;
+        return true;
+    };
+
+    u64 pos = 0, outp = 0;
+    while (pos < n) {
+        u64 s0 = pos;
+        u32 tok = in[pos++];
+        u64 lit = tok >> 4;
+        if (lit == 0xF) {
+            for (;;) {
+                if (pos >= n) return ERR_UNEXPECTED_END;
+                u8 b = in[pos++];
+                lit += b;
+                if (b != 0xFF) break;
+            }
+        }
+        u64 hdr_len = pos - s0;
+        if (pos + lit > n) return ERR_UNEXPECTED_END;
+        u64 k0 = outp >> ws_log;
+        u64 first = ((k0 + 1) << ws_log) - outp;
+        if (first > lit) first = lit;
+        if (!put(k0, in + s0, hdr_len)) return ERR_CAPACITY;
+        if (!put(k0, in + pos, first)) return ERR_CAPACITY;
+        u64 x = first, j = k0 + 1;
+        while (x < lit) {
+            u64 t = lit - x < W ? lit - x : W;
+            if (!put(j, in + pos + x, t)) return ERR_CAPACITY;
+            x += t;
+            ++j;
+        }
+        pos += lit;
+        outp += lit;
+        if (outp > output_limit + n) return ERR_MEMORY_LIMIT;
+        if (pos >= n) break;  // literal-only tail
+        if (pos + 2 > n) {
+            // a single stray byte: the reference's read_u16 fails => tail;
+            // keep the byte unread at the stream end (n - p == 1 < 2)
+            if (!put(outp >> ws_log, in + pos, n - pos)) return ERR_CAPACITY;
+            pos = n;
+            break;
+        }
+        u64 m0 = pos;
+        pos += 2;
+        u64 ml = tok & 0xF;
+        if (ml == 0xF) {
+            for (;;) {
+                if (pos >= n) return ERR_UNEXPECTED_END;
+                u8 b = in[pos++];
+                ml += b;
+                if (b != 0xFF) break;
+            }
+        }
+        if (!put(outp >> ws_log, in + m0, pos - m0)) return ERR_CAPACITY;
+        outp += ml + MINMATCH;
+        if (outp > output_limit) return ERR_MEMORY_LIMIT;
+    }
+    *total_out = outp;
+    return (i64)n_chunks;
+}

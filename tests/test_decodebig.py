@@ -144,3 +144,48 @@ def test_decodebig_error_kinds_and_tail():
                 _oband=6144, _cband=2048,
             )
         assert e.value.kind == kind
+
+
+def test_native_repack_matches_python_oracle():
+    """The C++ window repack (lz4tpu_repack_window, the shipping host
+    layout pass) is byte-identical to the Python ``_repack_block`` oracle
+    — chunk lengths, chunk bytes, total output, and error kinds on
+    hostile inputs."""
+    import numpy as np
+
+    import lz4tpu.kernels.decodebig as dbig
+    from lz4tpu.native import repack_window_into, repack_window_lens
+
+    rng = np.random.default_rng(7)
+    payloads = [
+        local_data(99, 40_000),
+        rng.integers(0, 256, 20_000, dtype=np.uint8).tobytes(),
+        b"\x00" * 30_000 + local_data(1020, 5_000),
+        b"",
+    ]
+    comp = [bytes(compress_block(p, 0, U32Table())) for p in payloads]
+    for c, p in zip(comp, payloads):
+        ch, tot = dbig._repack_block(c, 1 << 16)
+        lens, tot2 = repack_window_lens(c, 1 << 16, dbig.WS_LOG)
+        assert tot2 == tot == len(p)
+        assert [len(x) for x in ch] == lens.tolist()
+        win_r = -(-(int(lens.max(initial=0)) + 16) // 512) * 512
+        out = np.zeros(max(len(lens), 1) * win_r, np.uint8)
+        nc = repack_window_into(c, 1 << 16, dbig.WS_LOG, win_r, out)
+        assert nc == len(ch)
+        for k, x in enumerate(ch):
+            assert out[k * win_r : k * win_r + len(x)].tobytes() == bytes(x)
+    # hostile inputs raise the same typed kinds
+    r = random.Random(3)
+    for _ in range(300):
+        c = bytes(r.randrange(256) for _ in range(r.randrange(1, 64)))
+        k1 = k2 = None
+        try:
+            dbig._repack_block(c, 4096)
+        except DecodeError as e:
+            k1 = e.kind
+        try:
+            repack_window_lens(c, 4096, dbig.WS_LOG)
+        except DecodeError as e:
+            k2 = e.kind
+        assert k1 == k2

@@ -31,12 +31,32 @@ for i, (ch, _) in enumerate(packed):
         arr[i, k * win_r : k * win_r + len(c)] = np.frombuffer(bytes(c), np.uint8)
     n[0, i] = lens[i]
 words = np.ascontiguousarray(arr.view('<i4').T)
+debug_state = os.environ.get("DBIG_DEBUG_STATE", "0") == "1"
 out_w, out_len, status = dbig._decodebig_jit(
     jnp.asarray(words), jnp.asarray(n),
     oband=dbig.OBAND, cband=dbig.CBAND, rw_pad=rw_pad, ro_pad=ro_pad,
     max_rounds=mr, output_limit=block, window_bound=65535,
-    win_r=win_r, ws_log=dbig.WS_LOG,
+    win_r=win_r, ws_log=dbig.WS_LOG, debug_state=debug_state,
 )
+if debug_state:
+    st = np.asarray(out_w)[: dbig.NSTATE + 2]
+    names = ["pos", "out", "st", "done", "gb", "flush", "lrem", "lsrc",
+             "mrem", "moff", "mlag", "tail", "fgb", "pgf", "rnd", "doneat",
+             "pph", "pv", "slit", "ssrc", "soff", "x21", "x22", "x23",
+             "cb_base", "ob_base"]
+    for i in range(nb):
+        print(f"lane {i}: " + " ".join(
+            f"{nm}={st[k, i]}" for k, nm in enumerate(names)
+        ))
+        # derived: comp group wants vs band
+        cb_g = st[24, i] // dbig.GROUP_W
+        n_slots = (dbig.CBAND - dbig.PAGE_W) // dbig.GROUP_W + 1
+        want = (st[0, i] >> 2) // dbig.GROUP_W
+        lwant = (st[7, i] >> 2) // dbig.GROUP_W
+        print(f"  cb_g={cb_g} n_slots={n_slots} pos_want={want} "
+              f"lsrc_want={lwant} ob_rows={st[25, i]} "
+              f"opause_at={(st[25, i] + dbig.OBAND) * 4 - 2 * dbig.RING_W * 4}")
+    sys.exit(0)
 status = np.asarray(status)[0][:nb]
 out_len = np.asarray(out_len)
 import collections
