@@ -123,68 +123,78 @@ def bench_tpu_decode(blocks, comp, kernel_jit, m=6):
 
 def bench_tpu_decode128_sched(extra, size_mb: float = 32.0, m=2):
     """Scheduled multi-batch lane decode: a 32 MiB corpus (512 x 64 KiB
-    blocks) decoded as four 128-lane batches.  The batch scheduler sorts
-    blocks by the C++ round model (``native.model_decode_rounds`` — the
-    lane kernel's lockstep-round state machine), so each batch groups
-    similar-cost lanes and wall time approaches the sum of batch means
-    instead of n_batches x the global slowest lane.  One compile serves
-    all batches (shapes bucketed to the global max comp length); both
-    natural and scheduled orders are timed with the chained protocol and
-    every lane must complete in-kernel."""
+    blocks) decoded as four 128-lane batches.  The batch scheduler
+    (``parallel/sched.py``) sorts blocks by the C++ round model
+    (``native.model_decode_rounds`` — the lane kernel's lockstep-round
+    state machine) so each batch groups similar-cost lanes, and the
+    ``sched_cb`` order additionally routes every batch to the chunk-size
+    variant (CB=16/32) with the lower modeled wall.  All orders are
+    timed with the chained protocol and every lane must complete
+    in-kernel."""
     import jax
     import jax.numpy as jnp
 
     from lz4tpu.kernels import decode128 as d128
-    from lz4tpu.native import compress_block, model_decode_rounds
+    from lz4tpu.native import compress_block
+    from lz4tpu.parallel import sched
     from lz4tpu.spec.table import U32Table
 
     data = make_corpus(size_mb)
     blocks = [data[i : i + BLOCK] for i in range(0, len(data), BLOCK)]
     comp = [bytes(compress_block(b, 0, U32Table())) for b in blocks]
     maxlen = max(len(c) for c in comp)
-    rw, ro, _pr = d128.buffer_rows(maxlen, BLOCK)
-    max_rounds = d128.round_bound(maxlen, BLOCK)
-    mid_w = d128.pick_mid_w(rw, ro)
-    rounds = np.array(
-        [
-            model_decode_rounds(
-                c, cb=d128.CB, flush_thresh=d128.FLUSH_THRESH,
-                far_g_bytes=d128.FAR_G * 4,
-                mid_bytes=max(mid_w * 4 - 4, 0),
-            )
-            for c in comp
-        ]
-    )
+    rounds = sched.model_rounds(comp, d128.CB, BLOCK)
     nb = len(blocks)
     n_batches = -(-nb // 128)
+    base_order = np.arange(nb)
     orders = {
-        "natural": np.arange(nb),
-        "sched": np.argsort(-rounds, kind="stable"),
+        "natural": [
+            (base_order[bi * 128 : bi * 128 + 128].tolist(), d128.CB)
+            for bi in range(n_batches)
+        ],
+        "sched": [
+            (
+                np.argsort(-rounds, kind="stable")[
+                    bi * 128 : bi * 128 + 128
+                ].tolist(),
+                d128.CB,
+            )
+            for bi in range(n_batches)
+        ],
+        "sched_cb": sched.plan_batches(comp, BLOCK),
     }
     total = sum(len(b) for b in blocks)
-    kw = dict(rw=rw, ro=ro, max_rounds=max_rounds, output_limit=BLOCK)
 
-    for name, order in orders.items():
-        d_ws, d_ns, metas = [], [], []
-        for bi in range(n_batches):
-            idx = order[bi * 128 : bi * 128 + 128]
+    from lz4tpu.hostpack import pack_words_le
+
+    for name, plan in orders.items():
+        d_ws, d_ns, metas, mods, kws = [], [], [], [], []
+        for idx, cb in plan:
+            mod = d128.load_variant(cb)
+            rw, ro, _pr = mod.buffer_rows(maxlen, BLOCK)
             bc = [comp[i] for i in idx]
             arr = np.zeros((128, rw * 4), np.uint8)
             n1 = np.zeros((1, 128), np.int32)
             for j, c in enumerate(bc):
                 arr[j, : len(c)] = np.frombuffer(c, np.uint8)
                 n1[0, j] = len(c)
-            from lz4tpu.hostpack import pack_words_le
-
             d_ws.append(jnp.asarray(pack_words_le(arr)))
             d_ns.append(jnp.asarray(n1))
             metas.append(idx)
+            mods.append(mod)
+            kws.append(
+                dict(
+                    rw=rw, ro=ro,
+                    max_rounds=mod.round_bound(maxlen, BLOCK),
+                    output_limit=BLOCK,
+                )
+            )
 
         @jax.jit
         def pass_all(t, *ws):
             ols = []
-            for w, nn in zip(ws, d_ns):
-                _, ol, st = d128._decode128_jit(w ^ t, nn, **kw)
+            for w, nn, mod, kw in zip(ws, d_ns, mods, kws):
+                _, ol, st = mod._decode128_jit(w ^ t, nn, **kw)
                 t = (st.sum() * 0 + ol.sum() * 0).astype(jnp.int32)
                 ols.append((ol, st))
             return t, ols
@@ -207,9 +217,13 @@ def bench_tpu_decode128_sched(extra, size_mb: float = 32.0, m=2):
         extra[f"tpu_decode128_{name}_32m_mbps"] = round(best / 1e6, 1)
     extra["sched_model_rounds"] = (
         f"max {int(rounds.max())} p50 {int(np.percentile(rounds, 50))} "
-        f"mean {int(rounds.mean())}"
+        f"mean {int(rounds.mean())} cb_picks "
+        + "/".join(str(cb) for _, cb in orders["sched_cb"])
     )
-    return extra.get("tpu_decode128_sched_32m_mbps", 0.0) * 1e6
+    return max(
+        extra.get("tpu_decode128_sched_32m_mbps", 0.0),
+        extra.get("tpu_decode128_sched_cb_32m_mbps", 0.0),
+    ) * 1e6
 
 
 def bench_tpu_compress(blocks, comp, m=6):

@@ -1109,3 +1109,41 @@ def decompress_blocks_128(blocks, block_maxsize: int = 1 << 14, prefixes=None):
         else:
             raise DecodeError(STATUS_TO_KIND[s])
     return results
+
+
+_VARIANTS: dict = {}
+
+
+def load_variant(cb: int):
+    """A decode128 module instance compiled for chunk size ``cb``.
+
+    CB is load-time geometry (chunk words, ring/flush/margins all derive
+    from it), so a second chunk size means a second module: re-import
+    this file with LZ4TPU_D128_CB scoped to the import.  The per-batch
+    scheduler routes sequence-dense batches to CB=16 and long-run
+    batches to CB=32 (chunk rounds halve; measured per-round cost only
+    ~5% higher — tools/sim_d128_seqk.py and the calibration in
+    parallel/sched.py)."""
+    import importlib.util
+    import os
+    import sys
+
+    if cb == CB:
+        return sys.modules[__name__]
+    if cb in _VARIANTS:
+        return _VARIANTS[cb]
+    name = f"{__name__}_cb{cb}"
+    old = os.environ.get("LZ4TPU_D128_CB")
+    os.environ["LZ4TPU_D128_CB"] = str(cb)
+    try:
+        spec = importlib.util.spec_from_file_location(name, __file__)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+    finally:
+        if old is None:
+            del os.environ["LZ4TPU_D128_CB"]
+        else:
+            os.environ["LZ4TPU_D128_CB"] = old
+    _VARIANTS[cb] = mod
+    return mod

@@ -801,9 +801,35 @@ def decompress_frame_parallel(
     if lane_idx:
         batch = 128 * n_dev
         # batch-balance: the lockstep kernel runs until its SLOWEST lane
-        # finishes, so batches group blocks of similar compressed size
-        # (a proxy for sequence/round count) when more than one batch is
-        # needed
+        # finishes.  Multi-batch single-device runs without a dictionary
+        # use the model-driven scheduler (parallel/sched.py): blocks
+        # sorted by modeled lockstep rounds, each batch routed to the
+        # CB=16/32 kernel variant with the lower modeled wall.  Other
+        # shapes fall back to grouping by compressed size (a proxy for
+        # round count).
+        if (
+            n_dev == 1
+            and not dictionary
+            and len(lane_idx) > batch
+            and jax.default_backend() == "tpu"
+        ):
+            from ..kernels.decode128 import load_variant
+            from .sched import plan_batches
+
+            sub = [to_decode[i] for i in lane_idx]
+            for sub_idxs, cb in plan_batches(sub, reader.block_maxsize):
+                idxs = [lane_idx[j] for j in sub_idxs]
+                outs = load_variant(cb).decompress_blocks_128(
+                    [to_decode[i] for i in idxs],
+                    block_maxsize=reader.block_maxsize,
+                )
+                for i, o in zip(idxs, outs):
+                    if len(o) > reader.block_maxsize:
+                        raise BlockSizeOverflow(
+                            "a block decompressed to more data than allowed"
+                        )
+                    outputs[i] = o
+            lane_idx = []
         order = (
             sorted(lane_idx, key=lambda i: len(to_decode[i]))
             if len(lane_idx) > batch

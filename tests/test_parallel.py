@@ -300,3 +300,35 @@ def test_lane_kernels_sharded_roundtrip(mesh, corpus_sample):
     ref_comp = [bytes(compress_block(b, 0, U32Table())) for b in blocks if b]
     outs = _lane_decode_batch(ref_comp, 1 << 10, mesh)
     assert outs == [b for b in blocks if b]
+
+
+def test_sched_plan_and_decode():
+    """Model-driven batch scheduling (parallel/sched.py): the plan
+    partitions every block exactly once into <=128-lane batches with a
+    valid chunk-size pick, and the scheduled decode routes each batch
+    through the matching decode128 variant (CB geometry re-import)."""
+    import numpy as np
+
+    from lz4tpu.kernels.decode128 import load_variant
+    from lz4tpu.parallel.sched import CBS, decode_scheduled, plan_batches
+    from lz4tpu.native import compress_block
+    from lz4tpu.spec.table import U32Table
+
+    rng = np.random.default_rng(5)
+    payloads = []
+    for i in range(9):
+        if i % 3 == 0:
+            payloads.append(rng.integers(0, 256, 700, np.uint8).tobytes())
+        elif i % 3 == 1:
+            payloads.append(b"pattern!" * 120)
+        else:
+            payloads.append(bytes(range(200)) * 3)
+    comp = [bytes(compress_block(p, 0, U32Table())) for p in payloads]
+    plan = plan_batches(comp, 4096)
+    seen = sorted(i for idxs, _ in plan for i in idxs)
+    assert seen == list(range(len(payloads)))
+    assert all(cb in CBS and len(idxs) <= 128 for idxs, cb in plan)
+    assert decode_scheduled(comp, 4096) == payloads
+    # the CB=32 variant is a real second geometry, not an alias
+    m32 = load_variant(32)
+    assert m32.CB == 32 and m32.CW == 8
