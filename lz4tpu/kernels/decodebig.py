@@ -254,7 +254,23 @@ def _decodebig_kernel(
         low_row = jnp.min(
             jnp.where(live, low_need >> 2, jnp.int32(1 << 30))
         )
-        comp_left = jnp.any(live & ((n + 3) >> 2 > base_ref[0] + cband))
+        # advance while any stream extends beyond the band, OR any live
+        # lane wants rows in the band's trailing PAGE_W margin (groups
+        # >= cb_g + n_slots are never "fully in band", so near stream
+        # end — when nothing extends past the band — a want there would
+        # stall forever; rw_pad keeps the extra DMA in-bounds).
+        # Observed: 3/128 lanes of the 1 MiB corpus wedged with wants at
+        # cb_g + 11..12 and every stream ending inside the band.
+        hi_need = jnp.maximum(
+            pos, jnp.where(lit_rem > 0, lit_src, pos)
+        )
+        stall_hi = live & (
+            (hi_need >> 2) >= base_ref[0] + n_slots * GROUP_W
+        )
+        comp_left = (
+            jnp.any(live & ((n + 3) >> 2 > base_ref[0] + cband))
+            | jnp.any(stall_hi)
+        )
 
         @pl.when((low_row >= base_ref[0] + CHALF) & comp_left)
         def _():
