@@ -24,7 +24,7 @@ the little-endian u64 read survive the ``<< 24``, giving
     hash = hi32 >> 20
 
 with m0/m1 the low/high limbs of the multiplier — proven equal to the
-64-bit form over all inputs in tests/test_kernels_compress.py.
+64-bit form in tests/test_kernels_compress.py (random u64s + carry edges).
 
 Cap/abort semantics mirror ``NoPartialWrites`` (``framed/compress.rs:285``):
 the group-granular overflow check leaves the encoder table mutated exactly

@@ -1139,7 +1139,11 @@ def load_variant(cb: int):
         spec = importlib.util.spec_from_file_location(name, __file__)
         mod = importlib.util.module_from_spec(spec)
         sys.modules[name] = mod
-        spec.loader.exec_module(mod)
+        try:
+            spec.loader.exec_module(mod)
+        except BaseException:
+            sys.modules.pop(name, None)
+            raise
     finally:
         if old is None:
             del os.environ["LZ4TPU_D128_CB"]

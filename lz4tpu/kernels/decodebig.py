@@ -7,7 +7,7 @@ frame geometry is 4 MiB blocks (``framed/compress.rs:49``; sizes
 CONSTANT VMEM by staging both streams in HBM:
 
 * the transposed compressed words and outputs live in HBM
-  (``pltpu.ANY``); VMEM holds a LINEAR sliding band of each — rows
+  (``pl.ANY``); VMEM holds a LINEAR sliding band of each — rows
   ``[base, base + BAND)`` — advanced by half-band ``async_copy`` DMAs
   (one rectangle per advance: the band is shared by all 128 lanes, so
   no per-lane DMA exists anywhere);
@@ -1008,11 +1008,11 @@ def _decodebig_jit(
             debug_state=debug_state,
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],

@@ -301,6 +301,10 @@ def repack_window_lens(comp, output_limit: int, ws_log: int) -> tuple[np.ndarray
         comp, len(comp), output_limit, ws_log, 0, None, 0,
         lens.ctypes.data, max_chunks, total.ctypes.data,
     )
+    if rc == -5:
+        # ERR_CAPACITY: the C++ side ran out of caller-provided buffer —
+        # a sizing bug here, never malformed input
+        raise RuntimeError("lz4tpu_repack_window: caller buffer too small (internal bug)")
     if rc < 0:
         raise DecodeError(_DECODE_ERRORS.get(int(rc), DecodeError.KIND_UNEXPECTED_END))
     return lens[:rc], int(total[0])
@@ -319,6 +323,8 @@ def repack_window_into(comp, output_limit: int, ws_log: int, win_r: int, out: np
         out.ctypes.data, out.nbytes, lens.ctypes.data, max_chunks,
         total.ctypes.data,
     )
+    if rc == -5:
+        raise RuntimeError("lz4tpu_repack_window: caller buffer too small (internal bug)")
     if rc < 0:
         raise DecodeError(_DECODE_ERRORS.get(int(rc), DecodeError.KIND_UNEXPECTED_END))
     return int(rc)

@@ -29,7 +29,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..frame.errors import InvalidBlockSize
@@ -40,6 +40,18 @@ from .mesh import BLOCK_AXIS, make_mesh
 
 from ..kernels import compress as kcompress
 from ..kernels import decompress as kdecompress
+
+
+def _use_scheduled_decode() -> bool:
+    """Gate for the model-driven multi-batch decode scheduler.  Defaults
+    to TPU-only (kernel round costs are TPU-calibrated); LZ4TPU_SCHED=1
+    forces it on any backend (CPU tests), =0 forces it off."""
+    import os
+
+    v = os.environ.get("LZ4TPU_SCHED")
+    if v is not None:
+        return v not in ("0", "")
+    return jax.default_backend() == "tpu"
 
 
 def _pad_blocks(data: bytes, block_size: int):
@@ -197,7 +209,7 @@ def _compress_sharded(
         mesh=mesh,
         in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS), P(None), P(None)),
         out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS)),
-        check_rep=False,
+        check_vma=False,
     )(blocks, lens, tables, dict_u8, dict_len)
 
 
@@ -230,7 +242,7 @@ def _decode128_sharded(
             P(None, BLOCK_AXIS), P(None, BLOCK_AXIS),
         ),
         out_specs=(P(None, BLOCK_AXIS), P(None, BLOCK_AXIS), P(None, BLOCK_AXIS)),
-        check_rep=False,
+        check_vma=False,
     )(words, n, prefix, plen)
 
 
@@ -258,7 +270,7 @@ def _compress128_sharded(
             P(None, BLOCK_AXIS), P(None, BLOCK_AXIS),
         ),
         out_specs=(P(None, BLOCK_AXIS), P(None, BLOCK_AXIS)),
-        check_rep=False,
+        check_vma=False,
     )(words, n, cur0, tinit)
 
 
@@ -469,7 +481,7 @@ def _decompress_sharded(
         mesh=mesh,
         in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(None), P(None)),
         out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS)),
-        check_rep=False,
+        check_vma=False,
     )(comp, comp_len, dict_u8, dict_len)
 
 
@@ -811,7 +823,7 @@ def decompress_frame_parallel(
             n_dev == 1
             and not dictionary
             and len(lane_idx) > batch
-            and jax.default_backend() == "tpu"
+            and _use_scheduled_decode()
         ):
             from ..kernels.decode128 import load_variant
             from .sched import plan_batches

@@ -34,8 +34,18 @@ LANES = 128
 # per-round kernel cost by chunk size, seconds (measured on-chip:
 # CB=16 5312 rounds = 336.2 MB/s and CB=32 5120 rounds = 331.4 MB/s on
 # the same 8 MiB batch, tools/measure_r3.json) — scheduling weights
-# only, never correctness
+# only, never correctness.  Geometry note: model_rounds derives
+# flush/far/mid geometry from the global max comp length across the
+# whole job, while decompress_blocks_128 re-buckets per batch, so
+# modeled rounds can drift a few % from per-batch geometry — harmless
+# for ordering/variant choice.  Recalibrate per part via
+# LZ4TPU_ROUND_COST="16:4.7e-6,32:4.94e-6".
 ROUND_COST = {16: 4.70e-6, 32: 4.94e-6}
+_env_rc = __import__("os").environ.get("LZ4TPU_ROUND_COST")
+if _env_rc:
+    for _part in _env_rc.split(","):
+        _k, _v = _part.split(":")
+        ROUND_COST[int(_k)] = float(_v)
 CBS = (16, 32)
 
 

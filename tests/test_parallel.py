@@ -332,3 +332,22 @@ def test_sched_plan_and_decode():
     # the CB=32 variant is a real second geometry, not an alias
     m32 = load_variant(32)
     assert m32.CB == 32 and m32.CW == 8
+
+
+@pytest.mark.slow
+def test_scheduled_frame_decode_forced_on_cpu(monkeypatch, corpus_sample):
+    """The production frame path through plan_batches/load_variant
+    (pipeline's model-scheduled branch) exercised end-to-end on CPU:
+    >128 independent blocks on a 1-device mesh with LZ4TPU_SCHED=1."""
+    from lz4tpu import CompressionSettings
+
+    monkeypatch.setenv("LZ4TPU_SCHED", "1")
+    mesh1 = make_mesh(1)
+    # >128 blocks of the smallest valid block size; compressible payload
+    # keeps CPU-interpret kernel rounds tractable
+    data = (b"scheduled-branch coverage! " * 97 + bytes(range(256))) * 1300
+    data = data[: 130 * (1 << 16)]
+    frame = (
+        CompressionSettings().block_size(1 << 16).engine("native").compress_bytes(data)
+    )
+    assert decompress_frame_parallel(frame, mesh=mesh1) == data
