@@ -29,3 +29,20 @@ def unpack_bytes_le(words: np.ndarray, n_lanes: int | None = None) -> np.ndarray
     if n_lanes is not None:
         words = words[:, :n_lanes]
     return np.ascontiguousarray(words.T).view(np.uint8)
+
+
+def to_device_chunked(arr: np.ndarray, piece_bytes: int = 2 << 20):
+    """Host->device transfer in ~2 MiB row pieces, concatenated on
+    device.  The tunneled backend moves one large buffer at ~35-40 MB/s
+    but pipelines 1-4 MiB transfers at ~350-385 MB/s (measured round 4);
+    piece shapes are quantized (all-but-last equal rows) so the device
+    concat stays one compiled program per batch geometry."""
+    import jax.numpy as jnp
+
+    row_bytes = arr.itemsize * int(np.prod(arr.shape[1:], dtype=np.int64))
+    rows = arr.shape[0]
+    rpb = max(1, piece_bytes // max(row_bytes, 1))
+    if rows <= rpb:
+        return jnp.asarray(arr)
+    pieces = [jnp.asarray(arr[i : i + rpb]) for i in range(0, rows, rpb)]
+    return jnp.concatenate(pieces, axis=0)

@@ -1080,6 +1080,27 @@ def lanes_eligible(
     return rows * LANES * 4 <= VMEM_ROWSUM_BUDGET
 
 
+class _DispatchedCompressBatch:
+    """In-flight lane-compress batch (device handles + metadata); see
+    decode128._DispatchedBatch for the pipelining rationale."""
+
+    __slots__ = ("out_t", "out_len", "blocks", "prefixes")
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ri", "ro", "max_rounds", "hashlog")
+)
+def _compress128_jit_t(words, n, cur0=None, tinit=None, **kw):
+    """_compress128_jit + on-device transpose (host unpack becomes a
+    contiguous row slice per lane)."""
+    out_w, out_len = _compress128_jit(words, n, cur0, tinit, **kw)
+    return out_w.T, out_len
+
+
 def compress_blocks_128(blocks, *, hashlog: int | None = None, prefixes=None):
     """Compress up to 128 raw blocks (each <= 32 KiB) lane-parallel;
     returns a list of LZ4 block byte strings.  Lanes that hit the round
@@ -1092,11 +1113,19 @@ def compress_blocks_128(blocks, *, hashlog: int | None = None, prefixes=None):
     (``framed/compress.rs:202-218,271-275``): the lane buffer becomes
     ``[prefix | block]``, the parse starts past the prefix, and the
     per-lane table is host-primed with every 3rd prefix position."""
+    return collect_compress_128(
+        dispatch_compress_128(blocks, hashlog=hashlog, prefixes=prefixes)
+    )
+
+
+def dispatch_compress_128(blocks, *, hashlog: int | None = None, prefixes=None):
+    """Pack + launch one <=128-block lane-compress batch; returns a
+    ``_DispatchedCompressBatch`` immediately (kernel runs async)."""
     assert len(blocks) <= LANES
     blocks = [bytes(b) for b in blocks]
     nb = len(blocks)
     if nb == 0:
-        return []
+        return None
     hl = HASHLOG if hashlog is None else hashlog
     if STRICT:
         assert hl == 12, "strict parity mode is defined for the C table size"
@@ -1132,16 +1161,36 @@ def compress_blocks_128(blocks, *, hashlog: int | None = None, prefixes=None):
 
     words = pack_words_le(arr)
 
+    from ..hostpack import to_device_chunked
+
     kw = {}
     if prefixes:
         kw["cur0"] = jnp.asarray(cur0)
-        kw["tinit"] = jnp.asarray(prime_tables_packed(prefixes, hl))
-    out_w, out_len = _compress128_jit(
-        jnp.asarray(words), jnp.asarray(n),
+        kw["tinit"] = to_device_chunked(prime_tables_packed(prefixes, hl))
+    out_t, out_len = _compress128_jit_t(
+        to_device_chunked(words), jnp.asarray(n),
         ri=ri, ro=ro, max_rounds=max_rounds, hashlog=hl, **kw,
     )
-    out_w = np.asarray(out_w)
-    out_len = np.asarray(out_len)[0]
+    return _DispatchedCompressBatch(
+        out_t=out_t, out_len=out_len, blocks=blocks, prefixes=prefixes,
+    )
+
+
+def collect_compress_128(batch):
+    """Fetch + unpack one dispatched compress batch; empty blocks emit
+    the literal-only token, round-cap lanes fall back to the native
+    window-mode engine."""
+    if batch is None:
+        return []
+    blocks, prefixes = batch.blocks, batch.prefixes
+    nb = len(blocks)
+    out_len = np.asarray(batch.out_len)[0]
+    out_b = (
+        np.ascontiguousarray(np.asarray(batch.out_t))
+        .astype("<i4", copy=False)
+        .view(np.uint8)
+        .reshape(LANES, -1)
+    )
 
     results = []
     for i in range(nb):
@@ -1172,10 +1221,5 @@ def compress_blocks_128(blocks, *, hashlog: int | None = None, prefixes=None):
                     bytes(_native_compress(blocks[i], 0, U32Table()))
                 )
             continue
-        results.append(
-            np.ascontiguousarray(out_w[:, i])
-            .astype("<i4", copy=False)
-            .view(np.uint8)[:ln]
-            .tobytes()
-        )
+        results.append(out_b[i, :ln].tobytes())
     return results

@@ -1032,20 +1032,38 @@ def _pack_transposed(rows, width_bytes, items):
     return pack_words_le(arr)
 
 
-def decompress_blocks_128(blocks, block_maxsize: int = 1 << 14, prefixes=None):
-    """Decode up to 128 independent raw blocks lane-parallel; lanes that
-    error with real format errors raise ``DecodeError`` (first blocking
-    lane); lanes flagged with the fallback sentinel re-decode through the
-    scalar v4 kernel.
+class _DispatchedBatch:
+    """In-flight lane-kernel batch: device handles + unpack metadata.
+    Produced by ``dispatch_blocks_128``; resolved by
+    ``collect_blocks_128``.  Keeping several in flight overlaps host
+    packing and H2D of later batches with kernel execution of earlier
+    ones (JAX dispatch is async; only the collect fetch blocks)."""
 
-    ``prefixes`` (optional, per block): dictionary / carryover-window
-    bytes each block's match offsets may reach back into
-    (``decompress.rs:84-99`` semantics); at most 64 KiB each."""
+    __slots__ = ("out_t", "out_len", "status", "blocks", "prefixes",
+                 "block_maxsize", "pr")
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+@functools.partial(jax.jit, static_argnames=("rw", "ro", "pr", "max_rounds",
+                                             "output_limit"))
+def _decode128_jit_t(words, n, prefix=None, plen=None, **kw):
+    """_decode128_jit + on-device transpose so the host unpack is a
+    contiguous row slice per lane instead of 128 strided column copies."""
+    out_w, out_len, status = _decode128_jit(words, n, prefix, plen, **kw)
+    return out_w.T, out_len, status
+
+
+def dispatch_blocks_128(blocks, block_maxsize: int = 1 << 14, prefixes=None):
+    """Pack + launch one <=128-block lane-decode batch; returns a
+    ``_DispatchedBatch`` immediately (kernel runs async on device)."""
     assert len(blocks) <= LANES
     blocks = [bytes(b) for b in blocks]
     nb = len(blocks)
     if nb == 0:
-        return []
+        return None
     if prefixes is not None:
         prefixes = [bytes(p) for p in prefixes]
         assert len(prefixes) == nb
@@ -1077,38 +1095,85 @@ def decompress_blocks_128(blocks, block_maxsize: int = 1 << 14, prefixes=None):
         )
         kw["plen"] = jnp.asarray(plen)
 
-    out_w, out_len, status = _decode128_jit(
-        jnp.asarray(words), jnp.asarray(n),
+    from ..hostpack import to_device_chunked
+
+    out_t, out_len, status = _decode128_jit_t(
+        to_device_chunked(words), jnp.asarray(n),
         rw=rw, ro=ro, pr=pr, max_rounds=max_rounds,
         output_limit=block_maxsize, **kw,
     )
-    out_w = np.asarray(out_w)
-    out_len = np.asarray(out_len)[0]
-    status = np.asarray(status)[0]
+    return _DispatchedBatch(
+        out_t=out_t, out_len=out_len, status=status, blocks=blocks,
+        prefixes=prefixes, block_maxsize=block_maxsize, pr=pr,
+    )
 
+
+def collect_blocks_128(batch):
+    """Fetch + unpack one dispatched batch (blocks until its kernel and
+    D2H finish); applies the per-lane scalar fallback / typed errors."""
+    if batch is None:
+        return []
+    out_len = np.asarray(batch.out_len)[0]
+    status = np.asarray(batch.status)[0]
+    nb = len(batch.blocks)
+    pr = batch.pr
+    # fetch only the rows any lane actually produced (short decodes of
+    # a large block_maxsize skip most of the D2H).  Quantized to power-
+    # of-two fractions of ro: every distinct device-slice shape is a
+    # separately compiled XLA program (remote compiles on this backend),
+    # so the slice universe must stay tiny.
+    need_rows = pr + (int(
+        max((int(out_len[i]) for i in range(nb) if status[i] == OK), default=0)
+    ) + 3) // 4
+    ro = batch.out_t.shape[1]
+    fetch_rows = ro
+    for frac in (2, 4, 8):  # smallest power-of-two fraction that fits
+        if need_rows <= ro // frac:
+            fetch_rows = ro // frac
+    src = batch.out_t if fetch_rows == ro else batch.out_t[:, :fetch_rows]
+    out_b = (
+        np.ascontiguousarray(np.asarray(src))
+        .astype("<i4", copy=False)
+        .view(np.uint8)
+        .reshape(LANES, -1)
+    )
     results = []
     for i in range(nb):
         s = int(status[i])
         if s == OK:
-            flat = (
-                np.ascontiguousarray(out_w[:, i])
-                .astype("<i4", copy=False)
-                .view(np.uint8)
+            results.append(
+                out_b[i, pr * 4 : pr * 4 + out_len[i]].tobytes()
             )
-            results.append(flat[pr * 4 : pr * 4 + out_len[i]].tobytes())
         elif s == STATUS_FALLBACK:
             from .decompress_v4 import decompress_blocks_v4
 
             results.append(
                 decompress_blocks_v4(
-                    [blocks[i]],
-                    block_maxsize=block_maxsize,
-                    prefixes=[prefixes[i]] if prefixes is not None else None,
+                    [batch.blocks[i]],
+                    block_maxsize=batch.block_maxsize,
+                    prefixes=(
+                        [batch.prefixes[i]]
+                        if batch.prefixes is not None else None
+                    ),
                 )[0]
             )
         else:
             raise DecodeError(STATUS_TO_KIND[s])
     return results
+
+
+def decompress_blocks_128(blocks, block_maxsize: int = 1 << 14, prefixes=None):
+    """Decode up to 128 independent raw blocks lane-parallel; lanes that
+    error with real format errors raise ``DecodeError`` (first blocking
+    lane); lanes flagged with the fallback sentinel re-decode through the
+    scalar v4 kernel.
+
+    ``prefixes`` (optional, per block): dictionary / carryover-window
+    bytes each block's match offsets may reach back into
+    (``decompress.rs:84-99`` semantics); at most 64 KiB each."""
+    return collect_blocks_128(
+        dispatch_blocks_128(blocks, block_maxsize, prefixes)
+    )
 
 
 _VARIANTS: dict = {}

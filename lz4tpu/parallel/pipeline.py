@@ -42,6 +42,13 @@ from ..kernels import compress as kcompress
 from ..kernels import decompress as kdecompress
 
 
+# max lane-kernel batches in flight during pipelined dispatch/collect
+# (bounds HBM held by queued batches: ~16-32 MB each at 64 KiB blocks)
+PIPELINE_DEPTH = int(
+    __import__("os").environ.get("LZ4TPU_PIPELINE_DEPTH", "8")
+)
+
+
 def _use_scheduled_decode() -> bool:
     """Gate for the model-driven multi-batch decode scheduler.  Defaults
     to TPU-only (kernel round costs are TPU-calibrated); LZ4TPU_SCHED=1
@@ -622,14 +629,34 @@ def compress_frame_parallel(
             lane_prefixes = None
         lane_payloads = []
         batch = 128 * n_dev
-        for base in range(0, n_blocks, batch):
-            chunk = raw_blocks[base : base + batch]
-            pfx = (
-                lane_prefixes[base : base + batch] if lane_prefixes else None
+        if n_dev == 1:
+            # pipelined dispatch/collect: host pack + table priming of
+            # batch k overlaps kernel execution of batches < k
+            from ..kernels.compress128 import (
+                collect_compress_128, dispatch_compress_128,
             )
-            if n_dev == 1:
-                lane_payloads.extend(compress_blocks_128(chunk, prefixes=pfx))
-            else:
+
+            inflight = []
+            for base in range(0, n_blocks, batch):
+                chunk = raw_blocks[base : base + batch]
+                pfx = (
+                    lane_prefixes[base : base + batch]
+                    if lane_prefixes else None
+                )
+                inflight.append(dispatch_compress_128(chunk, prefixes=pfx))
+                if len(inflight) > PIPELINE_DEPTH:
+                    lane_payloads.extend(
+                        collect_compress_128(inflight.pop(0))
+                    )
+            while inflight:
+                lane_payloads.extend(collect_compress_128(inflight.pop(0)))
+        else:
+            for base in range(0, n_blocks, batch):
+                chunk = raw_blocks[base : base + batch]
+                pfx = (
+                    lane_prefixes[base : base + batch]
+                    if lane_prefixes else None
+                )
                 lane_payloads.extend(
                     _lane_compress_batch(chunk, mesh, prefixes=pfx)
                 )
@@ -829,11 +856,73 @@ def decompress_frame_parallel(
             from .sched import plan_batches
 
             sub = [to_decode[i] for i in lane_idx]
+            # pipelined: dispatch up to PIPELINE_DEPTH batches ahead so
+            # host pack + H2D of later batches overlap earlier kernels
+            inflight = []
+
+            def _drain_one():
+                idxs, mod, hnd = inflight.pop(0)
+                for i, o in zip(idxs, mod.collect_blocks_128(hnd)):
+                    if len(o) > reader.block_maxsize:
+                        raise BlockSizeOverflow(
+                            "a block decompressed to more data than allowed"
+                        )
+                    outputs[i] = o
+
             for sub_idxs, cb in plan_batches(sub, reader.block_maxsize):
                 idxs = [lane_idx[j] for j in sub_idxs]
-                outs = load_variant(cb).decompress_blocks_128(
+                mod = load_variant(cb)
+                inflight.append((idxs, mod, mod.dispatch_blocks_128(
                     [to_decode[i] for i in idxs],
                     block_maxsize=reader.block_maxsize,
+                )))
+                if len(inflight) > PIPELINE_DEPTH:
+                    _drain_one()
+            while inflight:
+                _drain_one()
+            lane_idx = []
+        order = (
+            sorted(lane_idx, key=lambda i: len(to_decode[i]))
+            if len(lane_idx) > batch
+            else lane_idx
+        )
+        if n_dev == 1:
+            from ..kernels.decode128 import (
+                collect_blocks_128, dispatch_blocks_128,
+            )
+
+            inflight = []
+
+            def _drain_one():
+                idxs, hnd = inflight.pop(0)
+                for i, o in zip(idxs, collect_blocks_128(hnd)):
+                    if len(o) > reader.block_maxsize:
+                        raise BlockSizeOverflow(
+                            "a block decompressed to more data than allowed"
+                        )
+                    outputs[i] = o
+
+            for base in range(0, len(order), batch):
+                idxs = order[base : base + batch]
+                inflight.append((idxs, dispatch_blocks_128(
+                    [to_decode[i] for i in idxs],
+                    block_maxsize=reader.block_maxsize,
+                    prefixes=(
+                        [dictionary] * len(idxs) if dictionary else None
+                    ),
+                )))
+                if len(inflight) > PIPELINE_DEPTH:
+                    _drain_one()
+            while inflight:
+                _drain_one()
+        else:
+            for base in range(0, len(order), batch):
+                idxs = order[base : base + batch]
+                outs = _lane_decode_batch(
+                    [to_decode[i] for i in idxs],
+                    reader.block_maxsize,
+                    mesh,
+                    dictionary=dictionary,
                 )
                 for i, o in zip(idxs, outs):
                     if len(o) > reader.block_maxsize:
@@ -841,35 +930,6 @@ def decompress_frame_parallel(
                             "a block decompressed to more data than allowed"
                         )
                     outputs[i] = o
-            lane_idx = []
-        order = (
-            sorted(lane_idx, key=lambda i: len(to_decode[i]))
-            if len(lane_idx) > batch
-            else lane_idx
-        )
-        for base in range(0, len(order), batch):
-            idxs = order[base : base + batch]
-            if n_dev == 1:
-                outs = decompress_blocks_128(
-                    [to_decode[i] for i in idxs],
-                    block_maxsize=reader.block_maxsize,
-                    prefixes=(
-                        [dictionary] * len(idxs) if dictionary else None
-                    ),
-                )
-            else:
-                outs = _lane_decode_batch(
-                    [to_decode[i] for i in idxs],
-                    reader.block_maxsize,
-                    mesh,
-                    dictionary=dictionary,
-                )
-            for i, o in zip(idxs, outs):
-                if len(o) > reader.block_maxsize:
-                    raise BlockSizeOverflow(
-                        "a block decompressed to more data than allowed"
-                    )
-                outputs[i] = o
     rest = [i for i in range(len(to_decode)) if i not in outputs]
     if rest:
         from ..kernels.decompress_v4 import V4_MAX_COMP, V4_MAX_OUT
@@ -900,21 +960,35 @@ def decompress_frame_parallel(
         if jax.default_backend() == "tpu" and not dictionary:
             big = [i for i in rest if len(to_decode[i]) > V4_MAX_COMP]
             if big:
-                from ..kernels.decodebig import decompress_blocks_big
+                from ..kernels.decodebig import (
+                    collect_blocks_big, dispatch_blocks_big,
+                )
 
                 big.sort(key=lambda i: len(to_decode[i]))
-                for base in range(0, len(big), 128):
-                    idxs = big[base : base + 128]
-                    outs = decompress_blocks_big(
-                        [to_decode[i] for i in idxs],
-                        block_maxsize=reader.block_maxsize,
-                    )
-                    for i, o in zip(idxs, outs):
+                # depth-1 pipeline: each 128 x 4 MiB batch parks ~0.5 GB
+                # of HBM, so keep only one batch queued behind the
+                # running one
+                inflight = []
+
+                def _drain_big():
+                    idxs, hnd = inflight.pop(0)
+                    for i, o in zip(idxs, collect_blocks_big(hnd)):
                         if len(o) > reader.block_maxsize:
                             raise BlockSizeOverflow(
                                 "a block decompressed to more data than allowed"
                             )
                         outputs[i] = o
+
+                for base in range(0, len(big), 128):
+                    idxs = big[base : base + 128]
+                    inflight.append((idxs, dispatch_blocks_big(
+                        [to_decode[i] for i in idxs],
+                        block_maxsize=reader.block_maxsize,
+                    )))
+                    if len(inflight) > 1:
+                        _drain_big()
+                while inflight:
+                    _drain_big()
                 rest = [i for i in rest if i not in outputs]
         small = []
         for i in rest:

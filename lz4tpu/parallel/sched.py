@@ -101,11 +101,17 @@ def decode_scheduled(comp_blocks, block_maxsize: int):
     from ..kernels.decode128 import load_variant
 
     outputs = [None] * len(comp_blocks)
+    # dispatch every batch before collecting any: host pack + H2D of
+    # batch k overlaps kernel execution of batches < k (device queue)
+    inflight = []
     for idxs, cb in plan_batches(comp_blocks, block_maxsize):
         mod = load_variant(cb)
-        outs = mod.decompress_blocks_128(
-            [comp_blocks[i] for i in idxs], block_maxsize=block_maxsize
+        inflight.append(
+            (idxs, mod, mod.dispatch_blocks_128(
+                [comp_blocks[i] for i in idxs], block_maxsize=block_maxsize
+            ))
         )
-        for i, o in zip(idxs, outs):
+    for idxs, mod, batch in inflight:
+        for i, o in zip(idxs, mod.collect_blocks_128(batch)):
             outputs[i] = o
     return outputs
