@@ -1080,6 +1080,104 @@ def lanes_eligible(
     return rows * LANES * 4 <= VMEM_ROWSUM_BUDGET
 
 
+@functools.partial(jax.jit, static_argnames=("k", "ri"))
+def _build_windowed_words(flat2d, start_row, *, k, ri):
+    """Device-side [window|block] lane buffers for the linked frame
+    path: lane i's buffer is rows [start_row + i, start_row + i + k] of
+    the (n_blocks + k, chunk) padded block matrix — the 64 KiB window is
+    exactly the previous ``k = window//chunk`` blocks, so the whole
+    batch assembles from k+1 static slices + one concat (no per-lane
+    gather, no redundant H2D: the flat data uploads ONCE instead of
+    window+block per lane, a ~(k+1)x transfer saving)."""
+    lanes = LANES
+    win = jax.lax.dynamic_slice_in_dim(flat2d, start_row, lanes + k, 0)
+    parts = [win[j : j + lanes] for j in range(k + 1)]
+    buf = jnp.concatenate(parts, axis=1)  # (128, (k+1)*chunk)
+    pad = ri * 4 - buf.shape[1]
+    if pad:
+        buf = jnp.pad(buf, ((0, 0), (0, pad)))
+    w = jax.lax.bitcast_convert_type(
+        buf.reshape(lanes, ri, 4), jnp.int32
+    )
+    return w.T  # (ri, 128) transposed LE words
+
+
+class _LazyWindows:
+    """Per-lane window bytes materialized only on the (rare) round-cap
+    native fallback in ``collect_compress_128``."""
+
+    def __init__(self, data, starts, wlen):
+        self._data, self._starts, self._wlen = data, starts, wlen
+
+    def __len__(self):
+        return len(self._starts)
+
+    def __bool__(self):
+        return True
+
+    def __getitem__(self, i):
+        s = self._starts[i]
+        return self._data[max(0, s - self._wlen) : s]
+
+
+def dispatch_compress_windowed(
+    flat_dev, data, start_block: int, nb: int, lens, *,
+    chunk: int, window: int, hashlog: int | None = None,
+):
+    """Dispatch one linked-mode lane batch with device-built windowed
+    buffers.  ``flat_dev``: (n_blocks + k, chunk) uint8 padded block
+    matrix already on device (upload once per frame); ``start_block``:
+    first block of this batch (must be >= k so every lane's window is
+    FULL — partial-window leading blocks go through the host-packed
+    path, which also carries the per-lane backtrack floor they need);
+    ``lens``: per-block byte lengths."""
+    hl = HASHLOG if hashlog is None else hashlog
+    assert not STRICT, "strict parity mode has no window support"
+    assert window % chunk == 0 and chunk <= MAX_B
+    k = window // chunk
+    assert start_block >= k and 0 < nb <= LANES
+    maxbuf = chunk + window
+    ri = -(-maxbuf // 4)
+    ri = -(-ri // GROUP_W) * GROUP_W + PAGE_W
+    maxout = chunk + chunk // 255 + 16
+    ro = (-(-maxout // 4) // RING_W + 2) * RING_W
+    max_rounds = chunk + maxout // CB + chunk // CB + 256
+
+    words = _build_windowed_words(
+        flat_dev, jnp.int32(start_block - k), k=k, ri=ri
+    )
+    n = np.zeros((1, LANES), np.int32)
+    cur0 = np.full((1, LANES), window, np.int32)
+    cur0[0, nb:] = 0  # unused lanes: same idle state as the host pack
+    gstarts = np.zeros(nb, np.int64)
+    for j in range(nb):
+        n[0, j] = window + int(lens[start_block + j])
+        gstarts[j] = (start_block + j) * chunk
+
+    from ..hostpack import to_device_chunked
+    from ..native import prime_tables_native
+
+    tinit = prime_tables_native(
+        data, gstarts, np.full(nb, window, np.int64), np.zeros(nb, np.int64),
+        hl,
+    )
+    out_t, out_len = _compress128_jit_t(
+        words, jnp.asarray(n), jnp.asarray(cur0), to_device_chunked(tinit),
+        ri=ri, ro=ro, max_rounds=max_rounds, hashlog=hl,
+    )
+    blocks = [
+        data[(start_block + j) * chunk :
+             (start_block + j) * chunk + int(lens[start_block + j])]
+        for j in range(nb)
+    ]
+    return _DispatchedCompressBatch(
+        out_t=out_t, out_len=out_len, blocks=blocks,
+        prefixes=_LazyWindows(data, [s * chunk for s in
+                                     range(start_block, start_block + nb)],
+                              window),
+    )
+
+
 class _DispatchedCompressBatch:
     """In-flight lane-compress batch (device handles + metadata); see
     decode128._DispatchedBatch for the pipelining rationale."""

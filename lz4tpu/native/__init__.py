@@ -328,3 +328,35 @@ def repack_window_into(comp, output_limit: int, ws_log: int, win_r: int, out: np
     if rc < 0:
         raise DecodeError(_DECODE_ERRORS.get(int(rc), DecodeError.KIND_UNEXPECTED_END))
     return int(rc)
+
+
+_lib.lz4tpu_prime_tables.restype = None
+_lib.lz4tpu_prime_tables.argtypes = [
+    ctypes.c_char_p,  # data
+    ctypes.c_void_p,  # starts (i64[n])
+    ctypes.c_void_p,  # wlens (i64[n])
+    ctypes.c_void_p,  # base_offs (i64[n])
+    ctypes.c_int64,   # n_lanes
+    ctypes.c_int64,   # hashlog
+    ctypes.c_void_p,  # tables out (1<<hashlog, 128) int32
+]
+
+
+def prime_tables_native(data, starts, wlens, base_offs, hashlog: int) -> np.ndarray:
+    """Transposed (1<<hashlog, 128) pos17|tag15 lane tables primed from
+    sliding windows of ``data`` (lane i: data[starts[i]-wlens[i],
+    starts[i]), entries at buffer offsets base_offs[i] + step-3
+    positions).  Scalar C++ walk — the NumPy equivalent costs 100s of
+    ms on hosts with slow vector integer units."""
+    data = bytes(data)
+    n = len(starts)
+    assert n <= 128
+    starts = np.ascontiguousarray(starts, np.int64)
+    wlens = np.ascontiguousarray(wlens, np.int64)
+    base_offs = np.ascontiguousarray(base_offs, np.int64)
+    tables = np.empty((1 << hashlog, 128), np.int32)
+    _lib.lz4tpu_prime_tables(
+        data, starts.ctypes.data, wlens.ctypes.data, base_offs.ctypes.data,
+        n, hashlog, tables.ctypes.data,
+    )
+    return tables

@@ -706,3 +706,37 @@ extern "C" i64 lz4tpu_repack_window(const u8* in, u64 n, u64 output_limit,
     *total_out = outp;
     return (i64)n_chunks;
 }
+
+// ---------------------------------------------------------------------------
+// Lane-table priming for the TPU lane compressor (compress128).
+//
+// Fills a transposed (1<<hashlog, 128) int32 table with packed
+// pos17|tag15 entries for every 3rd window position (the reference's
+// dictionary insertion order, framed/compress.rs:205-214), one window
+// per lane.  Lane i's window is data[starts[i] - wlens[i], starts[i]);
+// positions are in per-lane buffer coordinates [base_off_i, base_off_i
+// + wlens[i]) where base_off_i is the window's byte offset inside the
+// lane buffer.  The host-side NumPy version of this loop costs
+// hundreds of ms on slow-vector hosts; this is a plain scalar walk.
+extern "C" void lz4tpu_prime_tables(
+    const u8* data, const i64* starts, const i64* wlens,
+    const i64* base_offs, i64 n_lanes, i64 hashlog, int32_t* tables) {
+    const i64 t_rows = (i64)1 << hashlog;
+    const u32 shift = (u32)(32 - hashlog);
+    for (i64 r = 0; r < t_rows; r++)
+        for (i64 l = 0; l < 128; l++) tables[r * 128 + l] = 0x1FFFF;
+    for (i64 l = 0; l < n_lanes; l++) {
+        const i64 wlen = wlens[l];
+        if (wlen < 16) continue;
+        const u8* w = data + starts[l] - wlen;
+        const i64 base = base_offs[l];
+        for (i64 p = 0; p + 12 <= wlen; p += 3) {
+            u32 v = (u32)w[p] | ((u32)w[p + 1] << 8) | ((u32)w[p + 2] << 16) |
+                    ((u32)w[p + 3] << 24);
+            u32 vm = v * 2654435761u;
+            int32_t h = (int32_t)(vm >> shift);
+            int32_t tag = (int32_t)((vm >> 6) & 0x7FFF);
+            tables[(i64)h * 128 + l] = (int32_t)(base + p) | (tag << 17);
+        }
+    }
+}

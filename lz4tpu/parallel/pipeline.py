@@ -632,18 +632,55 @@ def compress_frame_parallel(
         if n_dev == 1:
             # pipelined dispatch/collect: host pack + table priming of
             # batch k overlaps kernel execution of batches < k
+            from ..kernels import compress128 as c128
             from ..kernels.compress128 import (
                 collect_compress_128, dispatch_compress_128,
+                dispatch_compress_windowed,
             )
+
+            # linked mode with chunk | 64 KiB: batches past the first
+            # build their [window|block] buffers ON DEVICE from the flat
+            # block matrix (uploaded once) — each lane's window is
+            # exactly the previous window//chunk blocks, so the host
+            # neither copies nor transfers the ~9x redundant window
+            # bytes (the round-3 config-#3 bottleneck)
+            k = WINDOW_SIZE // chunk_size if parallel_linked else 0
+            use_windowed = (
+                parallel_linked
+                and not c128.STRICT
+                and WINDOW_SIZE % chunk_size == 0
+                and n_blocks > 128
+            )
+            flat_dev = None
+            if use_windowed:
+                from ..hostpack import to_device_chunked
+
+                rows = _round_up(n_blocks, 128)
+                flat = arr
+                if rows != flat.shape[0]:
+                    flat = np.concatenate(
+                        [flat, np.zeros((rows - flat.shape[0], chunk_size),
+                                        np.uint8)]
+                    )
+                flat_dev = to_device_chunked(flat)
 
             inflight = []
             for base in range(0, n_blocks, batch):
-                chunk = raw_blocks[base : base + batch]
-                pfx = (
-                    lane_prefixes[base : base + batch]
-                    if lane_prefixes else None
-                )
-                inflight.append(dispatch_compress_128(chunk, prefixes=pfx))
+                nb = min(batch, n_blocks - base)
+                if use_windowed and base >= k:
+                    inflight.append(dispatch_compress_windowed(
+                        flat_dev, data, base, nb, lens,
+                        chunk=chunk_size, window=WINDOW_SIZE,
+                    ))
+                else:
+                    chunk = raw_blocks[base : base + batch]
+                    pfx = (
+                        lane_prefixes[base : base + batch]
+                        if lane_prefixes else None
+                    )
+                    inflight.append(
+                        dispatch_compress_128(chunk, prefixes=pfx)
+                    )
                 if len(inflight) > PIPELINE_DEPTH:
                     lane_payloads.extend(
                         collect_compress_128(inflight.pop(0))

@@ -111,3 +111,35 @@ def test_compress128_lane_linked_frames_on_mesh(corpus_sample):
             )
     finally:
         c128.HASHLOG = old_hl
+
+
+@pytest.mark.slow
+def test_windowed_device_build_matches_host_pack(corpus_sample):
+    """The device-built [window|block] batch (dispatch_compress_windowed:
+    flat upload + static-slice assembly + native-primed tables) must
+    produce byte-identical payloads to the host-packed path
+    (compress_blocks_128 with explicit prefix bytes)."""
+    import numpy as np
+
+    from lz4tpu.hostpack import to_device_chunked
+    from lz4tpu.kernels import compress128 as c128
+
+    if c128.STRICT:
+        pytest.skip("window mode is not defined in strict parity mode")
+    chunk, window = 2048, 16384  # k = 8, CPU-interpret tractable
+    data = corpus_sample(41, chunk * 24)
+    n_blocks = 24
+    lens = np.full(n_blocks, chunk, np.int32)
+    arr = np.frombuffer(data, np.uint8).reshape(n_blocks, chunk)
+    rows = 136  # builder slices a full 128+k row window
+    flat = np.concatenate([arr, np.zeros((rows - n_blocks, chunk), np.uint8)])
+    start, nb = 8, 16
+    h = c128.dispatch_compress_windowed(
+        to_device_chunked(flat), data, start, nb, lens,
+        chunk=chunk, window=window,
+    )
+    dev_out = c128.collect_compress_128(h)
+    blocks = [data[(start + j) * chunk : (start + j + 1) * chunk] for j in range(nb)]
+    prefixes = [data[(start + j) * chunk - window : (start + j) * chunk] for j in range(nb)]
+    host_out = c128.compress_blocks_128(blocks, prefixes=prefixes)
+    assert dev_out == host_out
