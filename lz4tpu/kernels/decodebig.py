@@ -120,6 +120,8 @@ def _interpret() -> bool:
 def _decodebig_kernel(
     words_hbm,  # ANY (rw_pad, 128) int32 — transposed comp streams
     n_ref,  # VMEM (1, 128) int32
+    prefix_hbm,  # ANY (max(pr,8), 128) int32 — right-aligned prefixes
+    plen_ref,  # VMEM (1, 128) int32 — per-lane prefix byte lengths
     out_hbm,  # ANY (ro_pad, 128) int32 OUT
     out_len_ref,  # VMEM (3, 128) int32 OUT: len / done-at / rounds
     status_ref,  # VMEM (1, 128) int32 OUT
@@ -141,10 +143,20 @@ def _decodebig_kernel(
     window_bound: int,
     win_r: int,
     ws_log: int,
+    pr: int = 0,
     debug_state: bool = False,
 ):
+    """Prefix/dictionary mode (pr > 0): the first ``pr`` output rows are
+    seeded with each lane's right-aligned prefix (DMA'd into the initial
+    output band — prefix bytes then serve match offsets exactly like
+    flushed output, ``/root/reference/src/raw/decompress.rs:84-99``) and
+    decoding starts at byte ``pstart = pr*4``, pre-flushed.  Offsets
+    validate against decoded + per-lane prefix length; window-repack
+    chunk arithmetic uses OUTPUT coordinates (out - pstart)."""
     S8 = (8, LANES)
     n = jnp.broadcast_to(n_ref[0:1, :], S8)
+    pstart = pr * 4
+    plen = jnp.broadcast_to(plen_ref[0:1, :], S8)
     rowi8 = jax.lax.broadcasted_iota(jnp.int32, S8, 0)
     n_slots = (cband - PAGE_W) // GROUP_W + 1  # comp groups fully in band
     far_slots = (oband - FAR_W) // FAR_G + 1
@@ -321,8 +333,9 @@ def _decodebig_kernel(
         if win_r:
             # window-aligned comp layout: the next sequence's header lives
             # in the chunk of its output window (k*win_r); jump when the
-            # previous match's output crossed window boundaries
-            wk_out = jax.lax.shift_right_logical(out, ws_log)
+            # previous match's output crossed window boundaries.  Chunk
+            # indices are OUTPUT coordinates — prefix rows don't count.
+            wk_out = jax.lax.shift_right_logical(out - pstart, ws_log)
             wk_pos = pos // win_r
             pos = jnp.where(
                 need_rec & (pph == PH_NONE) & (wk_out > wk_pos),
@@ -390,7 +403,7 @@ def _decodebig_kernel(
             # several windows (and comp-band advances) ahead.  Accept the
             # LITERAL part now (PH_MHDR) and parse the match field when
             # the copy drains; by then the bands have advanced with out.
-            oe = out + litv
+            oe = out - pstart + litv
             m_w = jax.lax.shift_right_logical(oe, ws_log)
             p_w = p // win_r
             header_far = adv & (m_w > p_w)
@@ -446,7 +459,7 @@ def _decodebig_kernel(
 
         ok = status == OK
         status = jnp.where(
-            m_done & ok & (out + litv + mlenv > output_limit),
+            m_done & ok & (out - pstart + litv + mlenv > output_limit),
             ERR_MEMORY_LIMIT, status,
         )
         ok = status == OK
@@ -459,8 +472,11 @@ def _decodebig_kernel(
         ok = status == OK
         status = jnp.where(m_done & ok & (offv == 0), ERR_ZERO_OFFSET, status)
         ok = status == OK
+        # offsets may reach back through decoded bytes AND the lane's
+        # prefix (decompress.rs:84-99)
         status = jnp.where(
-            m_done & ok & (offv > out + litv), ERR_INVALID_OFFSET, status
+            m_done & ok & (offv > out - pstart + plen + litv),
+            ERR_INVALID_OFFSET, status,
         )
         ok = status == OK
         # offsets beyond the banding window (test-sized window_bound
@@ -527,9 +543,11 @@ def _decodebig_kernel(
         if win_r:
             # a literal run's bytes continue in the next window's chunk;
             # stop the copy at the boundary and jump lit_src below
+            # (chunk boundaries are OUTPUT coordinates: out - pstart)
             to_boundary = (
-                (jax.lax.shift_right_logical(out, ws_log) + 1) << ws_log
-            ) - out
+                (jax.lax.shift_right_logical(out - pstart, ws_log) + 1)
+                << ws_log
+            ) - (out - pstart)
             lit_take = jnp.minimum(lit_take, to_boundary)
         gbase, lstall = ensure_page(
             gbase, jnp.where(lit_take > 0, lit_src, pos),
@@ -583,7 +601,7 @@ def _decodebig_kernel(
                 # phase 1's match crossed window boundaries (no literal
                 # continuation bytes precede it there — matches consume
                 # no comp)
-                wkB = jax.lax.shift_right_logical(out1_pre, ws_log)
+                wkB = jax.lax.shift_right_logical(out1_pre - pstart, ws_log)
                 posB = jnp.where(
                     ph2s & (wkB > pos // win_r), wkB * win_r, pos
                 )
@@ -605,7 +623,7 @@ def _decodebig_kernel(
             if win_r:
                 # match header beyond the literal run's last window
                 # (PH_MHDR territory): abort B, phase 1 handles it
-                oeB = out1_pre + litvB
+                oeB = out1_pre - pstart + litvB
                 advB = advB & (
                     jax.lax.shift_right_logical(oeB, ws_log) <= pB // win_r
                 )
@@ -632,9 +650,9 @@ def _decodebig_kernel(
             lit_takeB_pre = jnp.where(advB, jnp.minimum(litvB, CB), 0)
             if win_r:
                 to_bB = (
-                    (jax.lax.shift_right_logical(out1_pre, ws_log) + 1)
-                    << ws_log
-                ) - out1_pre
+                    (jax.lax.shift_right_logical(out1_pre - pstart, ws_log)
+                     + 1) << ws_log
+                ) - (out1_pre - pstart)
                 lit_takeB_pre = jnp.minimum(lit_takeB_pre, to_bB)
             src_absB_pre = out1_pre + lit_takeB_pre - offvB
             farB_pre = (
@@ -701,7 +719,8 @@ def _decodebig_kernel(
             okB = statusB == OK
             statusB = jnp.where(
                 commitB & m_doneB & okB
-                & (out + lit_take1 + m_take + litvB + mlenvB > output_limit),
+                & (out - pstart + lit_take1 + m_take + litvB + mlenvB
+                   > output_limit),
                 ERR_MEMORY_LIMIT, statusB,
             )
             okB = statusB == OK
@@ -718,7 +737,7 @@ def _decodebig_kernel(
             okB = statusB == OK
             statusB = jnp.where(
                 commitB & m_doneB & okB
-                & (offvB > out + lit_take1 + m_take + litvB),
+                & (offvB > out - pstart + plen + lit_take1 + m_take + litvB),
                 ERR_INVALID_OFFSET, statusB,
             )
             okB = statusB == OK
@@ -831,12 +850,12 @@ def _decodebig_kernel(
         if win_r:
             # crossing lanes resume their literal run at the next chunk
             crossed = (
-                (lit_rem > 0) & ((out & ((1 << ws_log) - 1)) == 0)
+                (lit_rem > 0) & (((out - pstart) & ((1 << ws_log) - 1)) == 0)
                 & (take_last > 0)
             )
             lit_src = jnp.where(
                 crossed,
-                jax.lax.shift_right_logical(out, ws_log) * win_r,
+                jax.lax.shift_right_logical(out - pstart, ws_log) * win_r,
                 lit_src,
             )
         m_lag = jnp.where(
@@ -914,12 +933,22 @@ def _decodebig_kernel(
     cp.start()
     cp.wait()
     oband_ref[:, :] = jnp.zeros((oband, LANES), jnp.int32)
+    if pr:
+        # prefix rows ride the initial output band: bytes below pstart
+        # then behave exactly like flushed output for the far pages, and
+        # the band machinery publishes them to out_hbm as it advances
+        cpp = pltpu.make_async_copy(
+            prefix_hbm.at[pl.ds(0, pr)], oband_ref.at[pl.ds(0, pr)], dma_sem
+        )
+        cpp.start()
+        cpp.wait()
     z1 = jnp.zeros((1, LANES), jnp.int32)
     one = jnp.full((1, LANES), 1, jnp.int32)
+    ps1 = jnp.full((1, LANES), pstart, jnp.int32)
     state_ref[:, :] = jnp.concatenate(
-        [z1, z1, jnp.full((1, LANES), OK, jnp.int32),
+        [z1, ps1, jnp.full((1, LANES), OK, jnp.int32),
          (0 >= n[0:1]).astype(jnp.int32), jnp.full((1, LANES), -1, jnp.int32),
-         z1, z1, z1, z1, one, one, z1, jnp.full((1, LANES), -1, jnp.int32),
+         ps1, z1, z1, z1, one, one, z1, jnp.full((1, LANES), -1, jnp.int32),
          z1, jnp.zeros((NSTATE - 14, LANES), jnp.int32)],
         axis=0,
     )
@@ -962,7 +991,7 @@ def _decodebig_kernel(
         cp.start()
         cp.wait()
         out_len_ref[:, :] = jnp.concatenate(
-            [st[R_OUT : R_OUT + 1], st[R_DONEAT : R_DONEAT + 1],
+            [st[R_OUT : R_OUT + 1] - pstart, st[R_DONEAT : R_DONEAT + 1],
              st[R_RND : R_RND + 1]], axis=0,
         )
         status_ref[:, :] = st[R_ST : R_ST + 1]
@@ -982,7 +1011,7 @@ def _decodebig_kernel(
     cp.start()
     cp.wait()
     out_len_ref[:, :] = jnp.concatenate(
-        [st[R_OUT : R_OUT + 1], st[R_DONEAT : R_DONEAT + 1],
+        [st[R_OUT : R_OUT + 1] - pstart, st[R_DONEAT : R_DONEAT + 1],
          st[R_RND : R_RND + 1]], axis=0,
     )
     status_ref[:, :] = st[R_ST : R_ST + 1]
@@ -992,22 +1021,29 @@ def _decodebig_kernel(
     jax.jit,
     static_argnames=(
         "oband", "cband", "rw_pad", "ro_pad", "max_rounds", "output_limit",
-        "window_bound", "win_r", "ws_log", "debug_state",
+        "window_bound", "win_r", "ws_log", "pr", "debug_state",
     ),
 )
 def _decodebig_jit(
-    words, n, *, oband, cband, rw_pad, ro_pad, max_rounds, output_limit,
-    window_bound=65535, win_r=0, ws_log=12, debug_state=False,
+    words, n, prefix=None, plen=None, *, oband, cband, rw_pad, ro_pad,
+    max_rounds, output_limit, window_bound=65535, win_r=0, ws_log=12,
+    pr=0, debug_state=False,
 ):
+    if prefix is None:
+        assert pr == 0
+        prefix = jnp.zeros((8, LANES), jnp.int32)
+        plen = jnp.zeros((1, LANES), jnp.int32)
     return pl.pallas_call(
         functools.partial(
             _decodebig_kernel,
             oband=oband, cband=cband, rw_pad=rw_pad, ro_pad=ro_pad,
             max_rounds=max_rounds, output_limit=output_limit,
             window_bound=window_bound, win_r=win_r, ws_log=ws_log,
-            debug_state=debug_state,
+            pr=pr, debug_state=debug_state,
         ),
         in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -1032,7 +1068,7 @@ def _decodebig_jit(
             pltpu.SemaphoreType.DMA,
         ],
         interpret=_interpret(),
-    )(words, n)
+    )(words, n, prefix, plen)
 
 
 
@@ -1130,21 +1166,21 @@ def round_bound(max_comp_len: int, block_maxsize: int) -> int:
 
 
 def decompress_blocks_big(
-    blocks, block_maxsize: int, *, repack: bool = True,
+    blocks, block_maxsize: int, *, repack: bool = True, prefixes=None,
     _window_bound: int = 65535,
     _oband: int | None = None, _cband: int | None = None,
 ):
     """dispatch + collect in one call; see ``dispatch_blocks_big``."""
     return collect_blocks_big(
         dispatch_blocks_big(
-            blocks, block_maxsize, repack=repack,
+            blocks, block_maxsize, repack=repack, prefixes=prefixes,
             _window_bound=_window_bound, _oband=_oband, _cband=_cband,
         )
     )
 
 
 def dispatch_blocks_big(
-    blocks, block_maxsize: int, *, repack: bool = True,
+    blocks, block_maxsize: int, *, repack: bool = True, prefixes=None,
     _window_bound: int = 65535,
     _oband: int | None = None, _cband: int | None = None,
 ):
@@ -1158,7 +1194,12 @@ def dispatch_blocks_big(
     one comp band without cross-band stalls; ``repack=False`` feeds the
     raw streams (used by the banding tests).  The underscore knobs
     shrink the bands/window for CPU-interpret tests; real callers use
-    the defaults."""
+    the defaults.
+
+    ``prefixes`` (optional, per block): dictionary / carryover-window
+    bytes (<= 64 KiB each) the block's offsets may reach back into —
+    seeded into the initial output band, serving dictionary frames and
+    linked-chain wave decode at big-block geometry on-chip."""
     assert len(blocks) <= LANES
     blocks = [bytes(b) for b in blocks]
     nb = len(blocks)
@@ -1166,6 +1207,18 @@ def dispatch_blocks_big(
         return None
     oband = _oband or OBAND
     cband = _cband or CBAND
+    if prefixes is not None:
+        prefixes = [bytes(p or b"")[-65536:] for p in prefixes]
+        assert len(prefixes) == nb
+        if not any(prefixes):
+            prefixes = None
+    max_plen = max((len(p) for p in prefixes), default=0) if prefixes else 0
+    # prefix rows: RING_W-aligned so decoding starts flush-block aligned,
+    # and they must fit the initial output band with working room
+    _pw = -(-max_plen // 4)
+    pr = -(-_pw // RING_W) * RING_W if max_plen else 0
+    # the initial output band must hold the whole prefix plus working room
+    assert pr + OHALF <= oband or not pr, (pr, oband)
 
     win_r = 0
     if repack:
@@ -1202,7 +1255,7 @@ def dispatch_blocks_big(
     rw = -(-maxlen // 4)
     rw_pad = -(-rw // CHALF) * CHALF + cband + CHALF  # DMA always in-bounds
     ro_pad = -(-block_maxsize // 4)
-    ro_pad = -(-ro_pad // OHALF) * OHALF + oband + OHALF
+    ro_pad = pr + -(-ro_pad // OHALF) * OHALF + oband + OHALF
     max_rounds = round_bound(maxlen, block_maxsize)
 
     arr = np.zeros((LANES, rw_pad * 4), np.uint8)
@@ -1223,15 +1276,27 @@ def dispatch_blocks_big(
 
     from ..hostpack import to_device_chunked
 
+    kw = {}
+    if pr:
+        parr = np.zeros((LANES, pr * 4), np.uint8)
+        plen = np.zeros((1, LANES), np.int32)
+        for i, p in enumerate(prefixes):
+            if p:
+                parr[i, pr * 4 - len(p) :] = np.frombuffer(p, np.uint8)
+            plen[0, i] = len(p)
+        kw["prefix"] = to_device_chunked(pack_words_le(parr))
+        kw["plen"] = jnp.asarray(plen)
+
     out_t, out_len, status = _decodebig_jit_t(
         to_device_chunked(words), jnp.asarray(n),
         oband=oband, cband=cband, rw_pad=rw_pad, ro_pad=ro_pad,
         max_rounds=max_rounds, output_limit=block_maxsize,
-        window_bound=_window_bound, win_r=win_r, ws_log=WS_LOG,
+        window_bound=_window_bound, win_r=win_r, ws_log=WS_LOG, pr=pr,
+        **kw,
     )
     return _DispatchedBigBatch(
         out_t=out_t, out_len=out_len, status=status, blocks=blocks,
-        block_maxsize=block_maxsize,
+        block_maxsize=block_maxsize, pr=pr, prefixes=prefixes,
     )
 
 
@@ -1240,7 +1305,8 @@ class _DispatchedBigBatch:
     for a full 128 x 4 MiB batch hold ~540 MB of HBM, so callers keep
     at most a couple in flight."""
 
-    __slots__ = ("out_t", "out_len", "status", "blocks", "block_maxsize")
+    __slots__ = ("out_t", "out_len", "status", "blocks", "block_maxsize",
+                 "pr", "prefixes")
 
     def __init__(self, **kw):
         for k, v in kw.items():
@@ -1251,14 +1317,14 @@ class _DispatchedBigBatch:
     jax.jit,
     static_argnames=(
         "oband", "cband", "rw_pad", "ro_pad", "max_rounds", "output_limit",
-        "window_bound", "win_r", "ws_log",
+        "window_bound", "win_r", "ws_log", "pr",
     ),
 )
-def _decodebig_jit_t(words, n, **kw):
+def _decodebig_jit_t(words, n, prefix=None, plen=None, **kw):
     """_decodebig_jit + on-device transpose: the host unpack becomes one
     contiguous row slice per lane instead of 128 strided column copies
     over a ~0.5 GB buffer."""
-    out_w, out_len, status = _decodebig_jit(words, n, **kw)
+    out_w, out_len, status = _decodebig_jit(words, n, prefix, plen, **kw)
     return out_w.T, out_len, status
 
 
@@ -1270,6 +1336,7 @@ def collect_blocks_big(batch):
     blocks = batch.blocks
     out_len = np.asarray(batch.out_len)[0]
     status = np.asarray(batch.status)[0]
+    pr = batch.pr
     out_b = (
         np.ascontiguousarray(np.asarray(batch.out_t))
         .astype("<i4", copy=False)
@@ -1280,14 +1347,18 @@ def collect_blocks_big(batch):
     for i in range(len(blocks)):
         s = int(status[i])
         if s == OK:
-            results.append(out_b[i, : out_len[i]].tobytes())
+            results.append(
+                out_b[i, pr * 4 : pr * 4 + out_len[i]].tobytes()
+            )
         elif s == STATUS_FALLBACK:
             from ..native import decompress_block as _native_decompress
 
             results.append(
                 bytes(
                     _native_decompress(
-                        blocks[i], b"", output_limit=batch.block_maxsize
+                        blocks[i],
+                        batch.prefixes[i] if batch.prefixes else b"",
+                        output_limit=batch.block_maxsize,
                     )
                 )
             )

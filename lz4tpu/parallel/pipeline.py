@@ -994,7 +994,7 @@ def decompress_frame_parallel(
         # the HBM-staged banded lane kernel; its per-lane fallback covers
         # divergent-ratio stalls.  CPU interpret mode keeps the native
         # engine (the banded kernel is only sensible on real hardware).
-        if jax.default_backend() == "tpu" and not dictionary:
+        if jax.default_backend() == "tpu":
             big = [i for i in rest if len(to_decode[i]) > V4_MAX_COMP]
             if big:
                 from ..kernels.decodebig import (
@@ -1021,6 +1021,9 @@ def decompress_frame_parallel(
                     inflight.append((idxs, dispatch_blocks_big(
                         [to_decode[i] for i in idxs],
                         block_maxsize=reader.block_maxsize,
+                        prefixes=(
+                            [dictionary] * len(idxs) if dictionary else None
+                        ),
                     )))
                     if len(inflight) > 1:
                         _drain_big()
@@ -1209,6 +1212,16 @@ def decompress_frames_parallel(
                     )
                 elif maxc <= V4_MAX_COMP and bms <= V4_MAX_OUT:
                     outs = decompress_blocks_v4(
+                        payloads, block_maxsize=bms, prefixes=prefixes
+                    )
+                elif jax.default_backend() == "tpu":
+                    # big-block linked chains (incl. the reference-default
+                    # 4 MiB geometry) stay ON-CHIP: the banded kernel's
+                    # prefix mode seeds each lane's carryover window into
+                    # its initial output band
+                    from ..kernels.decodebig import decompress_blocks_big
+
+                    outs = decompress_blocks_big(
                         payloads, block_maxsize=bms, prefixes=prefixes
                     )
                 else:

@@ -189,3 +189,44 @@ def test_native_repack_matches_python_oracle():
         except DecodeError as e:
             k2 = e.kind
         assert k1 == k2
+
+
+@pytest.mark.slow
+def test_decodebig_prefix_mode():
+    """Dictionary/window prefixes seeded into the initial output band
+    (decompress.rs:84-99 semantics at big-block geometry): blocks whose
+    offsets reach back into per-lane prefixes must decode in-kernel,
+    including across band advances."""
+    import lz4tpu.kernels.decodebig as dbig
+    import lz4tpu.native as native
+    from lz4tpu.spec.table import prime_u32_table
+
+    prefixes, payloads, comp = [], [], []
+    for s in range(4):
+        pfx = local_data(7000 + s, 3000)
+        # body leads with prefix substrings so early matches MUST reach
+        # back into the seeded prefix rows
+        body = pfx[500:1800] + pfx[2000:2900] + local_data(7100 + s, 40_000)
+        # compress [prefix | body] from cursor=len(prefix): matches may
+        # reach into the prefix
+        t = U32Table()
+        prime_u32_table(t, pfx)
+        c = bytes(compress_block(pfx + body, len(pfx), t))
+        prefixes.append(pfx)
+        payloads.append(body)
+        comp.append(c)
+
+    orig = native.decompress_block
+
+    def no_fallback(*a, **k):
+        raise AssertionError("host fallback used in prefix-mode batch")
+
+    native.decompress_block = no_fallback
+    try:
+        out = dbig.decompress_blocks_big(
+            comp, block_maxsize=1 << 16, prefixes=prefixes,
+            _window_bound=8192, _oband=6144, _cband=2048,
+        )
+    finally:
+        native.decompress_block = orig
+    assert out == payloads
