@@ -387,6 +387,34 @@ def bench_tpu_decodebig(data, bb, m=2):
     return best, len(bigs), in_kernel
 
 
+def bench_tunnel(extra, mb: int = 8):
+    """Host<->device transport floor on this backend.  The frame_* rates
+    are end-to-end (they move the corpus across the link both ways), so
+    their ceiling is the link itself: decoded bytes must come back at
+    the D2H rate no matter how fast the kernels run.  Recording the
+    measured link rates makes that gap auditable (on a production PCIe
+    host the same pipeline code faces a ~16+ GB/s link instead)."""
+    import jax.numpy as jnp
+
+    from lz4tpu.hostpack import to_device_chunked
+
+    a = np.random.default_rng(7).integers(0, 256, mb << 20, np.uint8)
+    h2d = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        d = to_device_chunked(a.reshape(-1, 1024))
+        d.block_until_ready()
+        h2d = max(h2d, mb / (time.perf_counter() - t0))
+    d2h = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(d)
+        d2h = max(d2h, mb / (time.perf_counter() - t0))
+    extra["tunnel_h2d_mbps"] = round(h2d, 1)
+    extra["tunnel_d2h_mbps"] = round(d2h, 1)
+    extra["frame_decode_transport_ceiling_mbps"] = round(d2h, 1)
+
+
 def bench_frame_parallel(data, extra):
     """Whole-frame pipeline on the chip (config #1/#2/#3 shapes)."""
     from lz4tpu.parallel.mesh import make_mesh
@@ -603,14 +631,18 @@ def main() -> None:
         # dedicated corpus big enough to fill the 128 lanes at 1 MiB
         # blocks (32 lanes at 4 MiB; the host repack is the native C++
         # lz4tpu_repack_window pass)
-        try:
-            dbig_mb = float(os.environ.get("LZ4TPU_BENCH_DBIG_MB", "128"))
-            dbig_data = make_corpus(dbig_mb)
-        except Exception:  # pragma: no cover
-            dbig_data = data
-        for name, bb in (("1m", 1 << 20), ("4m", 1 << 22)):
+        for name, bb, mb_default in (
+            ("1m", 1 << 20, 128.0),
+            ("4m", 1 << 22, 512.0),  # full 128-lane occupancy at 4 MiB
+        ):
             try:
+                dbig_mb = float(
+                    os.environ.get(f"LZ4TPU_BENCH_DBIG_MB_{name.upper()}",
+                                   str(mb_default))
+                )
+                dbig_data = make_corpus(dbig_mb)
                 r = bench_tpu_decodebig(dbig_data, bb)
+                del dbig_data
                 if r is None:
                     continue
                 bps, nlanes, in_kernel = r
@@ -620,7 +652,6 @@ def main() -> None:
                 )
             except Exception as e:  # pragma: no cover
                 extra[f"tpu_decodebig_{name}_error"] = str(e)[:160]
-        del dbig_data
 
         # STRICT lane compressor: byte parity with the reference greedy
         try:
@@ -652,6 +683,10 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             extra["tpu_compress128_strict_error"] = str(e)[:160]
 
+        try:
+            bench_tunnel(extra)
+        except Exception as e:  # pragma: no cover
+            extra["tunnel_error"] = str(e)[:160]
         try:
             bench_frame_parallel(data, extra)
         except Exception as e:  # pragma: no cover

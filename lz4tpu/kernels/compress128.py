@@ -463,25 +463,35 @@ def _compress128_kernel(
         sbhs = [hsj[j] >> 3 for j in range(PROBES)]
         pkb = [jnp.broadcast_to(p1, S8) for p1 in pk]
         validb = [jnp.broadcast_to(valids[j], S8) for j in range(PROBES)]
-        accp = [jnp.zeros(S8, jnp.int32) for _ in range(PROBES)]
+        # two-level gather: level 1 accumulates each probe's whole 8-row
+        # slab (ONE mask-FMA per slab per probe — the row compare moves
+        # OUT of the scan); level 2 extracts the bucket row afterwards.
+        # ~3x fewer vreg ops than the row-precise in-scan gather.
+        accs = [jnp.zeros(S8, jnp.int32) for _ in range(PROBES)]
         if STRICT:
-            # two-pass: gather-only sweep, then hit-gated insert sweep —
+            # gather-only sweep here; the hit-gated insert sweep below —
             # C never probes past a hit, so later inserts must not land
             for st_ in range(0 if "nosweep" in TIMING else T_ROWS // 8):
                 slab = table_ref[st_ * 8 : st_ * 8 + 8, :]
                 for j in range(PROBES):
-                    oh = rowcmps[j] & jnp.broadcast_to(sbhs[j] == st_, S8)
-                    accp[j] = accp[j] + slab * oh.astype(jnp.int32)
+                    m = jnp.broadcast_to(sbhs[j] == st_, S8)
+                    accs[j] = accs[j] + slab * m.astype(jnp.int32)
         else:
             for st_ in range(0 if "nosweep" in TIMING else T_ROWS // 8):
                 slab = table_ref[st_ * 8 : st_ * 8 + 8, :]
                 news = slab
                 for j in range(PROBES):
-                    oh = rowcmps[j] & jnp.broadcast_to(sbhs[j] == st_, S8)
-                    accp[j] = accp[j] + slab * oh.astype(jnp.int32)
-                    news = jnp.where(oh & validb[j], pkb[j], news)
+                    m = jnp.broadcast_to(sbhs[j] == st_, S8)
+                    accs[j] = accs[j] + slab * m.astype(jnp.int32)
+                    news = jnp.where(
+                        rowcmps[j] & m & validb[j], pkb[j], news
+                    )
                 table_ref[st_ * 8 : st_ * 8 + 8, :] = news
-        cands = [jnp.sum(accp[j], axis=0, keepdims=True) for j in range(PROBES)]
+        cands = [
+            jnp.sum(accs[j] * rowcmps[j].astype(jnp.int32), axis=0,
+                    keepdims=True)
+            for j in range(PROBES)
+        ]
         # fix-ups: probe j must see the pending reinsert and probes i<j
         if STRICT:
             for j in range(PROBES):

@@ -86,8 +86,12 @@ FAR_G = int(_os2.environ.get("LZ4TPU_D128_FARG", "256"))  # far group granularit
 # tools/sim_d128_seqk.py) — so a small mid is now ON by default.
 MID_CAP = int(_os1.environ.get("LZ4TPU_D128_MIDW", "512"))
 # row-sum budget anchored on observed v5e compiles: 16.26 MB row sum
-# (53 KB comp, no mid) ran; 16.52 MB (mid 512) OOMed by 3 KB
-VMEM_ROWSUM_BUDGET = 16_300_000
+# (53 KB comp, no mid) ran; 16.52 MB (mid 512) OOMed by 3 KB; the
+# RING_W=192 flush-gated build OOMed scoped stack by 16 KB at mid 384
+# (the budget also proxies for temporaries that scale with ring rows)
+VMEM_ROWSUM_BUDGET = int(
+    _os1.environ.get("LZ4TPU_D128_VMEM", "16_100_000").replace("_", "")
+)
 import os as _os
 
 # bytes per chunk per round.  16 measured best on mixed corpora (271.7
@@ -124,9 +128,22 @@ FAR_W = FAR_G + _MARGIN  # far page rows: group + chunk margin
 # and place2's word-granular slop tail must not lap unflushed bytes
 # (fill + 2*CB + 3 <= ring bytes — see the slop-invariant note).  At
 # CB=64 both cannot hold in a 256 B ring, hence the bigger default.
+# The round-4 flush gating (FLUSH_K) needs extra headroom: fill can
+# overshoot the threshold by FLUSH_K-1 rounds of _NCHUNK*CB bytes.
 RING_W = int(
     _os1.environ.get(
-        "LZ4TPU_D128_RINGW", {8: "64", 16: "128", 32: "128", 64: "128"}[CB]
+        "LZ4TPU_D128_RINGW", {8: "128", 16: "192", 32: "192", 64: "256"}[CB]
+    )
+)
+# flush-sweep gating: the sweep's cost is its firing lanes' fw SPREAD in
+# ring-block RMWs and it fired nearly every round (measured 35.5% of the
+# round, chip decomposition r4).  Granting flushes only on rounds
+# r % FLUSH_K == 0 and draining each firing lane DOWN TO a fixed
+# residual (instead of a fixed FLUSH_B quantum) cuts invocations ~K-fold
+# at the same average drain rate; the ring holds the overshoot.
+FLUSH_K = int(
+    _os1.environ.get(
+        "LZ4TPU_D128_FLUSHK", {8: "2", 16: "4", 32: "2", 64: "2"}[CB]
     )
 )
 # ring flush granularity (bytes; FLUSH_B/4 word rows).  The flush sweep
@@ -143,11 +160,22 @@ FLUSH_THRESH = min(
     RING_W * 4 - _NCHUNK * CB - 4,
 )
 FLUSH_B = min(
-    int(_os1.environ.get("LZ4TPU_D128_FLUSHB", str(RING_W * 2))),
+    int(_os1.environ.get("LZ4TPU_D128_FLUSHB", "256")),
     (FLUSH_THRESH // 64) * 64,
 )
+# drain-to-residual: a firing lane drains to this fill level (word-
+# granular), re-crossing the threshold only after FLUSH_THRESH -
+# FLUSH_RESID more output bytes.  The residual is what stays "near"
+# (served from the pre-place ring): draining too deep reclassifies
+# recent sources as far/mid and inflates far rebuilds.
+FLUSH_RESID = int(_os1.environ.get("LZ4TPU_D128_FLUSHR", "144"))
+assert 0 <= FLUSH_RESID <= FLUSH_THRESH - 64
 assert FLUSH_THRESH >= FLUSH_B, (RING_W, CB)
-assert FLUSH_THRESH - 1 + _NCHUNK * CB + 3 <= RING_W * 4
+# gated-overshoot capacity: fill can reach FLUSH_THRESH + (FLUSH_K-1)
+# rounds of _NCHUNK*CB bytes before the next grant, plus the place slop
+assert (
+    FLUSH_THRESH - 1 + FLUSH_K * _NCHUNK * CB + 3 <= RING_W * 4
+), (RING_W, CB, FLUSH_K)
 LSIC_STEPS = int(_os.environ.get("LZ4TPU_D128_LSIC", "8"))  # unrolled LSIC ext bytes/field
 # comp-page refill gating (same scheme as compress128): the cursor-side
 # page advances monotonically with the parse, so with 128 desynced lanes
@@ -465,19 +493,29 @@ def _decode128_kernel(
 
         active = active & (status == OK)
 
-        # ---- ring flush (before placement so space always suffices) ----
+        # ---- ring flush (before placement so space always suffices).
+        # Gated to rounds r % FLUSH_K == 0 (the ring holds the
+        # overshoot), and firing lanes drain DOWN TO the fixed residual
+        # in one sweep — ~K-fold fewer sweep invocations at the same
+        # average drain rate (the sweep costs its firing lanes' fw
+        # spread in ring-block RMWs regardless of the drain size) ----
         ring0 = ring_ref[:, :]
-        do_flush = active & (out - flushed >= FLUSH_THRESH)
+        do_flush = (
+            active & (out - flushed >= FLUSH_THRESH)
+            & (jax.lax.rem(r, FLUSH_K) == 0)
+        )
+        nwf = jnp.where(
+            do_flush, (out - flushed - FLUSH_RESID) >> 2, 0
+        )
 
         @pl.when(jnp.any(do_flush))
         def _():
             fw = flushed >> 2
-            nw = jnp.where(do_flush, FLUSH_B >> 2, 0)
-            sweep_flush(ring0, fw, nw)
+            sweep_flush(ring0, fw, nwf)
             if variant == "flush2x":  # timing probe: idempotent re-sweep,
-                sweep_flush(ring0, fw, nw)  # delta vs full = flush share
+                sweep_flush(ring0, fw, nwf)  # delta vs full = flush share
 
-        flushed = jnp.where(do_flush, flushed + FLUSH_B, flushed)
+        flushed = flushed + nwf * 4
 
         # ---- literal chunk ----
         # a lane stalled on its literal-source group idles its copy too
@@ -986,6 +1024,9 @@ def buffer_rows(max_comp_len: int, block_maxsize: int, prefix_len: int = 0):
     pr = -(-pr // RING_W) * RING_W
     ro = pr + -(-block_maxsize // 4)
     ro = -(-ro // FAR_G) * FAR_G + FAR_W
+    # the flush sweep covers whole RING_W blocks (out_rows // ring_w of
+    # them) — pad ro to a RING_W multiple so tail rows stay sweepable
+    ro = -(-ro // RING_W) * RING_W
     return rw, ro, pr
 
 

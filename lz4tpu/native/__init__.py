@@ -360,3 +360,86 @@ def prime_tables_native(data, starts, wlens, base_offs, hashlog: int) -> np.ndar
         n, hashlog, tables.ctypes.data,
     )
     return tables
+
+
+_lib.lz4tpu_tail_split.restype = ctypes.c_int64
+_lib.lz4tpu_tail_split.argtypes = [
+    ctypes.c_char_p, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_void_p,
+]
+
+
+def tail_split(stream) -> tuple[int, int]:
+    """(token position, literal count) of a raw block stream's final
+    literal-only sequence; DecodeError on malformed streams."""
+    stream = bytes(stream)
+    tp = np.zeros(1, np.uint64)
+    tl = np.zeros(1, np.uint64)
+    rc = _lib.lz4tpu_tail_split(
+        stream, len(stream), tp.ctypes.data, tl.ctypes.data
+    )
+    if rc < 0:
+        raise DecodeError(DecodeError.KIND_UNEXPECTED_END)
+    return int(tp[0]), int(tl[0])
+
+
+def splice_streams(payloads) -> bytes:
+    """Concatenate standalone raw LZ4 streams into ONE valid stream
+    decoding to the concatenation of their outputs.  LZ4 is
+    end-delimited: each interior stream's final literal-only sequence
+    has no offset field, so its literal bytes are merged into the NEXT
+    stream's first sequence (literal-length header rewritten)."""
+    out = bytearray()
+    pending = b""
+    for idx, p in enumerate(payloads):
+        p = bytes(p)
+        if idx < len(payloads) - 1:
+            tpos, tlit = tail_split(p)
+            body = p[:tpos]
+            lits = p[len(p) - tlit :] if tlit else b""
+        else:
+            body, lits = p, b""
+        if not body:
+            pending = pending + lits
+            continue
+        if pending:
+            tok = body[0]
+            lit = tok >> 4
+            pos = 1
+            if lit == 0xF:
+                while True:
+                    b = body[pos]
+                    pos += 1
+                    lit += b
+                    if b != 0xFF:
+                        break
+            total = lit + len(pending)
+            hdr = bytearray()
+            if total >= 15:
+                hdr.append(0xF0 | (tok & 0xF))
+                rem = total - 15
+                while rem >= 255:
+                    hdr.append(255)
+                    rem -= 255
+                hdr.append(rem)
+            else:
+                hdr.append((total << 4) | (tok & 0xF))
+            out += hdr
+            out += pending
+            out += body[pos:]
+        else:
+            out += body
+        pending = lits
+    if pending:
+        # every stream was literal-only: emit one literal tail
+        total = len(pending)
+        if total >= 15:
+            out.append(0xF0)
+            rem = total - 15
+            while rem >= 255:
+                out.append(255)
+                rem -= 255
+            out.append(rem)
+        else:
+            out.append(total << 4)
+        out += pending
+    return bytes(out)

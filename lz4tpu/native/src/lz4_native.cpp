@@ -740,3 +740,47 @@ extern "C" void lz4tpu_prime_tables(
         }
     }
 }
+
+// Find the final (literal-only, end-of-stream) sequence of a raw LZ4
+// block stream: its token position and literal count.  Used by the
+// frame layer's chunk splicer — concatenating standalone streams is
+// only valid if interior tails are merged into the next stream's first
+// sequence (the format is end-delimited: a bare trailing literal token
+// would make the decoder read the next chunk's bytes as its offset).
+extern "C" i64 lz4tpu_tail_split(const u8* in, u64 n, u64* tail_pos,
+                                 u64* tail_lit) {
+    u64 pos = 0, last_tok = 0, last_lit = 0;
+    while (pos < n) {
+        last_tok = pos;
+        u8 tok = in[pos++];
+        u64 lit = tok >> 4;
+        if (lit == 0xF) {
+            for (;;) {
+                if (pos >= n) return -1;
+                u8 b = in[pos++];
+                lit += b;
+                if (b != 0xFF) break;
+            }
+        }
+        pos += lit;
+        last_lit = lit;
+        if (pos >= n) {
+            if (pos > n) return -1;
+            break;  // literal-only tail ends the stream
+        }
+        if (pos + 2 > n) return -1;
+        pos += 2;
+        u64 ml = tok & 0xF;
+        if (ml == 0xF) {
+            for (;;) {
+                if (pos >= n) return -1;
+                u8 b = in[pos++];
+                ml += b;
+                if (b != 0xFF) break;
+            }
+        }
+    }
+    *tail_pos = last_tok;
+    *tail_lit = last_lit;
+    return 0;
+}

@@ -554,8 +554,12 @@ def compress_frame_parallel(
     chunk_size = min(block_size, C128_MAX_B) if use_lanes else block_size
     window = WINDOW_SIZE if parallel_linked else 0
     if use_lanes:
+        # chunks carry windows whenever they are linked, dictionary-
+        # seeded, or merged into larger output blocks (in-block windows)
         lane_plen = (
-            WINDOW_SIZE if (parallel_linked or dictionary) else 0
+            WINDOW_SIZE
+            if (parallel_linked or dictionary or block_size > C128_MAX_B)
+            else 0
         )
         while chunk_size > 2048 and not _c128_eligible(chunk_size, lane_plen):
             chunk_size //= 2
@@ -612,19 +616,40 @@ def compress_frame_parallel(
             data[i * chunk_size : i * chunk_size + int(lens[i])]
             for i in range(n_blocks)
         ]
-        # per-block windows: linked mode reaches into the previous
+        # chunks per OUTPUT frame block: when the lane kernel's VMEM
+        # budget shrank the chunk below the requested block size, the
+        # chunk streams of one output block are compressed with IN-BLOCK
+        # windows and concatenated into a single valid LZ4 block of the
+        # requested size (offsets stay valid across chunk joins because
+        # the decoder's output is continuous) — this is how the
+        # reference-default 4 MiB geometry compresses on-chip
+        # ("compressbig").  NOT byte-identical to the serial writer: the
+        # C greedy parse's table state is a strictly sequential chain
+        # over the whole block (every probed slot depends on every prior
+        # probe), so a byte-exact parallel big-block parse cannot exist;
+        # the byte-exact path for big blocks remains the host engine /
+        # scalar kernel routing (engine("native"/"tpu") streaming writer).
+        cpb = max(block_size // chunk_size, 1)
+        # per-chunk windows: linked mode reaches into the previous
         # blocks' decoded output (= raw data, trailing <= 64 KiB;
         # framed/compress.rs:271-275), with block 0 seeded from the
-        # dictionary tail; independent+dict mode broadcasts the
-        # dictionary as every block's window (framed/compress.rs:202-218)
+        # dictionary tail; independent mode windows stay INSIDE the
+        # chunk's output block (each block's offsets must resolve
+        # without neighbors), seeded from the broadcast dictionary
+        # (framed/compress.rs:202-218)
         if parallel_linked:
             lane_prefixes = [
                 (dictionary or b"")[-WINDOW_SIZE:] if i == 0
                 else data[max(0, i * chunk_size - WINDOW_SIZE) : i * chunk_size]
                 for i in range(n_blocks)
             ]
-        elif dictionary:
-            lane_prefixes = [dictionary[-WINDOW_SIZE:]] * n_blocks
+        elif cpb > 1 or dictionary:
+            dtail = (dictionary or b"")[-WINDOW_SIZE:]
+            lane_prefixes = [
+                (dtail + data[(i // cpb) * cpb * chunk_size : i * chunk_size])
+                [-WINDOW_SIZE:]
+                for i in range(n_blocks)
+            ]
         else:
             lane_prefixes = None
         lane_payloads = []
@@ -638,19 +663,34 @@ def compress_frame_parallel(
                 dispatch_compress_windowed,
             )
 
-            # linked mode with chunk | 64 KiB: batches past the first
-            # build their [window|block] buffers ON DEVICE from the flat
-            # block matrix (uploaded once) — each lane's window is
-            # exactly the previous window//chunk blocks, so the host
-            # neither copies nor transfers the ~9x redundant window
-            # bytes (the round-3 config-#3 bottleneck)
-            k = WINDOW_SIZE // chunk_size if parallel_linked else 0
+            # chunk batches whose lanes ALL carry full same-source
+            # windows build their [window|block] buffers ON DEVICE from
+            # the flat block matrix (uploaded once) — the host neither
+            # copies nor transfers the ~9x redundant window bytes (the
+            # round-3 config-#3 bottleneck).  Linked mode: every batch
+            # past the first k chunks; independent merge mode: batches
+            # clear of each output block's first k chunks (those carry
+            # partial/dictionary windows through the host-packed path).
+            k = WINDOW_SIZE // chunk_size
             use_windowed = (
-                parallel_linked
-                and not c128.STRICT
+                not c128.STRICT
                 and WINDOW_SIZE % chunk_size == 0
+                and chunk_size <= WINDOW_SIZE
                 and n_blocks > 128
+                and (parallel_linked or cpb > k)
             )
+
+            def _batch_windowed(base, nb):
+                if base < k:
+                    return False
+                if parallel_linked:
+                    return True
+                # no output-block head window (chunk j%cpb < k) in range
+                for b in range(base // cpb, (base + nb) // cpb + 1):
+                    if b * cpb + k > base and b * cpb < base + nb:
+                        return False
+                return True
+
             flat_dev = None
             if use_windowed:
                 from ..hostpack import to_device_chunked
@@ -667,7 +707,7 @@ def compress_frame_parallel(
             inflight = []
             for base in range(0, n_blocks, batch):
                 nb = min(batch, n_blocks - base)
-                if use_windowed and base >= k:
+                if use_windowed and _batch_windowed(base, nb):
                     inflight.append(dispatch_compress_windowed(
                         flat_dev, data, base, nb, lens,
                         chunk=chunk_size, window=WINDOW_SIZE,
@@ -757,21 +797,39 @@ def compress_frame_parallel(
     header.append((xxh32(header[4:]) >> 8) & 0xFF)
 
     parts = [bytes(header)]
-    for i in range(n_blocks):
-        if lens[i] == 0:
+    # chunks per emitted frame block: the lane path concatenates each
+    # output block's chunk streams into ONE block of the requested size
+    # (in-block windows keep every offset resolvable); other paths emit
+    # chunk-sized blocks (valid LZ4 — BD is a maximum)
+    group = max(block_size // chunk_size, 1) if lane_payloads is not None else 1
+    for ob in range(0, n_blocks, group):
+        idxs = [i for i in range(ob, min(ob + group, n_blocks)) if lens[i]]
+        if not idxs:
             continue  # no zero-length blocks: 0 is the EndMark
-        raw = data[i * chunk_size : i * chunk_size + int(lens[i])]
+        blk_len = sum(int(lens[i]) for i in idxs)
+        raw = data[ob * chunk_size : ob * chunk_size + blk_len]
         if lane_payloads is not None:
             # incompressible fallback applied host-side: the lane kernel
             # has no emission cap, so the cap semantics (output <= input,
-            # framed/compress.rs NoPartialWrites) are enforced here
-            incompressible = len(lane_payloads[i]) > len(raw)
-            payload = raw if incompressible else lane_payloads[i]
+            # framed/compress.rs NoPartialWrites) are enforced here.
+            # Chunk streams SPLICE (not concat): LZ4 is end-delimited, so
+            # interior chunks' literal-only tails merge into the next
+            # chunk's first sequence (native.splice_streams)
+            if len(idxs) > 1:
+                from ..native import splice_streams
+
+                payload = splice_streams([lane_payloads[i] for i in idxs])
+            else:
+                payload = lane_payloads[idxs[0]]
+            incompressible = len(payload) > blk_len
         else:
-            incompressible = status[i] == kcompress.STATUS_INCOMPRESSIBLE
-            payload = raw if incompressible else out_u8[i, : out_len[i]].tobytes()
+            incompressible = status[ob] == kcompress.STATUS_INCOMPRESSIBLE
+            payload = (
+                raw if incompressible else out_u8[ob, : out_len[ob]].tobytes()
+            )
         if incompressible:
-            parts.append((int(lens[i]) | INCOMPRESSIBLE).to_bytes(4, "little"))
+            payload = raw
+            parts.append((blk_len | INCOMPRESSIBLE).to_bytes(4, "little"))
         else:
             parts.append(len(payload).to_bytes(4, "little"))
         parts.append(payload)

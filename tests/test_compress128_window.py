@@ -70,11 +70,13 @@ def test_compress128_lane_linked_and_dict_frames(corpus_sample):
         )
         assert decompress_frame(f3, engine="native", dictionary=dic) == data2
 
-        # linked windows must beat independent chunks on this data
+        # Independent frames with merged blocks now carry IN-BLOCK
+        # windows, so they compress as well as linked frames on
+        # single-block data; linked must never be worse
         f4 = compress_frame_parallel(
             data, block_size=1 << 16, mesh=mesh, lane_kernel=True
         )
-        assert len(f1) < len(f4)
+        assert len(f1) <= len(f4)
     finally:
         c128.HASHLOG, c128.MAX_B = old_hl, old_maxb
 
@@ -143,3 +145,64 @@ def test_windowed_device_build_matches_host_pack(corpus_sample):
     prefixes = [data[(start + j) * chunk - window : (start + j) * chunk] for j in range(nb)]
     host_out = c128.compress_blocks_128(blocks, prefixes=prefixes)
     assert dev_out == host_out
+
+
+def test_splice_streams_merges_tails(corpus_sample):
+    """native.splice_streams: standalone chunk streams merge into one
+    valid stream decoding to the concatenated outputs (the interior
+    literal-only tails fold into the next chunk's first sequence)."""
+    from lz4tpu.native import compress_block, decompress_block, splice_streams
+    from lz4tpu.spec.table import U32Table, prime_u32_table
+
+    data = corpus_sample(55, 50_000)
+    chunk, W = 4096, 16384
+    n = len(data) // chunk
+    payloads = []
+    for i in range(n):
+        pfx = data[max(0, i * chunk - W) : i * chunk]
+        t = U32Table()
+        prime_u32_table(t, pfx)
+        payloads.append(
+            bytes(compress_block(pfx + data[i * chunk : (i + 1) * chunk],
+                                 len(pfx), t))
+        )
+    cat = splice_streams(payloads)
+    assert bytes(decompress_block(cat, b"", output_limit=n * chunk * 2)) \
+        == data[: n * chunk]
+    # all-literal chunks splice too
+    rnd = bytes(range(256)) * 8
+    lit_payloads = [b"\xf0" + bytes([256 - 15]) + rnd[:256],
+                    b"\x50" + rnd[256:261]]
+    cat2 = splice_streams(lit_payloads)
+    assert bytes(decompress_block(cat2, b"", output_limit=1024)) == rnd[:261]
+
+
+@pytest.mark.slow
+def test_big_block_merged_frame_roundtrip(corpus_sample):
+    """compressbig: frame blocks larger than the lane kernel's chunk
+    compress as spliced in-block-windowed chunk streams — ONE real block
+    of the requested size per group, decodable by any LZ4 reader."""
+    import lz4tpu
+    from lz4tpu.parallel.mesh import make_mesh
+    from lz4tpu.parallel.pipeline import compress_frame_parallel
+
+    mesh = make_mesh(1)
+    data = corpus_sample(60, 500_000)
+    frame = compress_frame_parallel(
+        data, block_size=1 << 18, mesh=mesh, lane_kernel=True
+    )
+    assert lz4tpu.decompress_frame(frame, engine="native") == data
+    # block structure: true 256 KiB blocks (not chunk-sized)
+    from lz4tpu.frame.decompress import LZ4FrameReader, _read_exact
+    from lz4tpu.frame.header import INCOMPRESSIBLE
+
+    r = LZ4FrameReader(frame, engine="native")
+    sizes = []
+    while True:
+        bl = int.from_bytes(_read_exact(r.reader, 4), "little")
+        if bl == 0:
+            break
+        bl &= ~INCOMPRESSIBLE & 0xFFFFFFFF
+        _read_exact(r.reader, bl)
+        sizes.append(bl)
+    assert len(sizes) == 2  # 500 KB at 256 KiB blocks

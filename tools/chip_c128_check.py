@@ -19,8 +19,9 @@ def main():
 
     print("backend:", jax.default_backend(),
           f"hashlog={c128.HASHLOG} probes={c128.PROBES}", flush=True)
+    import os
     data = make_corpus(8.0)
-    blk = c128.MAX_B
+    blk = int(os.environ.get("C128_BLK", str(c128.MAX_B)))
     blocks = [data[i : i + blk] for i in range(0, len(data), blk)][:128]
     comp = c128.compress_blocks_128(blocks)
     for b, c in zip(blocks, comp):

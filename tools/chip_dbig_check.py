@@ -43,10 +43,12 @@ def main() -> None:
     assert exact == len(blocks)
 
     # chained throughput (fetch-forced) on the window-aligned layout
-    packed = [dbig._repack_block(c, block) for c in comp]
-    maxchunk = max(len(ch) for p_, _ in packed for ch in p_)
+    from lz4tpu.native import repack_window_into, repack_window_lens
+
+    chunk_lens = [repack_window_lens(c, block, dbig.WS_LOG) for c in comp]
+    maxchunk = max(int(cl.max()) for cl, _ in chunk_lens)
     win_r = -(-(maxchunk + 16) // 512) * 512
-    lens = [(len(ch) - 1) * win_r + len(ch[-1]) for ch, _ in packed]
+    lens = [(len(cl) - 1) * win_r + int(cl[-1]) for cl, _ in chunk_lens]
     maxlen = max(lens)
     rw = -(-maxlen // 4)
     rw_pad = -(-rw // dbig.CHALF) * dbig.CHALF + dbig.CBAND + dbig.CHALF
@@ -54,19 +56,18 @@ def main() -> None:
         -(-block // 4 // dbig.OHALF) * dbig.OHALF + dbig.OBAND + dbig.OHALF
     )
     mr = dbig.round_bound(maxlen, block)
-    arr = np.zeros((128, rw_pad * 4), np.uint8)
+    arr = np.zeros((len(comp), rw_pad * 4), np.uint8)
     n = np.zeros((1, 128), np.int32)
-    for i, (ch, _) in enumerate(packed):
-        for k, c in enumerate(ch):
-            arr[i, k * win_r : k * win_r + len(c)] = np.frombuffer(
-                bytes(c), np.uint8
-            )
+    for i, c in enumerate(comp):
+        repack_window_into(c, block, dbig.WS_LOG, win_r, arr[i])
         n[0, i] = lens[i]
-    w = arr.reshape(128, rw_pad, 4).astype(np.uint32)
-    words = (
-        w[:, :, 0] | (w[:, :, 1] << 8) | (w[:, :, 2] << 16) | (w[:, :, 3] << 24)
-    ).astype(np.int32).T
-    d_words = jnp.asarray(np.ascontiguousarray(words))
+    if len(comp) < 128:
+        arr = np.concatenate(
+            [arr, np.zeros((128 - len(comp), rw_pad * 4), np.uint8)]
+        )
+    from lz4tpu.hostpack import pack_words_le, to_device_chunked
+
+    d_words = to_device_chunked(pack_words_le(arr))
     d_n = jnp.asarray(n)
     print(f"repacked: win_r={win_r} maxlen={maxlen}", flush=True)
 
