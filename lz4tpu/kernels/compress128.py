@@ -540,7 +540,8 @@ def _compress128_kernel(
             pkpb = jnp.broadcast_to(pkpnd, S8)
             rowp = rowi8 == jnp.broadcast_to(hpnd & 7, S8)
             sbp = hpnd >> 3
-            for st_ in range(0 if "nosweep" in TIMING else T_ROWS // 8):
+            _skip_ins = "nosweep" in TIMING or "noinsert" in TIMING
+            for st_ in range(0 if _skip_ins else T_ROWS // 8):
                 slab = table_ref[st_ * 8 : st_ * 8 + 8, :]
                 news = jnp.where(
                     rowp & jnp.broadcast_to(sbp == st_, S8) & pndb, pkpb, slab

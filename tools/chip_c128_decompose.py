@@ -15,7 +15,10 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-VARIANTS = ["", "nosweep", "noplace", "noflush", "noextend", "noprobeword", "nolit"]
+VARIANTS = [
+    "", "nosweep", "noinsert", "noplace", "noflush", "noextend",
+    "noprobeword", "nolit",
+]
 ROUNDS = 4096
 
 
@@ -27,7 +30,7 @@ def run_one(variant):
     from lz4tpu.kernels import compress128 as c128
 
     data = make_corpus(8.0)
-    blk = c128.MAX_B
+    blk = int(os.environ.get("C128_BLK", str(c128.MAX_B)))
     blocks = [data[i : i + blk] for i in range(0, len(data), blk)][:128]
     maxlen = max(len(b) for b in blocks)
     ri = -(-maxlen // 4)
