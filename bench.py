@@ -322,6 +322,88 @@ def bench_tpu_compress128(data, m=4, blk=None):
     return best, ratio
 
 
+def bench_tpu_compressbig(extra, m=3):
+    """compressbig: reference-default 4 MiB frame blocks compressed
+    on-chip as spliced in-block-windowed lane chunks.  End-to-end rate
+    (pipelined, transport-bound on this backend) + the chained kernel
+    rate of the windowed batch (the in-kernel compressbig throughput)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lz4tpu import decompress_frame
+    from lz4tpu.hostpack import to_device_chunked
+    from lz4tpu.kernels import compress128 as c128
+    from lz4tpu.native import prime_tables_native
+    from lz4tpu.parallel.mesh import make_mesh
+    from lz4tpu.parallel.pipeline import compress_frame_parallel
+
+    data = make_corpus(32.0)
+    mesh = make_mesh(1)
+    frame = compress_frame_parallel(
+        data, block_size=4 << 20, mesh=mesh, lane_kernel=True
+    )
+    assert decompress_frame(frame, engine="native") == data
+    extra["tpu_compressbig_ratio"] = round(len(frame) / len(data), 4)
+    t0 = time.perf_counter()
+    compress_frame_parallel(
+        data, block_size=4 << 20, mesh=mesh, lane_kernel=True
+    )
+    extra["tpu_compressbig_mbps"] = round(
+        len(data) / (time.perf_counter() - t0) / 1e6, 1
+    )
+
+    # chained kernel rate of one windowed 128-lane batch
+    chunk = 8192
+    W = 1 << 16
+    k = W // chunk
+    ri = -(-(chunk + W) // 4)
+    ri = -(-ri // c128.GROUP_W) * c128.GROUP_W + c128.PAGE_W
+    maxout = chunk + chunk // 255 + 16
+    ro = (-(-maxout // 4) // c128.RING_W + 2) * c128.RING_W
+    max_rounds = chunk + maxout // c128.CB + chunk // c128.CB + 256
+    base = 128  # batch fully interior to block 0 (4 MiB = 512 chunks)
+    arr = np.frombuffer(data[: (base + 128) * chunk], np.uint8).reshape(
+        -1, chunk
+    )
+    buf = np.zeros((128, ri * 4), np.uint8)
+    n = np.zeros((1, 128), np.int32)
+    cur0 = np.full((1, 128), W, np.int32)
+    for j in range(128):
+        s = (base + j) * chunk
+        buf[j, : W + chunk] = np.frombuffer(data[s - W : s + chunk], np.uint8)
+        n[0, j] = W + chunk
+    from lz4tpu.hostpack import pack_words_le
+
+    d_words = jnp.asarray(pack_words_le(buf))
+    d_n, d_c = jnp.asarray(n), jnp.asarray(cur0)
+    gst = (np.arange(128, dtype=np.int64) + base) * chunk
+    tinit = jnp.asarray(prime_tables_native(
+        data, gst, np.full(128, W, np.int64), np.zeros(128, np.int64),
+        c128.HASHLOG,
+    ))
+    total = 128 * chunk
+
+    @jax.jit
+    def chain(wds):
+        _, ol = c128._compress128_jit(
+            wds, d_n, d_c, tinit,
+            ri=ri, ro=ro, max_rounds=max_rounds, hashlog=c128.HASHLOG,
+        )
+        return wds ^ (ol.sum() * 0), ol
+
+    _, ol = chain(d_words)
+    np.asarray(ol)
+    best = 0.0
+    for _ in range(3):
+        a = d_words
+        t0 = time.perf_counter()
+        for _ in range(m):
+            a, ol = chain(a)
+        np.asarray(ol[:1])
+        best = max(best, total / ((time.perf_counter() - t0) / m))
+    extra["tpu_compressbig_kernel_mbps"] = round(best / 1e6, 1)
+
+
 def bench_tpu_decodebig(data, bb, m=2):
     """HBM-staged banded decode of >=256 KiB blocks: bit-exactness through
     the wrapper once, then the chained on-device protocol on the
@@ -444,7 +526,23 @@ def bench_frame_parallel(data, extra):
     )
     assert out == fdata
     extra["frame_parallel_ratio"] = round(len(frame) / len(fdata), 4)
-    del fdata, frame, out
+    # fast mode: lane-kernel frames (valid LZ4, in-block windows, not
+    # byte-identical to the serial writer) — the throughput-first writer
+    from lz4tpu import decompress_frame as _df
+
+    ff = compress_frame_parallel(
+        fdata, block_size=BLOCK, mesh=mesh, lane_kernel=True
+    )
+    assert _df(ff, engine="native") == fdata
+    t0 = time.perf_counter()
+    compress_frame_parallel(
+        fdata, block_size=BLOCK, mesh=mesh, lane_kernel=True
+    )
+    extra["frame_compress_fast_mbps"] = round(
+        len(fdata) / (time.perf_counter() - t0) / 1e6, 1
+    )
+    extra["frame_compress_fast_ratio"] = round(len(ff) / len(fdata), 4)
+    del fdata, frame, out, ff
 
     # config #3: linked + broadcast dictionary compressed on-chip by the
     # WINDOWED lane kernel (per-lane [window|block] + host-primed tables)
@@ -663,6 +761,11 @@ def main() -> None:
                 )
             except Exception as e:  # pragma: no cover
                 extra[f"tpu_decodebig_{name}_error"] = str(e)[:160]
+
+        try:
+            bench_tpu_compressbig(extra)
+        except Exception as e:  # pragma: no cover
+            extra["tpu_compressbig_error"] = str(e)[:160]
 
         # STRICT lane compressor: byte parity with the reference greedy
         try:
