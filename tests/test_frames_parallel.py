@@ -80,3 +80,25 @@ def test_mixed_frames_and_checksums(corpus_sample):
     bad[-1] ^= 0xFF
     with pytest.raises(FrameChecksumFail):
         decompress_frames_parallel([bytes(bad)], mesh=mesh)
+
+
+@pytest.mark.slow
+def test_linked_frames_wave_decode_big_blocks(corpus_sample):
+    """Linked chains at big-block geometry (>= 256 KiB blocks): on the
+    TPU backend each wave rides decodebig's PREFIX mode (per-lane
+    carryover windows seeded into the initial output band); on CPU the
+    wave falls back to the host engine — both must be exact."""
+    mesh = make_mesh(1)
+    frames, datas = [], []
+    for s in range(3):
+        data = corpus_sample(2200 + s, 600_000 + s * 120_000)
+        frames.append(
+            CompressionSettings()
+            .engine("native")
+            .block_size(1 << 18)
+            .independent_blocks(False)
+            .compress_bytes(data)
+        )
+        datas.append(data)
+    out = decompress_frames_parallel(frames, mesh=mesh)
+    assert out == datas
