@@ -134,7 +134,12 @@ MAX_B = 32 << 10  # per-lane input cap (VMEM budget)
 (C_CUR, C_ANCHOR, C_PH, C_OUT, C_FLUSH, C_GB, C_GB2, C_MOFF, C_MSTART,
  C_MLEN, C_EMR, C_LREM, C_LSRC, C_TAIL, C_DONE, C_FAIL, C_MISS,
  C_STEP, C_RQ, C_RSC, C_RST, C_PND) = range(22)
-NSTATE = 22
+# strict-mode deferred probe inserts: 2 rows per probe (bucket hash,
+# -1 = empty; packed pos17|tag15 value).  A round's probe inserts land
+# in the NEXT round's single fused sweep; reads see them via fixups.
+C_PP0 = 22
+NSTATE = 22 + 2 * PROBES  # rows reserved regardless of mode (STRICT is
+# toggled at runtime by tests/bench; non-strict rounds leave them zero)
 SKIP_TRIGGER = 6  # C-style skip acceleration (raw/compress/mod.rs:147-148)
 
 HASH_MUL = np.uint32(2654435761)
@@ -251,6 +256,14 @@ def _compress128_kernel(
         stepv = row(C_STEP)
         rq, rsc, rst = row(C_RQ), row(C_RSC), row(C_RST)
         pnd = row(C_PND)
+        if STRICT:
+            # deferred probe inserts from the lane's last search round
+            # (hash -1 = empty).  Reapplying an already-applied entry is
+            # idempotent: the lane writes its column only through these
+            # entries + the pending cursor-2 reinsert, and both are
+            # replaced at the lane's next search round.
+            pp_h = [st[C_PP0 + 2 * j : C_PP0 + 2 * j + 1] for j in range(PROBES)]
+            pp_v = [st[C_PP0 + 2 * j + 1 : C_PP0 + 2 * j + 2] for j in range(PROBES)]
 
         active = ~done
 
@@ -469,13 +482,43 @@ def _compress128_kernel(
         # ~3x fewer vreg ops than the row-precise in-scan gather.
         accs = [jnp.zeros(S8, jnp.int32) for _ in range(PROBES)]
         if STRICT:
-            # gather-only sweep here; the hit-gated insert sweep below —
-            # C never probes past a hit, so later inserts must not land
+            # ONE fused sweep: gather this round's probes + apply the
+            # DEFERRED inserts (last search round's hit-gated probe
+            # entries, oldest first, then the pending cursor-2 reinsert
+            # — chronological order, newest wins on bucket collisions).
+            # C never probes past a hit, so this round's own inserts are
+            # hit-gated below and land in the NEXT round's sweep; every
+            # read in between is fixed up against the pending entries.
+            ppc = []  # (rowmask8, sb1, value8) per pending entry
+            for j in range(PROBES):
+                okp = pp_h[j] >= 0
+                ppc.append((
+                    (rowi8 == jnp.broadcast_to(pp_h[j] & 7, S8))
+                    & jnp.broadcast_to(okp, S8),
+                    pp_h[j] >> 3,
+                    jnp.broadcast_to(pp_v[j], S8),
+                ))
+            rowp = rowi8 == jnp.broadcast_to(hpnd & 7, S8)
+            sbp = hpnd >> 3
+            pndb = jnp.broadcast_to(pnd1, S8)
+            pkpb = jnp.broadcast_to(pkpnd, S8)
             for st_ in range(0 if "nosweep" in TIMING else T_ROWS // 8):
                 slab = table_ref[st_ * 8 : st_ * 8 + 8, :]
                 for j in range(PROBES):
                     m = jnp.broadcast_to(sbhs[j] == st_, S8)
                     accs[j] = accs[j] + slab * m.astype(jnp.int32)
+                if "noinsert" in TIMING:
+                    continue
+                news = slab
+                for rm, sb1, val in ppc:
+                    news = jnp.where(
+                        rm & jnp.broadcast_to(sb1 == st_, S8), val, news
+                    )
+                news = jnp.where(
+                    rowp & jnp.broadcast_to(sbp == st_, S8) & pndb,
+                    pkpb, news,
+                )
+                table_ref[st_ * 8 : st_ * 8 + 8, :] = news
         else:
             for st_ in range(0 if "nosweep" in TIMING else T_ROWS // 8):
                 slab = table_ref[st_ * 8 : st_ * 8 + 8, :]
@@ -492,8 +535,16 @@ def _compress128_kernel(
                     keepdims=True)
             for j in range(PROBES)
         ]
-        # fix-ups: probe j must see the pending reinsert and probes i<j
+        # fix-ups: probe j must see the deferred probe entries (applied
+        # in THIS sweep, after the gather read them), the pending
+        # reinsert, and probes i<j — in chronological order (newest wins)
         if STRICT:
+            for j in range(PROBES):
+                for i in range(PROBES):
+                    eqd = (
+                        valids[j] & (pp_h[i] >= 0) & (pp_h[i] == hsj[j])
+                    )
+                    cands[j] = jnp.where(eqd, pp_v[i], cands[j])
             for j in range(PROBES):
                 eqp = pnd1 & valids[j] & (hpnd == hsj[j])
                 cands[j] = jnp.where(eqp, pkpnd, cands[j])
@@ -528,28 +579,25 @@ def _compress128_kernel(
             hitc = jnp.where(hits[j], cands[j], hitc)
 
         if STRICT:
-            # insert sweep: pending reinsert + probes up to (and incl.)
-            # the first tag hit
+            # this round's probe inserts — up to (and incl.) the first
+            # tag hit — become the NEXT round's deferred entries: lanes
+            # that probed replace their pending set, everyone else keeps
+            # theirs (reapplication is idempotent, see above)
             ins_ok = []
             no_hit_before = jnp.ones_like(valids[0])
             for j in range(PROBES):
                 ins_ok.append(valids[j] & no_hit_before)
                 no_hit_before = no_hit_before & ~hits[j]
-            insb = [jnp.broadcast_to(x, S8) for x in ins_ok]
-            pndb = jnp.broadcast_to(pnd1, S8)
-            pkpb = jnp.broadcast_to(pkpnd, S8)
-            rowp = rowi8 == jnp.broadcast_to(hpnd & 7, S8)
-            sbp = hpnd >> 3
-            _skip_ins = "nosweep" in TIMING or "noinsert" in TIMING
-            for st_ in range(0 if _skip_ins else T_ROWS // 8):
-                slab = table_ref[st_ * 8 : st_ * 8 + 8, :]
-                news = jnp.where(
-                    rowp & jnp.broadcast_to(sbp == st_, S8) & pndb, pkpb, slab
+            pp_h = [
+                jnp.where(
+                    probe1, jnp.where(ins_ok[j], hsj[j], -1), pp_h[j]
                 )
-                for j in range(PROBES):
-                    oh = rowcmps[j] & jnp.broadcast_to(sbhs[j] == st_, S8)
-                    news = jnp.where(oh & insb[j], pkb[j], news)
-                table_ref[st_ * 8 : st_ * 8 + 8, :] = news
+                for j in range(PROBES)
+            ]
+            pp_v = [
+                jnp.where(probe1 & ins_ok[j], pk[j], pp_v[j])
+                for j in range(PROBES)
+            ]
             # all-miss / false-hit resume points (prefix-valid selects)
             res_q, res_sc, res_st = qnexts[0], scs[0], sts[0]
             for j in range(1, PROBES):
@@ -942,6 +990,14 @@ def _compress128_kernel(
                     mlen, emr, lrem, lsrc, tail.astype(jnp.int32),
                     done.astype(jnp.int32), fail.astype(jnp.int32), miss,
                     stepv, rq, rsc, rst, pnd]
+        if STRICT:
+            for j in range(PROBES):
+                new_rows.append(pp_h[j])
+                new_rows.append(pp_v[j])
+        else:
+            new_rows.extend(
+                [jnp.zeros((1, LANES), jnp.int32)] * (2 * PROBES)
+            )
         assert len(new_rows) == NSTATE
         state_ref[:, :] = jnp.concatenate([x[0:1] for x in new_rows], axis=0)
         return 0
@@ -949,6 +1005,7 @@ def _compress128_kernel(
     # ---- init + run + drain -------------------------------------------
     z1 = jnp.zeros((1, LANES), jnp.int32)
     c01 = cur0_ref[0:1, :]
+    _pp_init = [jnp.full((1, LANES), -1, jnp.int32), z1] * PROBES
     state_ref[:, :] = jnp.concatenate(
         [c01, c01, z1, z1, z1, jnp.full((1, LANES), -1, jnp.int32),
          jnp.full((1, LANES), -1, jnp.int32), jnp.full((1, LANES), 1, jnp.int32),
@@ -956,7 +1013,7 @@ def _compress128_kernel(
          z1, z1, jnp.full((1, LANES), 1 << SKIP_TRIGGER, jnp.int32),
          jnp.full((1, LANES), 1, jnp.int32), z1,
          jnp.full((1, LANES), 1 << SKIP_TRIGGER, jnp.int32),
-         jnp.full((1, LANES), 1, jnp.int32), z1],
+         jnp.full((1, LANES), 1, jnp.int32), z1] + _pp_init,
         axis=0,
     )
     ring_ref[:, :] = jnp.zeros((RING_W, LANES), jnp.int32)

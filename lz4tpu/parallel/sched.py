@@ -40,7 +40,10 @@ LANES = 128
 # modeled rounds can drift a few % from per-batch geometry — harmless
 # for ordering/variant choice.  Recalibrate per part via
 # LZ4TPU_ROUND_COST="16:4.7e-6,32:4.94e-6".
-ROUND_COST = {16: 4.70e-6, 32: 4.94e-6}
+# round-4 recalibration (flush-gated geometry, same-session pair):
+# CB16 4928 rounds = 385.4 MB/s, CB32 4800 rounds = 375.1 on the 8 MiB
+# batch
+ROUND_COST = {16: 4.42e-6, 32: 4.66e-6}
 _env_rc = __import__("os").environ.get("LZ4TPU_ROUND_COST")
 if _env_rc:
     for _part in _env_rc.split(","):

@@ -29,6 +29,16 @@ def main():
     total = sum(len(b) for b in blocks)
     ratio = sum(len(c) for c in comp) / total
     print(f"roundtrip ok  ratio={ratio:.4f}", flush=True)
+    if c128.STRICT:
+        from lz4tpu.native import compress_block as native_compress
+        from lz4tpu.spec.table import U32Table
+
+        parity = sum(
+            1 for b, c in zip(blocks, comp)
+            if c == bytes(native_compress(b, 0, U32Table()))
+        )
+        print(f"STRICT parity: {parity}/{len(blocks)}", flush=True)
+        assert parity == len(blocks)
 
     maxlen = max(len(b) for b in blocks)
     ri = -(-maxlen // 4)
