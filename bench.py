@@ -775,9 +775,10 @@ def main() -> None:
             c128m.STRICT = True
             c128m._compress128_jit.clear_cache()
             try:
-                # 16 KiB lanes: STRICT's split table sweeps OOM scoped
-                # VMEM at the 32 KiB shape (18.6 MB vs the 16 MB limit)
-                sblk = c128m.MAX_B // 2
+                # full 32 KiB lanes: the round-4 fused deferred-insert
+                # sweep halved the sweep temporaries, so STRICT now fits
+                # scoped VMEM at MAX_B (the split sweeps OOMed by 2.6 MB)
+                sblk = c128m.MAX_B
                 sblocks = [
                     data[i : i + sblk] for i in range(0, len(data), sblk)
                 ][:128]
@@ -787,7 +788,7 @@ def main() -> None:
                 ]
                 parity = sum(1 for a, b in zip(scomp, refs) if a == b)
                 extra["tpu_compress128_strict_parity"] = (
-                    f"{parity}/{len(sblocks)} (16 KiB blocks)"
+                    f"{parity}/{len(sblocks)} (32 KiB blocks)"
                 )
                 bps, _r = bench_tpu_compress128(data, blk=sblk)
                 extra["tpu_compress128_strict_mbps"] = round(bps / 1e6, 1)

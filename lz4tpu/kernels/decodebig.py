@@ -79,7 +79,7 @@ CW = CB // 4
 _MARGIN = -(-max(CW + 2, 5) // 8) * 8
 PAGE_W = GROUP_W + _MARGIN
 FAR_W = FAR_G + _MARGIN
-RING_W = 64 if CB <= 16 else 128
+RING_W = 128  # OBAND % RING_W == 0 must hold for the banded sweep
 # phase-2 second sequence per round (decode128's SEQ2, ported): rounds
 # place up to FOUR chunks (litA|mA|litB|mB), so the slop tail extends up
 # to 4*CB+3 past the round-start fill
@@ -87,8 +87,18 @@ SEQ2 = _os.environ.get("LZ4TPU_DBIG_SEQ2", "1") == "1"
 _NCHUNK = 4 if SEQ2 else 2
 FLUSH_B = 128
 FLUSH_THRESH = min(176, RING_W * 4 - _NCHUNK * CB - 4)
+# flush gating + drain-to-residual (decode128's round-4 scheme: the
+# sweep cost is the firing lanes' fw spread, so grant flushes every
+# FLUSH_K rounds and drain each firing lane to the residual)
+FLUSH_K = int(
+    _os.environ.get("LZ4TPU_DBIG_FLUSHK", "4" if CB <= 16 else "2")
+)
+FLUSH_RESID = int(_os.environ.get("LZ4TPU_DBIG_FLUSHR", "48"))
+assert 0 <= FLUSH_RESID <= FLUSH_THRESH - 64
 assert FLUSH_THRESH >= FLUSH_B
-assert FLUSH_THRESH - 1 + _NCHUNK * CB + 3 <= RING_W * 4
+assert FLUSH_THRESH - 1 + FLUSH_K * _NCHUNK * CB + 3 <= RING_W * 4, (
+    RING_W, CB, FLUSH_K,
+)
 LSIC_STEPS = 8
 assert 2 + LSIC_STEPS <= 12
 STATUS_FALLBACK = 100
@@ -526,17 +536,21 @@ def _decodebig_kernel(
         active = active & (status == OK)
 
         # ---- flush (plus the final drain of lanes finishing this round,
-        # so band advances never outrun a finished lane's ring tail) ----
+        # so band advances never outrun a finished lane's ring tail).
+        # Gated to every FLUSH_K rounds with drain-to-residual (same
+        # economics as decode128's round-4 flush gating) ----
         ring0 = ring_ref[:, :]
-        do_flush = active & (out - flushed >= FLUSH_THRESH)
+        do_flush = (
+            active & (out - flushed >= FLUSH_THRESH)
+            & (jax.lax.rem(r, FLUSH_K) == 0)
+        )
+        nwf = jnp.where(do_flush, (out - flushed - FLUSH_RESID) >> 2, 0)
 
         @pl.when(jnp.any(do_flush))
         def _():
-            fw = flushed >> 2
-            nw = jnp.where(do_flush, FLUSH_B >> 2, 0)
-            sweep_flush(ring0, fw, nw, ob)
+            sweep_flush(ring0, flushed >> 2, nwf, ob)
 
-        flushed = jnp.where(do_flush, flushed + FLUSH_B, flushed)
+        flushed = flushed + nwf * 4
 
         # ---- literal chunk ----
         lit_take = jnp.where(pstall, 0, jnp.clip(lit_rem, 0, CB))
