@@ -256,14 +256,13 @@ def _compress128_kernel(
         stepv = row(C_STEP)
         rq, rsc, rst = row(C_RQ), row(C_RSC), row(C_RST)
         pnd = row(C_PND)
-        if STRICT:
-            # deferred probe inserts from the lane's last search round
-            # (hash -1 = empty).  Reapplying an already-applied entry is
-            # idempotent: the lane writes its column only through these
-            # entries + the pending cursor-2 reinsert, and both are
-            # replaced at the lane's next search round.
-            pp_h = [st[C_PP0 + 2 * j : C_PP0 + 2 * j + 1] for j in range(PROBES)]
-            pp_v = [st[C_PP0 + 2 * j + 1 : C_PP0 + 2 * j + 2] for j in range(PROBES)]
+        # deferred probe inserts from the lane's last search round
+        # (hash -1 = empty).  Reapplying an already-applied entry is
+        # idempotent: the lane writes its column only through these
+        # entries (+ the pending cursor-2 reinsert in strict mode), and
+        # they are replaced at the lane's next search round.
+        pp_h = [st[C_PP0 + 2 * j : C_PP0 + 2 * j + 1] for j in range(PROBES)]
+        pp_v = [st[C_PP0 + 2 * j + 1 : C_PP0 + 2 * j + 2] for j in range(PROBES)]
 
         active = ~done
 
@@ -520,14 +519,29 @@ def _compress128_kernel(
                 )
                 table_ref[st_ * 8 : st_ * 8 + 8, :] = news
         else:
+            # non-strict: same deferred-insert fusion (all valid probes
+            # insert — the documented non-strict approximation — but one
+            # round later, through the same fixup reads)
+            ppc = []
+            for j in range(PROBES):
+                okp = pp_h[j] >= 0
+                ppc.append((
+                    (rowi8 == jnp.broadcast_to(pp_h[j] & 7, S8))
+                    & jnp.broadcast_to(okp, S8),
+                    pp_h[j] >> 3,
+                    jnp.broadcast_to(pp_v[j], S8),
+                ))
             for st_ in range(0 if "nosweep" in TIMING else T_ROWS // 8):
                 slab = table_ref[st_ * 8 : st_ * 8 + 8, :]
-                news = slab
                 for j in range(PROBES):
                     m = jnp.broadcast_to(sbhs[j] == st_, S8)
                     accs[j] = accs[j] + slab * m.astype(jnp.int32)
+                if "noinsert" in TIMING:
+                    continue
+                news = slab
+                for rm, sb1, val in ppc:
                     news = jnp.where(
-                        rowcmps[j] & m & validb[j], pkb[j], news
+                        rm & jnp.broadcast_to(sb1 == st_, S8), val, news
                     )
                 table_ref[st_ * 8 : st_ * 8 + 8, :] = news
         cands = [
@@ -538,13 +552,13 @@ def _compress128_kernel(
         # fix-ups: probe j must see the deferred probe entries (applied
         # in THIS sweep, after the gather read them), the pending
         # reinsert, and probes i<j — in chronological order (newest wins)
+        for j in range(PROBES):
+            for i in range(PROBES):
+                eqd = (
+                    valids[j] & (pp_h[i] >= 0) & (pp_h[i] == hsj[j])
+                )
+                cands[j] = jnp.where(eqd, pp_v[i], cands[j])
         if STRICT:
-            for j in range(PROBES):
-                for i in range(PROBES):
-                    eqd = (
-                        valids[j] & (pp_h[i] >= 0) & (pp_h[i] == hsj[j])
-                    )
-                    cands[j] = jnp.where(eqd, pp_v[i], cands[j])
             for j in range(PROBES):
                 eqp = pnd1 & valids[j] & (hpnd == hsj[j])
                 cands[j] = jnp.where(eqp, pkpnd, cands[j])
@@ -598,6 +612,7 @@ def _compress128_kernel(
                 jnp.where(probe1 & ins_ok[j], pk[j], pp_v[j])
                 for j in range(PROBES)
             ]
+        if STRICT:
             # all-miss / false-hit resume points (prefix-valid selects)
             res_q, res_sc, res_st = qnexts[0], scs[0], sts[0]
             for j in range(1, PROBES):
@@ -611,6 +626,18 @@ def _compress128_kernel(
                 hq_sc = jnp.where(hits[j], scs[j], hq_sc)
                 hq_st = jnp.where(hits[j], sts[j], hq_st)
         else:
+            # non-strict deferred entries: ALL valid probes insert (the
+            # documented non-strict approximation), one round later
+            pp_h = [
+                jnp.where(
+                    probe1, jnp.where(valids[j], hsj[j], -1), pp_h[j]
+                )
+                for j in range(PROBES)
+            ]
+            pp_v = [
+                jnp.where(probe1 & valids[j], pk[j], pp_v[j])
+                for j in range(PROBES)
+            ]
             nvalid = valids[0].astype(jnp.int32)
             for j in range(1, PROBES):
                 nvalid = nvalid + valids[j].astype(jnp.int32)
@@ -990,14 +1017,9 @@ def _compress128_kernel(
                     mlen, emr, lrem, lsrc, tail.astype(jnp.int32),
                     done.astype(jnp.int32), fail.astype(jnp.int32), miss,
                     stepv, rq, rsc, rst, pnd]
-        if STRICT:
-            for j in range(PROBES):
-                new_rows.append(pp_h[j])
-                new_rows.append(pp_v[j])
-        else:
-            new_rows.extend(
-                [jnp.zeros((1, LANES), jnp.int32)] * (2 * PROBES)
-            )
+        for j in range(PROBES):
+            new_rows.append(pp_h[j])
+            new_rows.append(pp_v[j])
         assert len(new_rows) == NSTATE
         state_ref[:, :] = jnp.concatenate([x[0:1] for x in new_rows], axis=0)
         return 0
