@@ -519,29 +519,19 @@ def _compress128_kernel(
                 )
                 table_ref[st_ * 8 : st_ * 8 + 8, :] = news
         else:
-            # non-strict: same deferred-insert fusion (all valid probes
-            # insert — the documented non-strict approximation — but one
-            # round later, through the same fixup reads)
-            ppc = []
-            for j in range(PROBES):
-                okp = pp_h[j] >= 0
-                ppc.append((
-                    (rowi8 == jnp.broadcast_to(pp_h[j] & 7, S8))
-                    & jnp.broadcast_to(okp, S8),
-                    pp_h[j] >> 3,
-                    jnp.broadcast_to(pp_v[j], S8),
-                ))
+            # non-strict: in-sweep inserts (all valid probes insert — the
+            # documented non-strict approximation).  Deferring them like
+            # strict mode measured SLOWER here (86.6 vs 99.8 MB/s): with
+            # no second sweep to eliminate, the deferral only adds fixup
+            # and state traffic.
             for st_ in range(0 if "nosweep" in TIMING else T_ROWS // 8):
                 slab = table_ref[st_ * 8 : st_ * 8 + 8, :]
+                news = slab
                 for j in range(PROBES):
                     m = jnp.broadcast_to(sbhs[j] == st_, S8)
                     accs[j] = accs[j] + slab * m.astype(jnp.int32)
-                if "noinsert" in TIMING:
-                    continue
-                news = slab
-                for rm, sb1, val in ppc:
                     news = jnp.where(
-                        rm & jnp.broadcast_to(sb1 == st_, S8), val, news
+                        rowcmps[j] & m & validb[j], pkb[j], news
                     )
                 table_ref[st_ * 8 : st_ * 8 + 8, :] = news
         cands = [
@@ -552,13 +542,13 @@ def _compress128_kernel(
         # fix-ups: probe j must see the deferred probe entries (applied
         # in THIS sweep, after the gather read them), the pending
         # reinsert, and probes i<j — in chronological order (newest wins)
-        for j in range(PROBES):
-            for i in range(PROBES):
-                eqd = (
-                    valids[j] & (pp_h[i] >= 0) & (pp_h[i] == hsj[j])
-                )
-                cands[j] = jnp.where(eqd, pp_v[i], cands[j])
         if STRICT:
+            for j in range(PROBES):
+                for i in range(PROBES):
+                    eqd = (
+                        valids[j] & (pp_h[i] >= 0) & (pp_h[i] == hsj[j])
+                    )
+                    cands[j] = jnp.where(eqd, pp_v[i], cands[j])
             for j in range(PROBES):
                 eqp = pnd1 & valids[j] & (hpnd == hsj[j])
                 cands[j] = jnp.where(eqp, pkpnd, cands[j])
@@ -626,18 +616,6 @@ def _compress128_kernel(
                 hq_sc = jnp.where(hits[j], scs[j], hq_sc)
                 hq_st = jnp.where(hits[j], sts[j], hq_st)
         else:
-            # non-strict deferred entries: ALL valid probes insert (the
-            # documented non-strict approximation), one round later
-            pp_h = [
-                jnp.where(
-                    probe1, jnp.where(valids[j], hsj[j], -1), pp_h[j]
-                )
-                for j in range(PROBES)
-            ]
-            pp_v = [
-                jnp.where(probe1 & valids[j], pk[j], pp_v[j])
-                for j in range(PROBES)
-            ]
             nvalid = valids[0].astype(jnp.int32)
             for j in range(1, PROBES):
                 nvalid = nvalid + valids[j].astype(jnp.int32)
