@@ -480,15 +480,21 @@ def bench_tunnel(extra, mb: int = 8):
 
     from lz4tpu.hostpack import to_device_chunked
 
-    a = np.random.default_rng(7).integers(0, 256, mb << 20, np.uint8)
+    rng = np.random.default_rng(7)
     h2d = 0.0
+    devs = []
     for _ in range(3):
+        a = rng.integers(0, 256, mb << 20, np.uint8)
         t0 = time.perf_counter()
         d = to_device_chunked(a.reshape(-1, 1024))
         d.block_until_ready()
         h2d = max(h2d, mb / (time.perf_counter() - t0))
+        devs.append(d + 0)  # distinct device buffers: jax caches the
+        # host copy after the first np.asarray, so each D2H rep below
+        # must fetch an array it has never fetched
     d2h = 0.0
-    for _ in range(3):
+    for d in devs:
+        d.block_until_ready()
         t0 = time.perf_counter()
         np.asarray(d)
         d2h = max(d2h, mb / (time.perf_counter() - t0))
@@ -531,12 +537,14 @@ def bench_frame_parallel(data, extra):
     from lz4tpu import decompress_frame as _df
 
     ff = compress_frame_parallel(
-        fdata, block_size=BLOCK, mesh=mesh, lane_kernel=True
+        fdata, block_size=BLOCK, mesh=mesh, lane_kernel=True,
+        chunk_windows=False,
     )
     assert _df(ff, engine="native") == fdata
     t0 = time.perf_counter()
     compress_frame_parallel(
-        fdata, block_size=BLOCK, mesh=mesh, lane_kernel=True
+        fdata, block_size=BLOCK, mesh=mesh, lane_kernel=True,
+        chunk_windows=False,
     )
     extra["frame_compress_fast_mbps"] = round(
         len(fdata) / (time.perf_counter() - t0) / 1e6, 1
@@ -773,7 +781,10 @@ def main() -> None:
 
             old_strict = c128m.STRICT
             c128m.STRICT = True
+            # BOTH jit layers cache traces that baked the old STRICT flag
+            # (the transposing wrapper inlines the inner call)
             c128m._compress128_jit.clear_cache()
+            c128m._compress128_jit_t.clear_cache()
             try:
                 # full 32 KiB lanes: the round-4 fused deferred-insert
                 # sweep halved the sweep temporaries, so STRICT now fits
@@ -795,6 +806,7 @@ def main() -> None:
             finally:
                 c128m.STRICT = old_strict
                 c128m._compress128_jit.clear_cache()
+                c128m._compress128_jit_t.clear_cache()
         except Exception as e:  # pragma: no cover
             extra["tpu_compress128_strict_error"] = str(e)[:160]
 

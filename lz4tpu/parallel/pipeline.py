@@ -509,6 +509,7 @@ def compress_frame_parallel(
     dictionary=None,
     dictionary_id: int | None = None,
     lane_kernel: bool = False,
+    chunk_windows: bool = True,
 ) -> bytes:
     """Compress one LZ4 frame with all blocks in parallel on the mesh.
 
@@ -555,10 +556,17 @@ def compress_frame_parallel(
     window = WINDOW_SIZE if parallel_linked else 0
     if use_lanes:
         # chunks carry windows whenever they are linked, dictionary-
-        # seeded, or merged into larger output blocks (in-block windows)
+        # seeded, or merged into larger output blocks (in-block windows).
+        # ``chunk_windows=False`` drops the in-block windows for merged
+        # INDEPENDENT blocks: each chunk compresses standalone (~1-2%
+        # worse ratio, but bigger chunks, no table priming and no window
+        # transport — the throughput-first mode)
         lane_plen = (
             WINDOW_SIZE
-            if (parallel_linked or dictionary or block_size > C128_MAX_B)
+            if (
+                parallel_linked or dictionary
+                or (block_size > C128_MAX_B and chunk_windows)
+            )
             else 0
         )
         while chunk_size > 2048 and not _c128_eligible(chunk_size, lane_plen):
@@ -643,7 +651,7 @@ def compress_frame_parallel(
                 else data[max(0, i * chunk_size - WINDOW_SIZE) : i * chunk_size]
                 for i in range(n_blocks)
             ]
-        elif cpb > 1 or dictionary:
+        elif (cpb > 1 and chunk_windows) or dictionary:
             dtail = (dictionary or b"")[-WINDOW_SIZE:]
             lane_prefixes = [
                 (dtail + data[(i // cpb) * cpb * chunk_size : i * chunk_size])
@@ -677,7 +685,7 @@ def compress_frame_parallel(
                 and WINDOW_SIZE % chunk_size == 0
                 and chunk_size <= WINDOW_SIZE
                 and n_blocks > 128
-                and (parallel_linked or cpb > k)
+                and (parallel_linked or (chunk_windows and cpb > k))
             )
 
             def _batch_windowed(base, nb):
