@@ -351,3 +351,39 @@ def test_scheduled_frame_decode_forced_on_cpu(monkeypatch, corpus_sample):
         CompressionSettings().block_size(1 << 16).engine("native").compress_bytes(data)
     )
     assert decompress_frame_parallel(frame, mesh=mesh1) == data
+
+
+@pytest.mark.slow
+def test_pipeline_depth_mid_loop_drain(monkeypatch, corpus_sample):
+    """With LZ4TPU_PIPELINE_DEPTH=1 a multi-batch frame must drain
+    batches MID-LOOP (not only at the end) and still assemble in
+    order."""
+    import lz4tpu.parallel.pipeline as pp
+    from lz4tpu import CompressionSettings
+
+    monkeypatch.setenv("LZ4TPU_SCHED", "1")
+    monkeypatch.setattr(pp, "PIPELINE_DEPTH", 1)
+    mesh1 = make_mesh(1)
+    data = (b"drain-order coverage " * 53 + bytes(range(47))) * 2600
+    data = data[: 300 * (1 << 14)]
+    frame = (
+        CompressionSettings().block_size(1 << 16).engine("native")
+        .compress_bytes(data)
+    )
+    assert decompress_frame_parallel(frame, mesh=mesh1) == data
+
+
+@pytest.mark.slow
+def test_chunk_windows_off_roundtrip(corpus_sample):
+    """chunk_windows=False: merged independent blocks from WINDOWLESS
+    chunks (throughput mode) stay valid LZ4 and only cost a little
+    ratio vs the windowed default."""
+    import lz4tpu
+
+    mesh1 = make_mesh(1)
+    data = corpus_sample(91, 220_000)
+    f_off = compress_frame_parallel(
+        data, block_size=1 << 18, mesh=mesh1, lane_kernel=True,
+        chunk_windows=False,
+    )
+    assert lz4tpu.decompress_frame(f_off, engine="native") == data
