@@ -606,7 +606,12 @@ extern "C" i64 lz4tpu_model_rounds(const u8* in, u64 n, u64 cb,
                 }
             }
         }
-        while (out - flushed >= (i64)flush_thresh) flushed += (i64)flush_b;
+        // round-4 flush semantics: drain-to-residual (one sweep drains a
+        // firing lane to flush_thresh - flush_b fill); FLUSH_K gating
+        // only delays the drain <= K-1 rounds — immaterial for round
+        // counts, so the model drains at the threshold
+        if (out - flushed >= (i64)flush_thresh)
+            flushed = out - ((i64)flush_thresh - (i64)flush_b);
     }
     return rounds;
 }
