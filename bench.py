@@ -10,11 +10,13 @@ The ``extra`` dict reports the BASELINE.md configurations:
 
 * config #1/#2 (Silesia-stand-in frames, xxhash32 checksums): the
   ``frame_*`` entries time the whole-frame parallel pipeline on the chip
-  (kernels + host mux).  Blocks >= 256 KiB (incl. the reference-default
-  4 MiB) decode on-chip via the HBM-staged banded lane kernel
-  (``tpu_decodebig_*``; throughput scales with lane occupancy — the
-  default 8 MiB corpus fills only 8 of 128 lanes at 1 MiB blocks; at 96
-  lanes the same kernel measured 230.5 MB/s, tools/chip_dbig_check.py).
+  (kernels + host mux; end-to-end through the dev tunnel, whose measured
+  floor ``tunnel_*`` is reported alongside).  Blocks >= 256 KiB (incl.
+  the reference-default 4 MiB) decode on-chip via the HBM-staged banded
+  lane kernel at FULL 128-lane occupancy on dedicated corpora
+  (``tpu_decodebig_*``: 128 MiB at 1 MiB blocks, 512 MiB at 4 MiB);
+  ``tpu_compressbig_*`` compresses true 4 MiB blocks on-chip as spliced
+  in-block-windowed lane chunks.
 * config #3 (linked + dictionary): ``frame_linked_dict_ratio`` from the
   ring-halo parallel-linked mode with a broadcast dictionary, compressed
   ON-CHIP by the windowed lane kernel (``tpu_linked_dict_*``: per-lane
