@@ -878,8 +878,14 @@ def _decode128_kernel(
             )
             pos = jnp.where(acceptB, pB, pos)
 
+        # a literal-only record ends the block ONLY at exact EOF: the
+        # reference's failed u16 offset read consumes nothing (Cursor::
+        # read_exact early-returns on EOF, decompress.rs:70), so ONE
+        # leftover byte is re-read as a fresh token on the next iteration
+        # — usually erroring on its literal field (found by the
+        # generative fuzzer, test_fuzz_generative.py)
         done = done | (
-            active & (tail_only != 0) & (lit_rem == 0)
+            active & (tail_only != 0) & (lit_rem == 0) & (pos >= n)
         ) | (
             (pos >= n) & (lit_rem == 0) & (m_rem == 0) & (pph == PH_NONE)
         )

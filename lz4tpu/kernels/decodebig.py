@@ -511,9 +511,13 @@ def _decodebig_kernel(
             accept, (~(m_done | mhdr_tail)).astype(jnp.int32),
             jnp.where(accept_lit, 0, tail_only),
         )
+        # mhdr_tail does NOT consume the (possible) single leftover byte:
+        # the reference's failed u16 read consumes nothing, so that byte
+        # is re-read as a fresh token next round (pos stays put; at exact
+        # EOF pos == n already and the lane completes below)
         pos = jnp.where(
             accept | accept_lit | susp_lit | susp_match,
-            jnp.where(mhdr_tail, n, p), pos,
+            jnp.where(mhdr_tail, pos, p), pos,
         )
         pph = jnp.where(
             susp_lit, PH_LIT,
@@ -885,8 +889,11 @@ def _decodebig_kernel(
             tail_only = jnp.where(acceptB, tailB.astype(jnp.int32), tail_only)
             pos = jnp.where(acceptB, pB, pos)
 
+        # tail completion requires exact EOF — one leftover byte re-parses
+        # as a token instead (reference read_exact consumes nothing on
+        # EOF; see decode128.py and test_fuzz_generative.py)
         done = done | (
-            active & (tail_only != 0) & (lit_rem == 0)
+            active & (tail_only != 0) & (lit_rem == 0) & (pos >= n)
         ) | (
             (pos >= n) & (lit_rem == 0) & (m_rem == 0) & (pph == PH_NONE)
         )

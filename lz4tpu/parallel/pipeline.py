@@ -497,6 +497,42 @@ def _decompress_sharded(
 # ---------------------------------------------------------------------------
 
 
+def plan_lane_compress_batches(
+    n_blocks: int, cpb: int, k: int, parallel_linked: bool
+):
+    """Lane-compress batch plan for the device-built windowed path.
+
+    Returns ``[("w", start, nb), ...] + [("h", [chunk indices]), ...]``:
+    contiguous FULL-WINDOW runs (every chunk's window = the k preceding
+    chunks, entirely inside its own output block in merged-independent
+    mode) ride the windowed dispatch; the window-less / partial-window
+    output-block HEAD chunks (``j % cpb < k``) are gathered across output
+    blocks into host-packed batches.  Every chunk index in
+    ``[0, n_blocks)`` appears exactly once.
+    """
+    plan = []
+    if parallel_linked:
+        heads = list(range(min(k, n_blocks)))
+        runs = [(k, n_blocks)] if n_blocks > k else []
+    else:
+        heads = [
+            i
+            for b0 in range(0, n_blocks, cpb)
+            for i in range(b0, min(b0 + k, n_blocks))
+        ]
+        runs = [
+            (b0 + k, min(b0 + cpb, n_blocks))
+            for b0 in range(0, n_blocks, cpb)
+            if b0 + k < min(b0 + cpb, n_blocks)
+        ]
+    for lo, hi in runs:
+        for s in range(lo, hi, 128):
+            plan.append(("w", s, min(128, hi - s)))
+    for s in range(0, len(heads), 128):
+        plan.append(("h", heads[s : s + 128]))
+    return plan
+
+
 def compress_frame_parallel(
     data,
     block_size: int = 1 << 16,
@@ -688,18 +724,19 @@ def compress_frame_parallel(
                 and (parallel_linked or (chunk_windows and cpb > k))
             )
 
-            def _batch_windowed(base, nb):
-                if base < k:
-                    return False
-                if parallel_linked:
-                    return True
-                # no output-block head window (chunk j%cpb < k) in range
-                for b in range(base // cpb, (base + nb) // cpb + 1):
-                    if b * cpb + k > base and b * cpb < base + nb:
-                        return False
-                return True
-
+            # batch plan: contiguous full-window runs ride the device-
+            # built windowed path; the remaining chunks (window-less /
+            # partial-window output-block HEADS, j % cpb < k, plus
+            # dictionary-seeded heads) are gathered across output blocks
+            # into a few host-packed batches.  Without this split the
+            # merged-independent case ("compressbig": cpb = block_size /
+            # chunk, e.g. 128 at 4 MiB) never used the windowed path at
+            # all — every uniform 128-stripe started at an output-block
+            # head — and shipped ~3x the corpus as host-packed
+            # [window|block] buffers through the link (the round-4
+            # 3.2 MB/s end-to-end).
             flat_dev = None
+            plan = []  # ("w", start, nb) | ("h", [chunk indices])
             if use_windowed:
                 from ..hostpack import to_device_chunked
 
@@ -711,30 +748,49 @@ def compress_frame_parallel(
                                         np.uint8)]
                     )
                 flat_dev = to_device_chunked(flat)
+                plan = plan_lane_compress_batches(
+                    n_blocks, cpb, k, parallel_linked
+                )
+            else:
+                for base in range(0, n_blocks, batch):
+                    plan.append(
+                        ("h", list(range(base, min(base + batch, n_blocks))))
+                    )
 
+            lane_payloads = [None] * n_blocks
             inflight = []
-            for base in range(0, n_blocks, batch):
-                nb = min(batch, n_blocks - base)
-                if use_windowed and _batch_windowed(base, nb):
-                    inflight.append(dispatch_compress_windowed(
-                        flat_dev, data, base, nb, lens,
-                        chunk=chunk_size, window=WINDOW_SIZE,
+
+            def _collect_one():
+                idxs, hnd = inflight.pop(0)
+                for i, payload in zip(idxs, collect_compress_128(hnd)):
+                    lane_payloads[i] = payload
+
+            for item in plan:
+                if item[0] == "w":
+                    _, s, nb = item
+                    inflight.append((
+                        list(range(s, s + nb)),
+                        dispatch_compress_windowed(
+                            flat_dev, data, s, nb, lens,
+                            chunk=chunk_size, window=WINDOW_SIZE,
+                        ),
                     ))
                 else:
-                    chunk = raw_blocks[base : base + batch]
+                    idxs = item[1]
                     pfx = (
-                        lane_prefixes[base : base + batch]
+                        [lane_prefixes[i] for i in idxs]
                         if lane_prefixes else None
                     )
-                    inflight.append(
-                        dispatch_compress_128(chunk, prefixes=pfx)
-                    )
+                    inflight.append((
+                        idxs,
+                        dispatch_compress_128(
+                            [raw_blocks[i] for i in idxs], prefixes=pfx
+                        ),
+                    ))
                 if len(inflight) > PIPELINE_DEPTH:
-                    lane_payloads.extend(
-                        collect_compress_128(inflight.pop(0))
-                    )
+                    _collect_one()
             while inflight:
-                lane_payloads.extend(collect_compress_128(inflight.pop(0)))
+                _collect_one()
         else:
             for base in range(0, n_blocks, batch):
                 chunk = raw_blocks[base : base + batch]

@@ -43,9 +43,23 @@ def test_decode_corpus_total_safety():
         except LZ4Error as e:
             outcomes[type(e).__name__] += 1
         # anything else (IndexError, MemoryError, ...) propagates = test failure
-    # the corpus exercises many distinct failure paths plus some valid frames
-    assert outcomes["ok"] >= 4, outcomes
-    assert len(outcomes) >= 6, outcomes
+    # the corpus is frozen, so the outcome histogram is fully deterministic —
+    # pin it exactly so a regression that flips failure KINDS (not just
+    # success/failure) cannot slip through
+    assert dict(outcomes) == {
+        "WrongMagic": 661,
+        "BlockSizeOverflow": 92,
+        "InputTruncated": 99,
+        "CodecError": 137,
+        "BlockChecksumFail": 12,
+        "FrameChecksumFail": 7,
+        "ok": 4,
+        "ReservedFlagBitsSet": 3,
+        "UnsupportedVersion": 1,
+        "HeaderChecksumFail": 3,
+        "UnimplementedBlocksize": 2,
+        "ReservedBdBitsSet": 1,
+    }
 
 
 @pytest.mark.parametrize("corpus", ["roundtrip_fuzz", "interop_decode"])
