@@ -1204,6 +1204,12 @@ def dispatch_compress_windowed(
     assert window % chunk == 0 and chunk <= MAX_B
     k = window // chunk
     assert start_block >= k and 0 < nb <= LANES
+    # the device build slices LANES+k rows at start_block-k regardless of
+    # nb; XLA dynamic_slice would CLAMP an out-of-range start and shift
+    # every lane's window+block silently
+    assert start_block - k + LANES + k <= flat_dev.shape[0], (
+        start_block, flat_dev.shape,
+    )
     maxbuf = chunk + window
     ri = -(-maxbuf // 4)
     ri = -(-ri // GROUP_W) * GROUP_W + PAGE_W
@@ -1351,8 +1357,21 @@ def collect_compress_128(batch):
     blocks, prefixes = batch.blocks, batch.prefixes
     nb = len(blocks)
     out_len = np.asarray(batch.out_len)[0]
+    # fetch only the rows any lane actually emitted, quantized to
+    # power-of-two fractions of ro (as decode128's collect): every
+    # distinct device-slice shape is a separate remote compile on this
+    # backend, and the full out_t is mostly padding (compressed output
+    # ~= ratio x capacity) — the un-sliced fetch dominated the
+    # compressbig end-to-end wall
+    need_rows = (int(max((int(out_len[i]) for i in range(nb)), default=0)) + 3) // 4
+    ro = batch.out_t.shape[1]
+    fetch_rows = ro
+    for frac in (2, 4, 8):
+        if need_rows <= ro // frac:
+            fetch_rows = ro // frac
+    src = batch.out_t if fetch_rows == ro else batch.out_t[:, :fetch_rows]
     out_b = (
-        np.ascontiguousarray(np.asarray(batch.out_t))
+        np.ascontiguousarray(np.asarray(src))
         .astype("<i4", copy=False)
         .view(np.uint8)
         .reshape(LANES, -1)

@@ -740,7 +740,12 @@ def compress_frame_parallel(
             if use_windowed:
                 from ..hostpack import to_device_chunked
 
-                rows = _round_up(n_blocks, 128)
+                # +128 slack rows: _build_windowed_words always slices
+                # LANES+k rows from start_block-k, and XLA dynamic_slice
+                # CLAMPS an out-of-range start (silently shifting every
+                # lane's window AND block!) — slack rows are only ever
+                # read into idle lanes of partial batches
+                rows = _round_up(n_blocks, 128) + 128
                 flat = arr
                 if rows != flat.shape[0]:
                     flat = np.concatenate(

@@ -206,6 +206,13 @@ def test_generative_frames_parallel(n_dev):
         .block_checksums(True)
         .compress_bytes(payload),
         CompressionSettings().engine("spec").compress_bytes(payload[:30_000]),
+        # no content checksum: benign literal flips survive decoding, so
+        # the success-set comparison is exercised too
+        CompressionSettings()
+        .engine("spec")
+        .block_size(1 << 16)
+        .content_checksum(False)
+        .compress_bytes(payload),
     ]
     n_hits = 0
     for k in range(n_cases(600)):
