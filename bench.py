@@ -135,6 +135,14 @@ def _run_sched_orders(extra, blocks, comp, tag: str, m=2, orders_sel=None):
     from lz4tpu.parallel import sched
 
     maxlen = max(len(c) for c in comp)
+    # per-batch comp-length buckets: the wall-dominating (sequence-dense)
+    # batches have well-compressed streams, so their rw shrinks — which
+    # both cheapens the refill one-hot (cost ~ rw) and frees VMEM for the
+    # mid mirror (pick_mid_w inside the jit: model -8% rounds).  Bucketed
+    # to at most 4 shapes per CB variant to bound remote compiles.
+    buckets = [b for b in (16384, 32768, 49152) if b < maxlen] + [maxlen]
+    if os.environ.get("LZ4TPU_BENCH_RWBUCKETS", "1") != "1":
+        buckets = [maxlen]
     rounds = sched.model_rounds(comp, d128.CB, BLOCK)
     nb = len(blocks)
     n_batches = -(-nb // 128)
@@ -164,7 +172,9 @@ def _run_sched_orders(extra, blocks, comp, tag: str, m=2, orders_sel=None):
         d_ws, d_ns, metas, mods, kws = [], [], [], [], []
         for idx, cb in plan:
             mod = d128.load_variant(cb)
-            rw, ro, _pr = mod.buffer_rows(maxlen, BLOCK)
+            batch_maxlen = max(len(comp[i]) for i in idx)
+            mlen = next(b for b in buckets if b >= batch_maxlen)
+            rw, ro, _pr = mod.buffer_rows(mlen, BLOCK)
             bc = [comp[i] for i in idx]
             arr = np.zeros((128, rw * 4), np.uint8)
             n1 = np.zeros((1, 128), np.int32)
@@ -178,7 +188,7 @@ def _run_sched_orders(extra, blocks, comp, tag: str, m=2, orders_sel=None):
             kws.append(
                 dict(
                     rw=rw, ro=ro,
-                    max_rounds=mod.round_bound(maxlen, BLOCK),
+                    max_rounds=mod.round_bound(mlen, BLOCK),
                     output_limit=BLOCK,
                 )
             )
@@ -409,6 +419,22 @@ def bench_tpu_compressbig(extra, m=3):
     extra["tpu_compressbig_mbps"] = round(
         len(data) / (time.perf_counter() - t0) / 1e6, 1
     )
+    # fast mode: windowless merged chunks — no per-batch table upload, no
+    # window transport; ~1-2% worse ratio (the throughput-first writer)
+    ff = compress_frame_parallel(
+        data, block_size=4 << 20, mesh=mesh, lane_kernel=True,
+        chunk_windows=False,
+    )
+    assert decompress_frame(ff, engine="native") == data
+    extra["tpu_compressbig_fast_ratio"] = round(len(ff) / len(data), 4)
+    t0 = time.perf_counter()
+    compress_frame_parallel(
+        data, block_size=4 << 20, mesh=mesh, lane_kernel=True,
+        chunk_windows=False,
+    )
+    extra["tpu_compressbig_fast_mbps"] = round(
+        len(data) / (time.perf_counter() - t0) / 1e6, 1
+    )
 
     # chained kernel rate of one windowed 128-lane batch
     chunk = 8192
@@ -576,6 +602,12 @@ def frame_ceilings(extra):
         ("frame_compress", "frame_compress_mbps", "frame_parallel_ratio", False),
         ("frame_compress_fast", "frame_compress_fast_mbps",
          "frame_compress_fast_ratio", False),
+        # transport-only ceilings (kernel + per-batch table H2D excluded,
+        # so these are optimistic — vs_ceiling is a lower bound)
+        ("tpu_compressbig", "tpu_compressbig_mbps",
+         "tpu_compressbig_ratio", False),
+        ("tpu_compressbig_fast", "tpu_compressbig_fast_mbps",
+         "tpu_compressbig_fast_ratio", False),
     ):
         r = extra.get(ratio_key)
         rate = extra.get(rate_key)

@@ -1365,10 +1365,10 @@ def collect_compress_128(batch):
     # compressbig end-to-end wall
     need_rows = (int(max((int(out_len[i]) for i in range(nb)), default=0)) + 3) // 4
     ro = batch.out_t.shape[1]
-    fetch_rows = ro
-    for frac in (2, 4, 8):
-        if need_rows <= ro // frac:
-            fetch_rows = ro // frac
+    # eighths: at most 8 distinct slice shapes per ro (each is a separate
+    # remote compile), fetching ceil(need/ (ro/8)) eighths
+    step = max(ro // 8, 1)
+    fetch_rows = min(-(-max(need_rows, 1) // step) * step, ro)
     src = batch.out_t if fetch_rows == ro else batch.out_t[:, :fetch_rows]
     out_b = (
         np.ascontiguousarray(np.asarray(src))

@@ -1173,10 +1173,10 @@ def collect_blocks_128(batch):
         max((int(out_len[i]) for i in range(nb) if status[i] == OK), default=0)
     ) + 3) // 4
     ro = batch.out_t.shape[1]
-    fetch_rows = ro
-    for frac in (2, 4, 8):  # smallest power-of-two fraction that fits
-        if need_rows <= ro // frac:
-            fetch_rows = ro // frac
+    # eighths: at most 8 distinct slice shapes per ro (each is a separate
+    # remote compile), fetching ceil(need / (ro/8)) eighths
+    step = max(ro // 8, 1)
+    fetch_rows = min(-(-max(need_rows, 1) // step) * step, ro)
     src = batch.out_t if fetch_rows == ro else batch.out_t[:, :fetch_rows]
     out_b = (
         np.ascontiguousarray(np.asarray(src))

@@ -79,14 +79,20 @@ CW = CB // 4
 _MARGIN = -(-max(CW + 2, 5) // 8) * 8
 PAGE_W = GROUP_W + _MARGIN
 FAR_W = FAR_G + _MARGIN
-RING_W = 128  # OBAND % RING_W == 0 must hold for the banded sweep
+# OBAND % RING_W == 0 must hold for the banded sweep.  decode128's
+# round-4 tuning (RING 192 / THRESH 400 / FLUSH_B 256 / RESID 144)
+# measured +6.6% there; env-tunable here for the same sweep
+RING_W = int(_os.environ.get("LZ4TPU_DBIG_RINGW", "128"))
 # phase-2 second sequence per round (decode128's SEQ2, ported): rounds
 # place up to FOUR chunks (litA|mA|litB|mB), so the slop tail extends up
 # to 4*CB+3 past the round-start fill
 SEQ2 = _os.environ.get("LZ4TPU_DBIG_SEQ2", "1") == "1"
 _NCHUNK = 4 if SEQ2 else 2
-FLUSH_B = 128
-FLUSH_THRESH = min(176, RING_W * 4 - _NCHUNK * CB - 4)
+FLUSH_B = int(_os.environ.get("LZ4TPU_DBIG_FLUSHB", "128"))
+FLUSH_THRESH = min(
+    int(_os.environ.get("LZ4TPU_DBIG_FLUSHT", "176")),
+    RING_W * 4 - _NCHUNK * CB - 4,
+)
 # flush gating + drain-to-residual (decode128's round-4 scheme: the
 # sweep cost is the firing lanes' fw spread, so grant flushes every
 # FLUSH_K rounds and drain each firing lane to the residual)
