@@ -1,7 +1,15 @@
 """Benchmark harness — prints ONE JSON line with the headline metric.
 
-Headline: raw-block decode throughput on the TPU Pallas kernel over a
-deterministic mixed-compressibility corpus (64 KiB blocks), GB/s per chip.
+Headline: raw-block decode throughput on the TPU Pallas kernels over the
+SILESIA STAND-IN corpus (lz4tpu/utils/silesia.py — BASELINE.md defines
+the metric as "GB/s on Silesia"; the stand-in matches the real corpus's
+per-file sizes, textures, and liblz4 ratios, since this environment has
+no network egress), 64 KiB blocks through the model-driven batch
+scheduler, GB/s per chip.  ``silesia_coverage`` reports the partition
+honestly: stored blocks (greedy output >= input, never decoded by ANY
+LZ4 implementation) are excluded; near-incompressible "heavy" blocks are
+reported separately.  The deterministic mixed corpus of rounds 1-4 stays
+in ``extra`` (``tpu_decode128_64m_*``) for round-over-round comparison.
 ``vs_baseline`` compares against the C reference implementation's
 single-core decompression (~4.5 GB/s, BASELINE.md) — the bar the reference
 library claims to match (``/root/reference/README.md:11``).

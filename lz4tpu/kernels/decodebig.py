@@ -147,6 +147,7 @@ def _decodebig_kernel(
     far_ref,  # scratch (FAR_W, 128)
     ring_ref,  # scratch (RING_W, 128)
     state_ref,  # scratch (NSTATE, 128)
+    mid_ref,  # scratch (max(mid_w,8), 128) — mod-addressed flush mirror
     base_ref,  # scratch SMEM (4,) int32: cb_base, ob_base (rows)
     dma_sem,  # DMA semaphore
     *,
@@ -160,6 +161,7 @@ def _decodebig_kernel(
     win_r: int,
     ws_log: int,
     pr: int = 0,
+    mid_w: int = 0,
     debug_state: bool = False,
 ):
     """Prefix/dictionary mode (pr > 0): the first ``pr`` output rows are
@@ -235,7 +237,7 @@ def _decodebig_kernel(
     def sweep_flush(ring, fw, nwords, ob_rows):
         _lanes_sweep_flush(
             oband_ref, ring, fw, nwords, ring_w=RING_W, out_rows=oband,
-            row_base=ob_rows,
+            row_base=ob_rows, mid_ref=mid_ref, mid_w=mid_w,
         )
 
     # ---------------- main loop ----------------------------------------
@@ -682,6 +684,12 @@ def _decodebig_kernel(
             farB_pre = (
                 m_doneB & (src_absB_pre < flushed) & (src_absB_pre >= 0)
             )
+            if mid_w:
+                # mid-servable wants need no far page: keep them out of
+                # the fold so they never burn the round's single rebuild
+                farB_pre = farB_pre & (
+                    src_absB_pre < flushed - (mid_w * 4 - 4)
+                )
             fwantB = (jnp.clip(src_absB_pre, 0, None) >> 2) // FAR_G
             # only in-band groups may fold into the rebuild (out-of-band
             # wants carry; the one-hot below would serve zeros otherwise)
@@ -783,12 +791,26 @@ def _decodebig_kernel(
             spanB = m_readyB & (src_absB >= out)
             nearB = m_readyB & (src_absB >= flushed) & ~spanB
             farB = m_readyB & (src_absB < flushed)
+            if mid_w:
+                # the mod-addressed flush mirror serves phase-2 sources
+                # within its window with no rebuild and no band residency
+                # requirement (decode128's round-5 port)
+                midB = farB & (src_absB >= flushed - (mid_w * 4 - 4))
+                farB = farB & ~midB
+            else:
+                midB = farB & False
             m_takeB = jnp.where(
                 m_readyB, jnp.minimum(jnp.minimum(mlenvB, CB), offvB), 0
             )
             m_takeB = jnp.where(
                 nearB,
                 jnp.clip(jnp.minimum(m_takeB, out - src_absB), 0, None),
+                m_takeB,
+            )
+            # mid: the mirror holds flushed bytes only
+            m_takeB = jnp.where(
+                midB,
+                jnp.clip(jnp.minimum(m_takeB, flushed - src_absB), 0, None),
                 m_takeB,
             )
             # far: only when the (possibly folded) page holds B's group
@@ -839,12 +861,22 @@ def _decodebig_kernel(
             )
             farBw = gather_rows(far_ref[:, :], FAR_W, fsrcB, CW + 1, 0)
             farB_bytes = funnel(farBw, src_absB)
+            if mid_w:
+                msrcB = jax.lax.rem(jnp.clip(src_absB, 0, None) >> 2, mid_w)
+                midBw = gather_rows(mid_ref[:, :], mid_w, msrcB, CW + 1, mid_w)
+                midB_bytes = funnel(midBw, src_absB)
+            else:
+                midB_bytes = farB_bytes
             mB_bytes = jnp.where(
                 jnp.broadcast_to(spanB[0:1], (CW, LANES)),
                 spanB_bytes,
                 jnp.where(
                     jnp.broadcast_to(nearB[0:1], (CW, LANES)),
-                    nearB_bytes, farB_bytes,
+                    nearB_bytes,
+                    jnp.where(
+                        jnp.broadcast_to(midB[0:1], (CW, LANES)),
+                        midB_bytes, farB_bytes,
+                    ),
                 ),
             )
             winW, totW = window_extend(
@@ -980,6 +1012,8 @@ def _decodebig_kernel(
         axis=0,
     )
     ring_ref[:, :] = jnp.zeros((RING_W, LANES), jnp.int32)
+    if mid_w:
+        mid_ref[:, :] = jnp.zeros((max(mid_w, 8), LANES), jnp.int32)
 
     n_chunks = -(-max_rounds // 64)
 
@@ -1048,25 +1082,26 @@ def _decodebig_kernel(
     jax.jit,
     static_argnames=(
         "oband", "cband", "rw_pad", "ro_pad", "max_rounds", "output_limit",
-        "window_bound", "win_r", "ws_log", "pr", "debug_state",
+        "window_bound", "win_r", "ws_log", "pr", "mid_w", "debug_state",
     ),
 )
 def _decodebig_jit(
     words, n, prefix=None, plen=None, *, oband, cband, rw_pad, ro_pad,
     max_rounds, output_limit, window_bound=65535, win_r=0, ws_log=12,
-    pr=0, debug_state=False,
+    pr=0, mid_w=0, debug_state=False,
 ):
     if prefix is None:
         assert pr == 0
         prefix = jnp.zeros((8, LANES), jnp.int32)
         plen = jnp.zeros((1, LANES), jnp.int32)
+    assert mid_w % RING_W == 0  # the flush mirror writes RING_W-row blocks
     return pl.pallas_call(
         functools.partial(
             _decodebig_kernel,
             oband=oband, cband=cband, rw_pad=rw_pad, ro_pad=ro_pad,
             max_rounds=max_rounds, output_limit=output_limit,
             window_bound=window_bound, win_r=win_r, ws_log=ws_log,
-            pr=pr, debug_state=debug_state,
+            pr=pr, mid_w=mid_w, debug_state=debug_state,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -1091,6 +1126,7 @@ def _decodebig_jit(
             pltpu.VMEM((FAR_W, LANES), jnp.int32),
             pltpu.VMEM((RING_W, LANES), jnp.int32),
             pltpu.VMEM((NSTATE, LANES), jnp.int32),
+            pltpu.VMEM((max(mid_w, 8), LANES), jnp.int32),
             pltpu.SMEM((4,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
@@ -1101,6 +1137,22 @@ def _decodebig_jit(
 
 WS_LOG = 12  # output window: 4 KiB
 WS = 1 << WS_LOG
+
+# mid-mirror cap (rows, RING_W-aligned); 0 disables.  Sized from the
+# VMEM headroom the band shape leaves (decode128's pick_mid_w scheme).
+MID_CAP = int(_os.environ.get("LZ4TPU_DBIG_MIDW", "512"))
+VMEM_ROWSUM_BUDGET = int(
+    _os.environ.get("LZ4TPU_DBIG_VMEM", "15_600_000").replace("_", "")
+)
+
+
+def pick_mid_w(oband_rows: int, cband_rows: int) -> int:
+    """Largest mid size (rows, RING_W-aligned, <= MID_CAP) whose VMEM row
+    sum stays under the band budget (default band geometry = ~15.6 MB,
+    the documented anchor in the geometry note above)."""
+    base = oband_rows + cband_rows + PAGE_W + FAR_W + RING_W + NSTATE
+    w = min(MID_CAP, max(VMEM_ROWSUM_BUDGET // (LANES * 4) - base, 0))
+    return (w // RING_W) * RING_W
 
 
 def _repack_block(comp: bytes, output_limit: int, ws_log: int = WS_LOG):
@@ -1314,12 +1366,16 @@ def dispatch_blocks_big(
         kw["prefix"] = to_device_chunked(pack_words_le(parr))
         kw["plen"] = jnp.asarray(plen)
 
+    # mid mirror: fill the VMEM headroom this band shape leaves, up to
+    # MID_CAP (prefix mode stays mid-less: prefix rows never pass through
+    # the flush sweep, so the mirror would lack them)
+    mid_w = 0 if pr else pick_mid_w(oband, cband)
     out_t, out_len, status = _decodebig_jit_t(
         to_device_chunked(words), jnp.asarray(n),
         oband=oband, cband=cband, rw_pad=rw_pad, ro_pad=ro_pad,
         max_rounds=max_rounds, output_limit=block_maxsize,
         window_bound=_window_bound, win_r=win_r, ws_log=WS_LOG, pr=pr,
-        **kw,
+        mid_w=mid_w, **kw,
     )
     return _DispatchedBigBatch(
         out_t=out_t, out_len=out_len, status=status, blocks=blocks,
@@ -1344,7 +1400,7 @@ class _DispatchedBigBatch:
     jax.jit,
     static_argnames=(
         "oband", "cband", "rw_pad", "ro_pad", "max_rounds", "output_limit",
-        "window_bound", "win_r", "ws_log", "pr",
+        "window_bound", "win_r", "ws_log", "pr", "mid_w",
     ),
 )
 def _decodebig_jit_t(words, n, prefix=None, plen=None, **kw):
