@@ -14,7 +14,9 @@ in ``extra`` (``tpu_decode128_64m_*``) for round-over-round comparison.
 single-core decompression (~4.5 GB/s, BASELINE.md) — the bar the reference
 library claims to match (``/root/reference/README.md:11``).
 
-The ``extra`` dict reports the BASELINE.md configurations:
+The ``extra`` dict reports the BASELINE.md configurations (the
+``silesia_*`` keys carry the metric-corpus numbers; configs below run on
+the mixed corpus for round-over-round comparability):
 
 * config #1/#2 (Silesia-stand-in frames, xxhash32 checksums): the
   ``frame_*`` entries time the whole-frame parallel pipeline on the chip
@@ -148,7 +150,13 @@ def _run_sched_orders(extra, blocks, comp, tag: str, m=2, orders_sel=None):
     # both cheapens the refill one-hot (cost ~ rw) and frees VMEM for the
     # mid mirror (pick_mid_w inside the jit: model -8% rounds).  Bucketed
     # to at most 4 shapes per CB variant to bound remote compiles.
-    buckets = [b for b in (16384, 32768, 49152) if b < maxlen] + [maxlen]
+    # exactly TWO shared shapes (32 KiB and the 60448 eligibility anchor)
+    # so the mixed and Silesia corpora reuse the same compiled kernels —
+    # remote Mosaic compiles are the bench's wall-clock risk
+    if maxlen <= 32768:
+        buckets = [32768]
+    else:
+        buckets = [32768, max(maxlen, 60448)]
     if os.environ.get("LZ4TPU_BENCH_RWBUCKETS", "1") != "1":
         buckets = [maxlen]
     rounds = sched.model_rounds(comp, d128.CB, BLOCK)
