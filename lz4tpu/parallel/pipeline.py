@@ -1122,7 +1122,12 @@ def decompress_frame_parallel(
         # divergent-ratio stalls.  CPU interpret mode keeps the native
         # engine (the banded kernel is only sensible on real hardware).
         if jax.default_backend() == "tpu":
-            big = [i for i in rest if len(to_decode[i]) > V4_MAX_COMP]
+            # everything the lane decoder's VMEM eligibility skipped rides
+            # the HBM-staged engine: big blocks (>= 256 KiB) AND the
+            # "heavy" near-incompressible 64 KiB blocks whose comp streams
+            # exceed the in-VMEM shape (Silesia's sao/x-ray class) — the
+            # scalar v4 pipeline is ~5x slower than decodebig for those
+            big = list(rest)
             if big:
                 from ..kernels.decodebig import (
                     collect_blocks_big, dispatch_blocks_big,
