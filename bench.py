@@ -150,13 +150,20 @@ def _run_sched_orders(extra, blocks, comp, tag: str, m=2, orders_sel=None):
     # both cheapens the refill one-hot (cost ~ rw) and frees VMEM for the
     # mid mirror (pick_mid_w inside the jit: model -8% rounds).  Bucketed
     # to at most 4 shapes per CB variant to bound remote compiles.
-    # exactly TWO shared shapes (32 KiB and the 60448 eligibility anchor)
-    # so the mixed and Silesia corpora reuse the same compiled kernels —
-    # remote Mosaic compiles are the bench's wall-clock risk
+    # THREE shared shapes (32 KiB, 48 KiB, and the 60448 eligibility
+    # anchor) so the mixed and Silesia corpora reuse the same compiled
+    # kernels — remote Mosaic compiles are the bench's wall-clock risk.
+    # The 48 KiB bucket exists because pick_mid_w still grants the full
+    # mid mirror there (rw 12552 + ro 16704 + mid 960 = 15.9 MB), and
+    # the mid A/B on exactly those Silesia batches measured 621 -> 652
+    # MB/s (tools/chip_mid_ab.py); the model (tools/sim_bucket_mid.py)
+    # puts 3 buckets + cap-1024 mid at +8.1% on the Silesia wall.
     if maxlen <= 32768:
         buckets = [32768]
+    elif maxlen <= 49152:
+        buckets = [32768, 49152]
     else:
-        buckets = [32768, max(maxlen, 60448)]
+        buckets = [32768, 49152, max(maxlen, 60448)]
     if os.environ.get("LZ4TPU_BENCH_RWBUCKETS", "1") != "1":
         buckets = [maxlen]
     rounds = sched.model_rounds(comp, d128.CB, BLOCK)

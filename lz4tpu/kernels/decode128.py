@@ -84,7 +84,12 @@ FAR_G = int(_os2.environ.get("LZ4TPU_D128_FARG", "256"))  # far group granularit
 # per-round far rebuild, and a 2 KiB mid window serves most of those
 # wants rebuild-free (sim: rounds_max 5206 -> 4287 on the bench corpus,
 # tools/sim_d128_seqk.py) — so a small mid is now ON by default.
-MID_CAP = int(_os1.environ.get("LZ4TPU_D128_MIDW", "512"))
+# Cap sweep on the Silesia 48 KiB-bucket batches (tools/chip_mid_ab.py,
+# same session): mid 384 = 621.0 MB/s (4.72 us/round), 960 = 652.2
+# (4.70 — the gather over 120 slabs is issue-FREE at this round size),
+# 1344 = 643.6 (4.85 — past the knee).  960 is the sweet spot, so the
+# cap is 1024 (RING_W-aligned pick lands on 960).
+MID_CAP = int(_os1.environ.get("LZ4TPU_D128_MIDW", "1024"))
 # row-sum budget anchored on observed v5e compiles: 16.26 MB row sum
 # (53 KB comp, no mid) ran; 16.52 MB (mid 512) OOMed by 3 KB; the
 # RING_W=192 flush-gated build OOMed scoped stack by 16 KB at mid 384
@@ -1103,6 +1108,24 @@ def _decode128_jit_t(words, n, prefix=None, plen=None, **kw):
     return out_w.T, out_len, status
 
 
+def quantize_maxlen(m: int) -> int:
+    """Round a batch's max comp length up to the {1024*2^k, 1536*2^k}
+    ladder: every distinct (rw, ro, mid) triple is a separate Mosaic
+    kernel, and remote compiles on this backend cost minutes — so the
+    dispatch shape universe must stay logarithmic in comp size (waste
+    <= 33% of rw; refill-scan cost scales with rw, which is why the
+    ladder is geometric rather than one max shape).  The 32768/49152
+    rungs are the bench's measured bucket anchors (mid mirror still
+    fits at 49152: tools/chip_mid_ab.py)."""
+    s = 1024
+    while True:
+        if m <= s:
+            return s
+        if m <= s + (s >> 1):
+            return s + (s >> 1)
+        s <<= 1
+
+
 def dispatch_blocks_128(blocks, block_maxsize: int = 1 << 14, prefixes=None):
     """Pack + launch one <=128-block lane-decode batch; returns a
     ``_DispatchedBatch`` immediately (kernel runs async on device)."""
@@ -1117,7 +1140,7 @@ def dispatch_blocks_128(blocks, block_maxsize: int = 1 << 14, prefixes=None):
         max_plen = max((len(p) for p in prefixes), default=0)
     else:
         max_plen = 0
-    maxlen = max(max(len(b) for b in blocks), 4)
+    maxlen = quantize_maxlen(max(max(len(b) for b in blocks), 4))
     rw, ro, pr = buffer_rows(maxlen, block_maxsize, max_plen)
     max_rounds = round_bound(maxlen, block_maxsize)
 
