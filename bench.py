@@ -297,18 +297,21 @@ def bench_silesia_decode(extra, m=2):
     if hb:
         import lz4tpu.kernels.decodebig as dbig
 
-        t0 = time.perf_counter()
-        outs = []
-        for base in range(0, len(hc), 128):
-            outs.extend(dbig.decompress_blocks_big(
-                hc[base : base + 128], block_maxsize=BLOCK,
-                _oband=18432, _cband=3072,
-            ))
-        dt = time.perf_counter() - t0
-        assert outs == hb, "silesia heavy decodebig mismatch"
-        extra["silesia_heavy_decodebig_mbps"] = round(
-            sum(len(b) for b in hb) / dt / 1e6, 1
-        )
+        best = 0.0
+        # pass 0 warms the Mosaic compiles (minutes, cold) so the
+        # recorded number is the engine, not the compiler
+        for it in range(2):
+            t0 = time.perf_counter()
+            outs = []
+            for base in range(0, len(hc), 128):
+                outs.extend(dbig.decompress_blocks_big(
+                    hc[base : base + 128], block_maxsize=BLOCK,
+                    _oband=18432, _cband=3072,
+                ))
+            dt = time.perf_counter() - t0
+            assert outs == hb, "silesia heavy decodebig mismatch"
+            best = max(best, sum(len(b) for b in hb) / dt)
+        extra["silesia_heavy_decodebig_mbps"] = round(best / 1e6, 1)
     return bps, hc, hb
 
 
@@ -617,11 +620,15 @@ def bench_tunnel(extra, mb: int = 8):
         devs.append(d + 0)  # distinct device buffers: jax caches the
         # host copy after the first np.asarray, so each D2H rep below
         # must fetch an array it has never fetched
+    from lz4tpu.hostpack import fetch_device_rows
+
     d2h = 0.0
     for d in devs:
         d.block_until_ready()
         t0 = time.perf_counter()
-        np.asarray(d)
+        # the collect paths' actual fetch primitive (overlapped pieces):
+        # measured ~30% above a whole-buffer np.asarray on this tunnel
+        fetch_device_rows(d)
         d2h = max(d2h, mb / (time.perf_counter() - t0))
     extra["tunnel_h2d_mbps"] = round(h2d, 1)
     extra["tunnel_d2h_mbps"] = round(d2h, 1)
@@ -749,6 +756,27 @@ def bench_native(data, extra):
     extra["native_compress_mbps"] = round(len(data) / t_c / 1e6, 1)
     extra["native_decompress_mbps"] = round(len(data) / t_d / 1e6, 1)
     extra["frame_ratio_4m"] = round(len(frame) / len(data), 4)
+
+    # single-thread numbers: the reference's own posture is single-core,
+    # so the 1t rates are the apples-to-apples comparison; the threaded
+    # rates above exercise the independent-block parallelism seam
+    # (byte-identical output either way)
+    s1 = CompressionSettings().engine("native").threads(1)
+    t0 = time.perf_counter()
+    f1 = s1.compress_bytes(data)
+    extra["native_compress_1t_mbps"] = round(
+        len(data) / (time.perf_counter() - t0) / 1e6, 1
+    )
+    assert f1 == frame
+    os.environ["LZ4TPU_HOST_THREADS"] = "1"
+    try:
+        t0 = time.perf_counter()
+        assert decompress_frame(frame, engine="native") == data
+        extra["native_decompress_1t_mbps"] = round(
+            len(data) / (time.perf_counter() - t0) / 1e6, 1
+        )
+    finally:
+        os.environ.pop("LZ4TPU_HOST_THREADS", None)
 
     # config #4: high-compression levels (host parse by design this round)
     s9 = CompressionSettings().engine("native").level(9)

@@ -90,6 +90,7 @@ class CompressionSettings:
         self._acceleration = 1
         self._level = None
         self._engine = "auto"
+        self._threads = 0  # 0 = auto (cpu count) for independent blocks
 
     # -- builder setters (reference naming) ---------------------------------
 
@@ -146,6 +147,17 @@ class CompressionSettings:
     def engine(self, name) -> "CompressionSettings":
         """Block-codec backend: 'auto', 'spec', 'native', 'tpu', or a callable."""
         self._engine = name
+        return self
+
+    def threads(self, n: int) -> "CompressionSettings":
+        """Worker threads for INDEPENDENT-block frames on the native
+        engine (0 = auto: one per CPU).  Each block compresses with its
+        own template-table copy, so the output is byte-identical to the
+        serial writer — independent blocks are the format's own
+        parallelism seam (``compress.rs:57-66``); the reference itself
+        is single-threaded.  Linked mode ignores this (the encoder table
+        is a sequential chain across blocks).  ``1`` forces serial."""
+        self._threads = max(int(n), 0)
         return self
 
     # -- compression entry points (compress.rs:137-157) ---------------------
@@ -214,6 +226,23 @@ class CompressionSettings:
             prime_u32_table(template_table, self._dictionary)
             block_initializer = self._dictionary
 
+        if self._threads != 1 and flags.independent_blocks:
+            import os as _os
+
+            nthreads = self._threads or min(_os.cpu_count() or 1, 8)
+            if nthreads > 1 and self._engine in ("auto", "native"):
+                try:
+                    from ..native import compress_block as _probe  # noqa: F401
+
+                    self._compress_threaded(
+                        reader, writer, flags, content_hasher,
+                        compress_block, compress_block_hc,
+                        template_table, block_initializer, nthreads,
+                    )
+                    return
+                except ImportError:
+                    pass  # native engine unavailable: serial spec path
+
         in_buffer = bytearray(block_initializer)
         table = template_table.copy()
         while True:
@@ -277,6 +306,91 @@ class CompressionSettings:
                 forget = len(in_buffer) - WINDOW_SIZE
                 table.slide(forget)
                 del in_buffer[:forget]
+
+        writer.write((0).to_bytes(4, "little"))
+        if content_hasher is not None:
+            writer.write(content_hasher.digest().to_bytes(4, "little"))
+
+    def _compress_threaded(
+        self, reader, writer, flags, content_hasher,
+        compress_block, compress_block_hc,
+        template_table, block_initializer, nthreads,
+    ) -> None:
+        """Independent-block body of ``_compress_internal`` fanned over a
+        thread pool — byte-identical output (each block starts from the
+        same template table and dictionary initializer as the serial
+        loop; blocks are written strictly in frame order).  The native
+        codec releases the GIL for the whole parse, so 4 workers run 4
+        blocks truly concurrently; content hashing and block emission
+        stay on the caller thread in stream order."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        window_offset = len(block_initializer)
+        initializer = bytes(block_initializer)
+
+        def job(data, read_bytes):
+            table = template_table.copy()
+            compressed = None
+            try:
+                compressed = bytes(
+                    compress_block(
+                        data,
+                        cursor=window_offset,
+                        table=table,
+                        acceleration=self._acceleration,
+                        cap=read_bytes,
+                    )
+                )
+            except Incompressible:
+                pass
+            if compress_block_hc is not None:
+                hc_cap = (
+                    len(compressed) if compressed is not None else read_bytes
+                )
+                try:
+                    hc = bytes(
+                        compress_block_hc(
+                            data,
+                            cursor=window_offset,
+                            level=self._level,
+                            cap=hc_cap,
+                        )
+                    )
+                    if compressed is None or len(hc) < len(compressed):
+                        compressed = hc
+                except Incompressible:
+                    pass
+            return compressed
+
+        def emit(fut, data, read_bytes):
+            compressed = fut.result()
+            if compressed is not None:
+                writer.write(len(compressed).to_bytes(4, "little"))
+                payload = compressed
+            else:
+                writer.write((read_bytes | INCOMPRESSIBLE).to_bytes(4, "little"))
+                payload = data[window_offset:]
+            writer.write(payload)
+            if flags.block_checksums:
+                writer.write(xxh32(payload).to_bytes(4, "little"))
+
+        with ThreadPoolExecutor(nthreads) as pool:
+            pending = deque()
+            while True:
+                chunk = _read_up_to(reader, self._block_size)
+                if not chunk:
+                    break
+                if content_hasher is not None:
+                    content_hasher.update(chunk)
+                data = (initializer + chunk) if initializer else chunk
+                pending.append(
+                    (pool.submit(job, data, len(chunk)), data, len(chunk))
+                )
+                if len(pending) > 2 * nthreads:
+                    emit(*pending.popleft())
+            while pending:
+                emit(*pending.popleft())
 
         writer.write((0).to_bytes(4, "little"))
         if content_hasher is not None:

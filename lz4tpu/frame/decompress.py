@@ -14,6 +14,7 @@ TPU), all bit-exact.
 from __future__ import annotations
 
 import io
+import threading
 
 from ..spec.block import DecodeError
 from ..spec.xxhash32 import xxh32
@@ -48,6 +49,29 @@ def _resolve_engine(name):
     from ..spec.block import decompress_block as spec_decompress_block
 
     return spec_decompress_block
+
+
+_FINAL_POOL = threading.local()
+
+
+def _pooled_output(n: int):
+    """A warm (pre-faulted) uint8 scratch of ``n`` bytes for the threaded
+    frame decode.  Fresh ``np.empty`` pages fault on first touch INSIDE
+    the decode loop — measured 1199 -> 435 MB/s on 4 MiB blocks — and
+    the faults serialize across threads on the mmap lock; one pooled
+    buffer pays them once.  Capped so huge one-shot frames don't pin
+    memory."""
+    import numpy as np
+
+    if n > (256 << 20):
+        return np.empty(n, np.uint8)
+    buf = getattr(_FINAL_POOL, "buf", None)
+    if buf is None or buf.size < n:
+        size = max(n, 1 << 20, 0 if buf is None else buf.size * 2)
+        buf = np.empty(size, np.uint8)
+        buf.fill(0)  # pre-fault; reuse keeps the pages warm
+        _FINAL_POOL.buf = buf
+    return buf[:n]
 
 
 def _read_exact(reader, n: int) -> bytes:
@@ -111,6 +135,7 @@ class LZ4FrameReader:
         # carry-over window only exists in linked-block mode (decompress.rs:144-148)
         self._carryover_window = None if self.flags.independent_blocks else bytearray()
         self._finished = False
+        self._blocks_read = 0
 
     # reference accessors (decompress.rs:163-175)
     def block_size(self) -> int:
@@ -125,6 +150,7 @@ class LZ4FrameReader:
         if self._finished:
             return None
 
+        self._blocks_read += 1
         block_length = int.from_bytes(_read_exact(self.reader, 4), "little")
         if block_length == 0:
             if self._content_hasher is not None:
@@ -186,13 +212,169 @@ class LZ4FrameReader:
         return output
 
     def read_all(self, dictionary: bytes = b"") -> bytes:
-        """Decode every block and concatenate (``into_read`` + ``read_to_end``)."""
+        """Decode every block and concatenate (``into_read`` + ``read_to_end``).
+
+        Independent-block frames on the native engine decode their blocks
+        on a thread pool (the codec releases the GIL), writing each block
+        directly into its final output slice when the frame's content
+        size pins the block layout — byte-identical results and error
+        kinds either way.  Independent blocks are the format's own
+        parallelism seam (``compress.rs:57-66``); the serial loop remains
+        for linked frames, partial readers, and non-native engines."""
+        fast = self._read_all_threaded(dictionary)
+        if fast is not None:
+            return fast
         parts = []
         while True:
             block = self.decode_block(dictionary)
             if block is None:
                 return b"".join(parts)
             parts.append(block)
+
+    def _read_all_threaded(self, dictionary: bytes = b""):
+        """Threaded ``read_all`` for fresh independent-block native-engine
+        readers; ``None`` when ineligible (caller falls back to serial)."""
+        import os
+
+        if (
+            self._finished
+            or self._blocks_read
+            or self._carryover_window is not None
+        ):
+            return None
+        try:
+            from ..native import decompress_block as native_db
+            from ..native import decompress_block_into
+        except Exception:
+            return None
+        if self._decompress_block is not native_db:
+            return None
+        nthreads = int(os.environ.get("LZ4TPU_HOST_THREADS", "0")) or min(
+            os.cpu_count() or 1, 8
+        )
+        if nthreads < 2:
+            return None
+
+        # serial scan: block chain -> (payload, is_compressed) list; all
+        # header/length/checksum-layout errors surface here in order
+        blocks = []
+        trailer_checksum = None
+        while True:
+            block_length = int.from_bytes(_read_exact(self.reader, 4), "little")
+            if block_length == 0:
+                if self._content_hasher is not None:
+                    trailer_checksum = int.from_bytes(
+                        _read_exact(self.reader, 4), "little"
+                    )
+                break
+            is_compressed = (block_length & INCOMPRESSIBLE) == 0
+            block_length &= ~INCOMPRESSIBLE & 0xFFFFFFFF
+            if block_length > self.block_maxsize:
+                raise BlockSizeOverflow(
+                    "a block is larger than the frame's block maxsize"
+                )
+            buf = _read_exact(self.reader, block_length)
+            bchk = None
+            if self.flags.block_checksums:
+                bchk = int.from_bytes(_read_exact(self.reader, 4), "little")
+            blocks.append((buf, is_compressed, bchk))
+        self._blocks_read = len(blocks)
+        self._finished = True
+
+        import numpy as np
+
+        prefix = bytes(dictionary)
+        bs = self.block_maxsize
+        n = len(blocks)
+        # zero-copy layout prediction: with a content size and the
+        # standard full-blocks-then-tail layout, block i's output slice
+        # is [i*bs, min((i+1)*bs, content_size)); verified per block
+        predicted = (
+            self.content_size is not None
+            and n > 0
+            and (n - 1) * bs < self.content_size <= n * bs
+        )
+        final = _pooled_output(self.content_size) if predicted else None
+        results = [None] * n
+
+        def job(i):
+            buf, is_compressed, bchk = blocks[i]
+            if bchk is not None:
+                h = make_hasher(0)
+                h.update(buf)
+                if h.digest() != bchk:
+                    raise BlockChecksumFail("a block checksum was invalid")
+            if not is_compressed:
+                out = buf
+            else:
+                try:
+                    # in-place only for interior blocks (their slice is a
+                    # full bs, so any valid output fits or overflows the
+                    # frame rule either way); the tail block may validly
+                    # decode to more than its predicted slice, so it takes
+                    # the copy path
+                    if predicted and i < n - 1:
+                        lo = i * bs
+                        rc = decompress_block_into(
+                            buf, final[lo : lo + bs], prefix=prefix,
+                            output_limit=bs,
+                        )
+                        if rc == bs:
+                            return None  # decoded in place, layout holds
+                        out = final[lo : lo + rc].tobytes()
+                    else:
+                        out = bytes(
+                            native_db(buf, prefix=prefix, output_limit=bs)
+                        )
+                except DecodeError as e:
+                    if e.kind == DecodeError.KIND_MEMORY_LIMIT:
+                        raise BlockSizeOverflow(
+                            "a block decompressed to more data than allowed"
+                        ) from e
+                    raise CodecError(e.kind) from e
+            if len(out) > bs:
+                raise BlockSizeOverflow(
+                    "a block decompressed to more data than allowed"
+                )
+            return out
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(nthreads) as pool:
+            futs = [pool.submit(job, i) for i in range(n)]
+            err = None
+            for i, f in enumerate(futs):
+                try:
+                    results[i] = f.result()
+                except Exception as e:  # first failing block wins, like serial
+                    err = e
+                    break
+            if err is not None:
+                raise err
+
+        if (
+            predicted
+            and all(results[i] is None for i in range(n - 1))
+            and (n - 1) * bs + len(results[n - 1]) == final.size
+        ):
+            final[(n - 1) * bs :] = np.frombuffer(results[n - 1], np.uint8)
+            output = final.tobytes()
+        else:
+            # layout prediction missed (or no content size): ordered join
+            parts = []
+            for i, r in enumerate(results):
+                if r is None:  # this interior block decoded into `final`
+                    lo = i * bs
+                    parts.append(final[lo : lo + bs].tobytes())
+                else:
+                    parts.append(r)
+            output = b"".join(parts)
+
+        if self._content_hasher is not None:
+            self._content_hasher.update(output)
+            if self._content_hasher.digest() != trailer_checksum:
+                raise FrameChecksumFail("the frame checksum was invalid")
+        return output
 
     def into_read(self, dictionary: bytes = b""):
         """An ``io.RawIOBase`` adapter over the block stream

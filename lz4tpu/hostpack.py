@@ -31,6 +31,55 @@ def unpack_bytes_le(words: np.ndarray, n_lanes: int | None = None) -> np.ndarray
     return np.ascontiguousarray(words.T).view(np.uint8)
 
 
+_SPLITTERS: dict = {}
+
+
+def fetch_device_rows(arr, fetch_cols: int | None = None,
+                      piece_bytes: int = 512 << 10) -> np.ndarray:
+    """D2H of ``arr[:, :fetch_cols]`` (2-D device array) as equal row-
+    group pieces with ``copy_to_host_async`` issued for every piece
+    before any blocking fetch.  The tunneled backend's D2H is RTT- and
+    stream-bound: one large ``np.asarray`` measures ~31 MB/s while 32
+    overlapped 512 KiB pieces measure ~40 MB/s (tools/chip_link_probe),
+    and the async issue also lets a caller overlap its host-side unpack
+    of earlier batches with later batches' transfers.  Piece slicing is
+    one cached jit per (shape, fetch_cols, piece rows) so the compile
+    universe stays bounded by the callers' quantized fetch shapes."""
+    import jax
+
+    rows, cols = arr.shape
+    fc = cols if fetch_cols is None else int(fetch_cols)
+    row_bytes = arr.dtype.itemsize * max(fc, 1)
+    rpb = max(1, piece_bytes // row_bytes)
+    key = (arr.shape, str(arr.dtype), fc, rpb)
+    split = _SPLITTERS.get(key)
+    if split is None:
+        n_full = rows // rpb
+
+        @jax.jit
+        def split(d):
+            s = d[:, :fc] if fc != d.shape[1] else d
+            ps = [s[i * rpb : (i + 1) * rpb] for i in range(n_full)]
+            if n_full * rpb < d.shape[0]:
+                ps.append(s[n_full * rpb :])
+            return ps
+
+        _SPLITTERS[key] = split
+    pieces = split(arr)
+    for p in pieces:
+        try:
+            p.copy_to_host_async()
+        except Exception:
+            pass  # backend without async host copies: plain fetch below
+    out = np.empty((rows, fc), np.dtype(str(arr.dtype)))
+    o = 0
+    for p in pieces:
+        h = np.asarray(p)
+        out[o : o + h.shape[0]] = h
+        o += h.shape[0]
+    return out
+
+
 def to_device_chunked(arr: np.ndarray, piece_bytes: int = 2 << 20):
     """Host->device transfer in ~2 MiB row pieces, concatenated on
     device.  The tunneled backend moves one large buffer at ~35-40 MB/s

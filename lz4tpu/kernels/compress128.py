@@ -1188,9 +1188,50 @@ class _LazyWindows:
         return self._data[max(0, s - self._wlen) : s]
 
 
+def prime_tables_batched(data, plan, lens, *, chunk: int, window: int,
+                         hashlog: int | None = None):
+    """Host-prime the window tables for EVERY windowed batch of a plan
+    and upload them as one chunked array (device handle).  Per-batch
+    ``jnp.asarray(tinit)`` is a synchronous ~2 MB transfer on the caller
+    thread — at 33 batches it serialized ~3 s that no pipeline depth
+    could hide (the round-5 compressbig wall); one stacked upload rides
+    the fast chunked H2D path instead and batches slice it on device."""
+    import jax
+
+    from ..hostpack import to_device_chunked
+    from ..native import prime_tables_native
+
+    hl = HASHLOG if hashlog is None else hashlog
+    t_rows = 1 << hl
+    parts = []
+    order = {}
+    for item in plan:
+        if item[0] != "w":
+            continue
+        _, s, nb = item
+        gstarts = np.array(
+            [(s + j) * chunk for j in range(nb)], np.int64
+        )
+        parts.append(prime_tables_native(
+            data, gstarts, np.full(nb, window, np.int64),
+            np.zeros(nb, np.int64), hl,
+        ))
+        order[s] = len(order)
+    if not parts:
+        return None
+    stacked = to_device_chunked(np.concatenate(parts, axis=0))
+
+    @jax.jit
+    def take(t, b):
+        return jax.lax.dynamic_slice_in_dim(t, b * t_rows, t_rows, 0)
+
+    return stacked, take, order
+
+
 def dispatch_compress_windowed(
     flat_dev, data, start_block: int, nb: int, lens, *,
     chunk: int, window: int, hashlog: int | None = None,
+    tinit_batched=None,
 ):
     """Dispatch one linked-mode lane batch with device-built windowed
     buffers.  ``flat_dev``: (n_blocks + k, chunk) uint8 padded block
@@ -1228,17 +1269,25 @@ def dispatch_compress_windowed(
         n[0, j] = window + int(lens[start_block + j])
         gstarts[j] = (start_block + j) * chunk
 
-    from ..hostpack import to_device_chunked
-    from ..native import prime_tables_native
+    if tinit_batched is not None:
+        stacked, take, order = tinit_batched
+        tinit_dev = take(stacked, jnp.int32(order[start_block]))
+    else:
+        from ..hostpack import to_device_chunked
+        from ..native import prime_tables_native
 
-    tinit = prime_tables_native(
-        data, gstarts, np.full(nb, window, np.int64), np.zeros(nb, np.int64),
-        hl,
-    )
+        tinit_dev = to_device_chunked(prime_tables_native(
+            data, gstarts, np.full(nb, window, np.int64),
+            np.zeros(nb, np.int64), hl,
+        ))
     out_t, out_len = _compress128_jit_t(
-        words, jnp.asarray(n), jnp.asarray(cur0), to_device_chunked(tinit),
+        words, jnp.asarray(n), jnp.asarray(cur0), tinit_dev,
         ri=ri, ro=ro, max_rounds=max_rounds, hashlog=hl,
     )
+    try:
+        out_len.copy_to_host_async()  # streams as the kernel finishes
+    except Exception:
+        pass
     blocks = [
         data[(start_block + j) * chunk :
              (start_block + j) * chunk + int(lens[start_block + j])]
@@ -1343,6 +1392,10 @@ def dispatch_compress_128(blocks, *, hashlog: int | None = None, prefixes=None):
         to_device_chunked(words), jnp.asarray(n),
         ri=ri, ro=ro, max_rounds=max_rounds, hashlog=hl, **kw,
     )
+    try:
+        out_len.copy_to_host_async()  # streams as the kernel finishes
+    except Exception:
+        pass
     return _DispatchedCompressBatch(
         out_t=out_t, out_len=out_len, blocks=blocks, prefixes=prefixes,
     )
@@ -1369,9 +1422,10 @@ def collect_compress_128(batch):
     # remote compile), fetching ceil(need/ (ro/8)) eighths
     step = max(ro // 8, 1)
     fetch_rows = min(-(-max(need_rows, 1) // step) * step, ro)
-    src = batch.out_t if fetch_rows == ro else batch.out_t[:, :fetch_rows]
+    from ..hostpack import fetch_device_rows
+
     out_b = (
-        np.ascontiguousarray(np.asarray(src))
+        fetch_device_rows(batch.out_t, fetch_rows)
         .astype("<i4", copy=False)
         .view(np.uint8)
         .reshape(LANES, -1)

@@ -1091,7 +1091,7 @@ class _DispatchedBatch:
     packing and H2D of later batches with kernel execution of earlier
     ones (JAX dispatch is async; only the collect fetch blocks)."""
 
-    __slots__ = ("out_t", "out_len", "status", "blocks", "prefixes",
+    __slots__ = ("out_t", "meta", "blocks", "prefixes",
                  "block_maxsize", "pr")
 
     def __init__(self, **kw):
@@ -1103,9 +1103,12 @@ class _DispatchedBatch:
                                              "output_limit"))
 def _decode128_jit_t(words, n, prefix=None, plen=None, **kw):
     """_decode128_jit + on-device transpose so the host unpack is a
-    contiguous row slice per lane instead of 128 strided column copies."""
+    contiguous row slice per lane instead of 128 strided column copies;
+    out_len and status concatenate into ONE meta array so the collect
+    pays a single round-trip for both (the tunnel costs ~25 ms per
+    fetch no matter the size)."""
     out_w, out_len, status = _decode128_jit(words, n, prefix, plen, **kw)
-    return out_w.T, out_len, status
+    return out_w.T, jnp.concatenate([out_len, status], axis=0)
 
 
 def quantize_maxlen(m: int) -> int:
@@ -1167,13 +1170,19 @@ def dispatch_blocks_128(blocks, block_maxsize: int = 1 << 14, prefixes=None):
 
     from ..hostpack import to_device_chunked
 
-    out_t, out_len, status = _decode128_jit_t(
+    out_t, meta = _decode128_jit_t(
         to_device_chunked(words), jnp.asarray(n),
         rw=rw, ro=ro, pr=pr, max_rounds=max_rounds,
         output_limit=block_maxsize, **kw,
     )
+    try:
+        # stream the tiny meta array down as soon as the kernel finishes
+        # (collect's blocking read then costs ~0 extra round-trips)
+        meta.copy_to_host_async()
+    except Exception:
+        pass
     return _DispatchedBatch(
-        out_t=out_t, out_len=out_len, status=status, blocks=blocks,
+        out_t=out_t, meta=meta, blocks=blocks,
         prefixes=prefixes, block_maxsize=block_maxsize, pr=pr,
     )
 
@@ -1183,8 +1192,8 @@ def collect_blocks_128(batch):
     D2H finish); applies the per-lane scalar fallback / typed errors."""
     if batch is None:
         return []
-    out_len = np.asarray(batch.out_len)[0]
-    status = np.asarray(batch.status)[0]
+    meta = np.asarray(batch.meta)
+    out_len, status = meta[:3], meta[3]
     nb = len(batch.blocks)
     pr = batch.pr
     # fetch only the rows any lane actually produced (short decodes of
@@ -1193,16 +1202,18 @@ def collect_blocks_128(batch):
     # separately compiled XLA program (remote compiles on this backend),
     # so the slice universe must stay tiny.
     need_rows = pr + (int(
-        max((int(out_len[i]) for i in range(nb) if status[i] == OK), default=0)
+        max((int(out_len[0, i]) for i in range(nb) if status[i] == OK),
+            default=0)
     ) + 3) // 4
     ro = batch.out_t.shape[1]
     # eighths: at most 8 distinct slice shapes per ro (each is a separate
     # remote compile), fetching ceil(need / (ro/8)) eighths
     step = max(ro // 8, 1)
     fetch_rows = min(-(-max(need_rows, 1) // step) * step, ro)
-    src = batch.out_t if fetch_rows == ro else batch.out_t[:, :fetch_rows]
+    from ..hostpack import fetch_device_rows
+
     out_b = (
-        np.ascontiguousarray(np.asarray(src))
+        fetch_device_rows(batch.out_t, fetch_rows)
         .astype("<i4", copy=False)
         .view(np.uint8)
         .reshape(LANES, -1)
@@ -1212,7 +1223,7 @@ def collect_blocks_128(batch):
         s = int(status[i])
         if s == OK:
             results.append(
-                out_b[i, pr * 4 : pr * 4 + out_len[i]].tobytes()
+                out_b[i, pr * 4 : pr * 4 + out_len[0, i]].tobytes()
             )
         elif s == STATUS_FALLBACK:
             from .decompress_v4 import decompress_blocks_v4

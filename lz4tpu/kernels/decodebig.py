@@ -1370,15 +1370,19 @@ def dispatch_blocks_big(
     # MID_CAP (prefix mode stays mid-less: prefix rows never pass through
     # the flush sweep, so the mirror would lack them)
     mid_w = 0 if pr else pick_mid_w(oband, cband)
-    out_t, out_len, status = _decodebig_jit_t(
+    out_t, meta = _decodebig_jit_t(
         to_device_chunked(words), jnp.asarray(n),
         oband=oband, cband=cband, rw_pad=rw_pad, ro_pad=ro_pad,
         max_rounds=max_rounds, output_limit=block_maxsize,
         window_bound=_window_bound, win_r=win_r, ws_log=WS_LOG, pr=pr,
         mid_w=mid_w, **kw,
     )
+    try:
+        meta.copy_to_host_async()  # streams as the kernel finishes
+    except Exception:
+        pass
     return _DispatchedBigBatch(
-        out_t=out_t, out_len=out_len, status=status, blocks=blocks,
+        out_t=out_t, meta=meta, blocks=blocks,
         block_maxsize=block_maxsize, pr=pr, prefixes=prefixes,
     )
 
@@ -1388,7 +1392,7 @@ class _DispatchedBigBatch:
     for a full 128 x 4 MiB batch hold ~540 MB of HBM, so callers keep
     at most a couple in flight."""
 
-    __slots__ = ("out_t", "out_len", "status", "blocks", "block_maxsize",
+    __slots__ = ("out_t", "meta", "blocks", "block_maxsize",
                  "pr", "prefixes")
 
     def __init__(self, **kw):
@@ -1408,7 +1412,7 @@ def _decodebig_jit_t(words, n, prefix=None, plen=None, **kw):
     contiguous row slice per lane instead of 128 strided column copies
     over a ~0.5 GB buffer."""
     out_w, out_len, status = _decodebig_jit(words, n, prefix, plen, **kw)
-    return out_w.T, out_len, status
+    return out_w.T, jnp.concatenate([out_len, status], axis=0)
 
 
 def collect_blocks_big(batch):
@@ -1417,11 +1421,25 @@ def collect_blocks_big(batch):
     if batch is None:
         return []
     blocks = batch.blocks
-    out_len = np.asarray(batch.out_len)[0]
-    status = np.asarray(batch.status)[0]
+    meta = np.asarray(batch.meta)
+    out_len, status = meta[0], meta[meta.shape[0] - 1]
     pr = batch.pr
+    # fetch only the produced rows, quantized to eighths of ro (each
+    # distinct slice shape is a separate compiled program), with
+    # overlapped piecewise D2H — a full 128 x 4 MiB out_t is ~540 MB
+    # and mostly padding on partial batches
+    nb = len(blocks)
+    need_rows = pr + (int(
+        max((int(out_len[i]) for i in range(nb) if status[i] == OK),
+            default=0)
+    ) + 3) // 4
+    ro = batch.out_t.shape[1]
+    step = max(ro // 8, 1)
+    fetch_rows = min(-(-max(need_rows, 1) // step) * step, ro)
+    from ..hostpack import fetch_device_rows
+
     out_b = (
-        np.ascontiguousarray(np.asarray(batch.out_t))
+        fetch_device_rows(batch.out_t, fetch_rows)
         .astype("<i4", copy=False)
         .view(np.uint8)
         .reshape(LANES, -1)

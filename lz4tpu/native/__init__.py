@@ -20,6 +20,7 @@ differential tests, and the per-block worker for the multi-core host path.
 from __future__ import annotations
 
 import ctypes
+import threading
 
 import numpy as np
 
@@ -136,15 +137,23 @@ def compress_bound(n: int) -> int:
 class _BufferPool:
     """Reusable scratch buffers — avoids per-call page-fault churn on the
     hot host path (a fresh np.empty per 4 MiB block costs more in soft
-    faults than the codec itself)."""
+    faults than the codec itself).  Buffers are per-thread: the frame
+    writer's threaded independent-block path runs several native calls
+    concurrently (ctypes releases the GIL), and a shared buffer would
+    let one thread's codec scribble over another's result mid-copy."""
 
     def __init__(self):
-        self._buf = np.empty(1 << 20, dtype=np.uint8)
+        self._local = threading.local()
 
     def get(self, capacity: int) -> np.ndarray:
-        if self._buf.size < capacity:
-            self._buf = np.empty(max(capacity, self._buf.size * 2), dtype=np.uint8)
-        return self._buf
+        buf = getattr(self._local, "buf", None)
+        if buf is None or buf.size < capacity:
+            buf = np.empty(
+                max(capacity, 1 << 20, 0 if buf is None else buf.size * 2),
+                dtype=np.uint8,
+            )
+            self._local.buf = buf
+        return buf
 
 
 _compress_pool = _BufferPool()
@@ -228,6 +237,29 @@ def compress_block_hc(
         out.extend(result)
         return out
     return result
+
+
+def decompress_block_into(data, out_np, prefix=b"", output_limit=None) -> int:
+    """Native block decode directly into caller memory (``out_np``: a
+    C-contiguous uint8 numpy view); returns the decoded length.  Used by
+    the threaded frame reader to decode each independent block into its
+    final resting slice with zero intermediate copies.  A stream whose
+    output would exceed the view raises the MEMORY_LIMIT kind (the frame
+    layer maps it to BlockSizeOverflow — any such block would overflow
+    ``block_maxsize`` anyway)."""
+    data = bytes(data)
+    prefix = bytes(prefix)
+    assert out_np.dtype == np.uint8 and out_np.flags.c_contiguous
+    soft_limit = (1 << 62) if output_limit is None else output_limit
+    rc = _lib.lz4tpu_decompress_block(
+        data, len(data), prefix, len(prefix),
+        out_np.ctypes.data, out_np.size, soft_limit,
+    )
+    if rc == -5:
+        raise DecodeError(DecodeError.KIND_MEMORY_LIMIT)
+    if rc < 0:
+        raise DecodeError(_DECODE_ERRORS.get(int(rc), DecodeError.KIND_UNEXPECTED_END))
+    return int(rc)
 
 
 def decompress_block(

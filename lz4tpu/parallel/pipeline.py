@@ -756,6 +756,11 @@ def compress_frame_parallel(
                 plan = plan_lane_compress_batches(
                     n_blocks, cpb, k, parallel_linked
                 )
+                from ..kernels.compress128 import prime_tables_batched
+
+                tinit_batched = prime_tables_batched(
+                    data, plan, lens, chunk=chunk_size, window=WINDOW_SIZE
+                )
             else:
                 for base in range(0, n_blocks, batch):
                     plan.append(
@@ -778,6 +783,7 @@ def compress_frame_parallel(
                         dispatch_compress_windowed(
                             flat_dev, data, s, nb, lens,
                             chunk=chunk_size, window=WINDOW_SIZE,
+                            tinit_batched=tinit_batched,
                         ),
                     ))
                 else:

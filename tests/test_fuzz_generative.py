@@ -141,7 +141,7 @@ def test_generative_raw_blocks_decode128():
     for base in range(0, len(bad_idx), 128):
         idx = bad_idx[base : base + 128]
         batch = d128.dispatch_blocks_128([cases[i] for i in idx], maxsize)
-        status = np.asarray(batch.status)[0][: len(idx)]
+        status = np.asarray(batch.meta)[3][: len(idx)]
         for j, i in enumerate(idx):
             assert int(status[j]) != d128.OK, f"case {i}: {cases[i].hex()}"
 

@@ -54,6 +54,14 @@ def main():
     t_upload = time.perf_counter() - t0
 
     plan = plan_lane_compress_batches(n_blocks, cpb, k, False)
+    from lz4tpu.kernels.compress128 import prime_tables_batched
+
+    t0 = time.perf_counter()
+    tinit_batched = prime_tables_batched(
+        data, plan, lens, chunk=chunk, window=1 << 16
+    )
+    print(f"batched tinit prime+upload {time.perf_counter()-t0:.3f}s",
+          flush=True)
     raw_blocks = [data[i * chunk : (i + 1) * chunk] for i in range(n_blocks)]
     dtail = b""
     lane_prefixes = [
@@ -104,7 +112,8 @@ def main():
                 _, s, nb = item
                 idxs = list(range(s, s + nb))
                 h = dispatch_compress_windowed(
-                    flat_dev, data, s, nb, lens, chunk=chunk, window=1 << 16
+                    flat_dev, data, s, nb, lens, chunk=chunk, window=1 << 16,
+                    tinit_batched=tinit_batched,
                 )
             else:
                 idxs = item[1]
