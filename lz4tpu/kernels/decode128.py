@@ -97,6 +97,14 @@ MID_CAP = int(_os1.environ.get("LZ4TPU_D128_MIDW", "1024"))
 VMEM_ROWSUM_BUDGET = int(
     _os1.environ.get("LZ4TPU_D128_VMEM", "16_100_000").replace("_", "")
 )
+# mid-0 compile edge (scoped-vmem stack, bytes of transposed row sum):
+# distinct from the mid budget above — shapes the mid mirror never fits
+# still compile well past it.  Anchors: the 60448-comp bench shape
+# (rows 33080 = 16.94 MB) compiles and runs; the 65536 rung
+# (rows 34120 = 17.47 MB) fails scoped allocation by 729 KB.
+MID0_ROWSUM_LIMIT = int(
+    _os1.environ.get("LZ4TPU_D128_VMEM0", "16_940_000").replace("_", "")
+)
 import os as _os
 
 # bytes per chunk per round.  16 measured best on mixed corpora (271.7
@@ -1063,11 +1071,11 @@ def lanes_eligible(
     rw, ro, pr = buffer_rows(max_comp_len, block_maxsize, prefix_len)
     # prefix rows count twice: once as the seeding input, once inside ro
     rows = rw + ro + max(pr, 8) + PAGE_W + FAR_W + RING_W + NSTATE
-    # empirical anchors (GROUP_W=256, FAR_G=256, 64 KiB blocks): a
-    # 16.26 MB row sum (53 KB max comp) compiles and runs on v5e (the
-    # compiler reports ~15.7 MB actual demand); 16.65 MB fails by 87 KB.
-    # The shared budget keeps ~2% margin below the observed failure.
-    return rows * LANES * 4 <= VMEM_ROWSUM_BUDGET
+    # judged against the MID-0 compile edge: pick_mid_w only grants a
+    # mid mirror while the row sum stays under the (smaller) mid budget,
+    # so shapes between the two limits compile mid-less — the bench's
+    # 60448 eligibility anchor sits exactly there.
+    return rows * LANES * 4 <= MID0_ROWSUM_LIMIT
 
 
 def _pack_transposed(rows, width_bytes, items):
@@ -1143,7 +1151,21 @@ def dispatch_blocks_128(blocks, block_maxsize: int = 1 << 14, prefixes=None):
         max_plen = max((len(p) for p in prefixes), default=0)
     else:
         max_plen = 0
-    maxlen = quantize_maxlen(max(max(len(b) for b in blocks), 4))
+    maxlen = max(max(len(b) for b in blocks), 4)
+    # quantize up only while the bigger shape still fits the VMEM
+    # envelope the caller's eligibility check approved — near the
+    # eligibility edge the exact shape is the only one that compiles
+    # (scoped-vmem OOM at the next rung: 65536-rung rw 16656 fails by
+    # 729 KB where the ~61K exact shape compiles)
+    mq = quantize_maxlen(maxlen)
+    if lanes_eligible(mq, block_maxsize, max_plen):
+        maxlen = mq
+    else:
+        # between the last fitting rung and the eligibility edge: 4 KiB
+        # granularity (a handful of shapes) instead of exact lengths
+        m4 = -(-maxlen // 4096) * 4096
+        if lanes_eligible(m4, block_maxsize, max_plen):
+            maxlen = m4
     rw, ro, pr = buffer_rows(maxlen, block_maxsize, max_plen)
     max_rounds = round_bound(maxlen, block_maxsize)
 

@@ -49,6 +49,26 @@ PIPELINE_DEPTH = int(
 )
 
 
+class _LazyPrefixes:
+    """Sequence facade that slices a block's window prefix on demand —
+    eager construction is n_blocks x ~64 KiB of memcpy that the windowed
+    dispatch plan almost never reads."""
+
+    def __init__(self, fn, n):
+        self._fn, self._n = fn, n
+
+    def __len__(self):
+        return self._n
+
+    def __bool__(self):
+        return self._n > 0
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self._fn(j) for j in range(*i.indices(self._n))]
+        return self._fn(i)
+
+
 def _use_scheduled_decode() -> bool:
     """Gate for the model-driven multi-batch decode scheduler.  Defaults
     to TPU-only (kernel round costs are TPU-calibrated); LZ4TPU_SCHED=1
@@ -681,19 +701,26 @@ def compress_frame_parallel(
         # chunk's output block (each block's offsets must resolve
         # without neighbors), seeded from the broadcast dictionary
         # (framed/compress.rs:202-218)
+        # prefixes materialize LAZILY: with the device-built windowed
+        # plan only the few host-packed head batches ever read them, and
+        # eagerly slicing n_blocks x ~64 KiB cost ~0.5 s of the warm
+        # 32 MiB compressbig wall
         if parallel_linked:
-            lane_prefixes = [
-                (dictionary or b"")[-WINDOW_SIZE:] if i == 0
-                else data[max(0, i * chunk_size - WINDOW_SIZE) : i * chunk_size]
-                for i in range(n_blocks)
-            ]
+            def _pfx(i):
+                if i == 0:
+                    return (dictionary or b"")[-WINDOW_SIZE:]
+                return data[max(0, i * chunk_size - WINDOW_SIZE)
+                            : i * chunk_size]
+
+            lane_prefixes = _LazyPrefixes(_pfx, n_blocks)
         elif (cpb > 1 and chunk_windows) or dictionary:
             dtail = (dictionary or b"")[-WINDOW_SIZE:]
-            lane_prefixes = [
-                (dtail + data[(i // cpb) * cpb * chunk_size : i * chunk_size])
-                [-WINDOW_SIZE:]
-                for i in range(n_blocks)
-            ]
+
+            def _pfx(i):
+                return (dtail + data[(i // cpb) * cpb * chunk_size
+                                     : i * chunk_size])[-WINDOW_SIZE:]
+
+            lane_prefixes = _LazyPrefixes(_pfx, n_blocks)
         else:
             lane_prefixes = None
         lane_payloads = []
@@ -813,8 +840,9 @@ def compress_frame_parallel(
                     _lane_compress_batch(chunk, mesh, prefixes=pfx)
                 )
 
-    template = np.zeros(4096, np.int32)
-    if dictionary and not parallel_linked:
+    if lane_payloads is None:
+        template = np.zeros(4096, np.int32)
+        if dictionary and not parallel_linked:
         # independent+dict: buffers are [dict | block] with cursor at
         # dict_len, so dict coordinates == buffer coordinates and every
         # template position sits behind the cursor.  Linked mode must NOT
@@ -824,14 +852,12 @@ def compress_frame_parallel(
         # (a candidate equal to the cursor emits a zero offset).  The
         # in-kernel window priming supplies the same step-3 candidates in
         # correct buffer coordinates.
-        from ..spec.table import U32Table, prime_u32_table
+            from ..spec.table import U32Table, prime_u32_table
 
-        t = U32Table()
-        prime_u32_table(t, dictionary)
-        template = t.dict.astype(np.int32)
-    tables = np.broadcast_to(template, (n_padded, 4096)).copy()
-
-    if lane_payloads is None:
+            t = U32Table()
+            prime_u32_table(t, dictionary)
+            template = t.dict.astype(np.int32)
+        tables = np.broadcast_to(template, (n_padded, 4096)).copy()
         dict_u8 = np.frombuffer(dictionary or b"\x00", np.uint8)
         out_u8, out_len, status = _compress_sharded(
             jnp.asarray(arr),

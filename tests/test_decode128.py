@@ -369,3 +369,23 @@ def test_decode128_hostile_corpus_safety():
             assert by.reshape(-1)[: out_len[i]].tobytes() == expected, i
             agree += 1
     assert agree >= 1
+
+
+def test_dispatch_shape_ladder_respects_vmem_envelope():
+    """dispatch_blocks_128 quantizes batch maxlen up a geometric ladder
+    for compile-universe hygiene, but must never quantize past the VMEM
+    eligibility envelope: near the edge the 65536 rung's scoped-vmem
+    footprint does not compile on v5e (measured: rw 16656 exceeds the
+    scoped limit by 729 KB where the exact ~61K shape compiles)."""
+    from lz4tpu.kernels import decode128 as d128
+
+    bs = 1 << 16
+    # a length whose next rung (65536) is past the envelope
+    edge_len = 58541
+    assert not d128.lanes_eligible(d128.quantize_maxlen(edge_len), bs)
+    m4 = -(-edge_len // 4096) * 4096
+    assert d128.lanes_eligible(m4, bs)  # the 4 KiB fallback fits
+    # small lengths ride the ladder
+    assert d128.quantize_maxlen(20000) == 24576
+    assert d128.quantize_maxlen(33000) == 49152
+    assert d128.lanes_eligible(49152, bs)

@@ -56,28 +56,42 @@ def mid_for(mod, mlen, mid_cap):
     return max(w * 4 - 4, 0)
 
 
-def study(blocks, comp, buckets, mid_cap, plan):
-    """Sum of batch walls (s) for a fixed plan under bucket/mid geometry."""
+def study(blocks, comp, buckets, mid_cap, plan, repick_cb=False):
+    """Sum of batch walls (s) for a fixed plan under bucket/mid geometry.
+    ``repick_cb``: re-choose each batch's chunk size by its bucket-mid
+    modeled wall instead of keeping the plan's global-geometry pick."""
     total = sum(len(b) for b in blocks)
     wall = 0.0
     cache = {}
     counts = {}
+
+    def rounds(i, cb, midb):
+        key = (i, cb, midb)
+        if key not in cache:
+            mod = d128.load_variant(cb)
+            cache[key] = model_decode_rounds(
+                comp[i], cb=cb, flush_thresh=mod.FLUSH_THRESH,
+                flush_b=mod.FLUSH_B, far_g_bytes=mod.FAR_G * 4,
+                mid_bytes=midb,
+            )
+        return cache[key]
+
     for idx, cb in plan:
-        mod = d128.load_variant(cb)
         batch_maxlen = max(len(comp[i]) for i in idx)
         mlen = next(b for b in buckets if b >= batch_maxlen)
+        if repick_cb:
+            walls = {}
+            for c in sched.CBS:
+                midb = mid_for(d128.load_variant(c), mlen, mid_cap)
+                walls[c] = (
+                    max(rounds(i, c, midb) for i in idx)
+                    * sched.ROUND_COST[c]
+                )
+            cb = min(walls, key=walls.get)
+        mod = d128.load_variant(cb)
         midb = mid_for(mod, mlen, mid_cap)
         counts[(mlen, midb, cb)] = counts.get((mlen, midb, cb), 0) + 1
-        rmax = 0
-        for i in idx:
-            key = (i, cb, midb)
-            if key not in cache:
-                cache[key] = model_decode_rounds(
-                    comp[i], cb=cb, flush_thresh=mod.FLUSH_THRESH,
-                    flush_b=mod.FLUSH_B, far_g_bytes=mod.FAR_G * 4,
-                    mid_bytes=midb,
-                )
-            rmax = max(rmax, cache[key])
+        rmax = max(rounds(i, cb, midb) for i in idx)
         wall += rmax * sched.ROUND_COST[cb]
     return total / wall / 1e6, counts
 
@@ -104,8 +118,11 @@ def main():
              [32768, 45056, 53248, max(maxlen, 60448)], 1024),
             ("4bkt cap2048",
              [32768, 45056, 53248, max(maxlen, 60448)], 2048),
+            ("3bkt cap1024 repick",
+             [32768, 49152, max(maxlen, 60448)], 1024),
         ):
-            mbps, counts = study(blocks, comp, buckets, cap, plan)
+            mbps, counts = study(blocks, comp, buckets, cap, plan,
+                                 repick_cb=label.endswith("repick"))
             cdesc = " ".join(
                 f"{k[0]//1024}k/mid{(k[1]+4)//4}/cb{k[2]}x{v}"
                 for k, v in sorted(counts.items())
