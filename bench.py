@@ -197,6 +197,12 @@ def _run_sched_orders(extra, blocks, comp, tag: str, m=2, orders_sel=None):
             mod = d128.load_variant(cb)
             batch_maxlen = max(len(comp[i]) for i in idx)
             mlen = next(b for b in buckets if b >= batch_maxlen)
+            if not mod.lanes_eligible(mlen, BLOCK):
+                # defense for env-narrowed VMEM envelopes: route
+                # edge-bucket batches to the CB32 kernel (wider measured
+                # envelope); with the default explicit vmem stack claim
+                # every 64 KiB-block shape is eligible and this is dead
+                mod = d128.load_variant(32)
             rw, ro, _pr = mod.buffer_rows(mlen, BLOCK)
             bc = [comp[i] for i in idx]
             arr = np.zeros((128, rw * 4), np.uint8)
@@ -272,9 +278,18 @@ def bench_silesia_decode(extra, m=2):
     lens = np.array([len(b) for b in blocks])
     clens = np.array([len(c) for c in comp])
     stored = clens >= lens
-    # empirical compile anchor: the 64 MiB mixed bench's rw shape
-    elig_cap = int(os.environ.get("LZ4TPU_BENCH_SIL_ELIG", "60448"))
-    elig = (~stored) & (clens <= elig_cap)
+    # lane eligibility is the production router's own check; with the
+    # explicit vmem_limit_bytes stack claim every 64 KiB-block comp
+    # shape fits, so the "heavy" partition is empty unless the envelope
+    # is narrowed via env (LZ4TPU_D128_VMEM0 / LZ4TPU_BENCH_SIL_ELIG)
+    from lz4tpu.kernels.decode128 import lanes_eligible as _elig
+
+    elig_cap = int(
+        os.environ.get("LZ4TPU_BENCH_SIL_ELIG", str(1 << 20))
+    )
+    elig = (~stored) & (clens <= elig_cap) & np.array(
+        [_elig(int(c), BLOCK) for c in clens]
+    )
     heavy = (~stored) & ~elig
     tot = int(lens.sum())
     extra["silesia_mb"] = round(tot / (1 << 20), 1)

@@ -1098,6 +1098,14 @@ def _compress128_jit(words, n, cur0=None, tinit=None, *, ri, ro, max_rounds,
             pltpu.VMEM((RING_W, LANES), jnp.int32),
             pltpu.VMEM((NSTATE, LANES), jnp.int32),
         ],
+        # explicit scoped-vmem stack claim (see decode128: the XLA
+        # default is 16 MiB of v5e's 128 MiB and drifted across
+        # remote-compile service sessions)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(
+                _os.environ.get("LZ4TPU_C128_VMEM_LIMIT", str(96 << 20))
+            ),
+        ),
         interpret=_interpret(),
     )(words, n, cur0, tinit)
 

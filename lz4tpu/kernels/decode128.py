@@ -90,20 +90,20 @@ FAR_G = int(_os2.environ.get("LZ4TPU_D128_FARG", "256"))  # far group granularit
 # 1344 = 643.6 (4.85 — past the knee).  960 is the sweet spot, so the
 # cap is 1024 (RING_W-aligned pick lands on 960).
 MID_CAP = int(_os1.environ.get("LZ4TPU_D128_MIDW", "1024"))
-# row-sum budget anchored on observed v5e compiles: 16.26 MB row sum
-# (53 KB comp, no mid) ran; 16.52 MB (mid 512) OOMed by 3 KB; the
-# RING_W=192 flush-gated build OOMed scoped stack by 16 KB at mid 384
-# (the budget also proxies for temporaries that scale with ring rows)
+# VMEM row-sum budget (bytes of transposed rows) for the MID MIRROR
+# grant (pick_mid_w) and for lane eligibility (lanes_eligible).  History:
+# rounds 2-5 fought a ~16 MB scoped-vmem compile edge — that edge was
+# the XLA TPU compiler's DEFAULT stack budget
+# (--xla_tpu_scoped_vmem_limit_kib=16384), not the hardware: v5e has
+# 128 MiB VMEM/core and this kernel is the chip's sole tenant, so
+# _decode128_jit now claims the stack explicitly via
+# pltpu.CompilerParams(vmem_limit_bytes).  Measured with the raised
+# limit: worst-case 64 KiB-block comp (65856 B) WITH mid 960 (18.1 MB
+# rowsum) and the 64 KiB-dictionary prefix shape (30.3 MB) compile and
+# run on both CB variants.  40 MB covers every 64 KiB-block shape incl.
+# 96 KiB linked windows; bigger blocks route to decodebig.
 VMEM_ROWSUM_BUDGET = int(
-    _os1.environ.get("LZ4TPU_D128_VMEM", "16_100_000").replace("_", "")
-)
-# mid-0 compile edge (scoped-vmem stack, bytes of transposed row sum):
-# distinct from the mid budget above — shapes the mid mirror never fits
-# still compile well past it.  Anchors: the 60448-comp bench shape
-# (rows 33080 = 16.94 MB) compiles and runs; the 65536 rung
-# (rows 34120 = 17.47 MB) fails scoped allocation by 729 KB.
-MID0_ROWSUM_LIMIT = int(
-    _os1.environ.get("LZ4TPU_D128_VMEM0", "16_940_000").replace("_", "")
+    _os1.environ.get("LZ4TPU_D128_VMEM", "40_000_000").replace("_", "")
 )
 import os as _os
 
@@ -116,6 +116,12 @@ import os as _os
 CB = int(_os.environ.get("LZ4TPU_D128_CB", "16"))
 CW = CB // 4  # chunk words
 assert CB in (8, 16, 32, 64), CB
+# eligibility limit: same budget by default (kept as a separate env
+# knob for A/Bs — e.g. forcing the mid mirror off below a shape class
+# while still admitting it)
+MID0_ROWSUM_LIMIT = int(
+    _os.environ.get("LZ4TPU_D128_VMEM0", "40_000_000").replace("_", "")
+)
 # phase-2 second sequence per round: when the round's record DRAINS
 # mid-round (the gating lanes are sequence-dense: ~8.5 B/sequence means
 # one sequence per round caps them at ~8.5 B/round), parse the NEXT
@@ -1001,6 +1007,18 @@ def _decode128_jit(
         # prefix mode
         mid_w = 0 if pr else pick_mid_w(rw, ro)
     assert mid_w % RING_W == 0  # flush blocks never wrap the mid page
+    # the XLA TPU compiler's default scoped-vmem budget is 16 MiB
+    # (--xla_tpu_scoped_vmem_limit_kib=16384) out of v5e's 128 MiB
+    # physical VMEM; this kernel IS the chip's sole tenant, so claim a
+    # bigger stack explicitly instead of hugging the default's edge
+    # (the remote-compile service's effective default drifted between
+    # sessions: a 16.95 MB-rowsum shape compiled one day and scoped-OOMed
+    # the next)
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=int(
+            _os.environ.get("LZ4TPU_D128_VMEM_LIMIT", str(96 << 20))
+        ),
+    )
     return pl.pallas_call(
         functools.partial(
             _decode128_kernel,
@@ -1026,6 +1044,7 @@ def _decode128_jit(
             pltpu.VMEM((max(mid_w, 8), LANES), jnp.int32),
             pltpu.VMEM((NSTATE, LANES), jnp.int32),
         ],
+        compiler_params=params,
         interpret=_interpret(),
     )(words, n, prefix, plen)
 
@@ -1063,18 +1082,18 @@ def round_bound(max_comp_len: int, block_maxsize: int) -> int:
 def lanes_eligible(
     max_comp_len: int, block_maxsize: int, prefix_len: int = 0
 ) -> bool:
-    """True when the 128-lane kernel's transposed VMEM footprint for this
-    batch shape (comp streams + outputs incl. prefix rows + pages/ring/
-    state scratch) fits the ~16 MB/core budget with headroom; bigger
-    shapes use the scalar v4 pipeline (or its host fallback for huge
-    blocks)."""
+    """True when this batch shape rides the 128-lane kernel: blocks up
+    to 64 KiB (any comp size, incl. worst-case expansion, and linked/
+    dictionary prefixes) whose transposed VMEM footprint (comp streams +
+    outputs incl. prefix rows + pages/ring/mid/state scratch) fits the
+    explicit vmem_limit_bytes stack claim.  Bigger blocks ride the
+    HBM-staged decodebig engine (256 KiB-4 MiB) or the scalar v4
+    pipeline."""
+    if block_maxsize > 1 << 16:
+        return False  # big-block shapes are decodebig's domain
     rw, ro, pr = buffer_rows(max_comp_len, block_maxsize, prefix_len)
     # prefix rows count twice: once as the seeding input, once inside ro
     rows = rw + ro + max(pr, 8) + PAGE_W + FAR_W + RING_W + NSTATE
-    # judged against the MID-0 compile edge: pick_mid_w only grants a
-    # mid mirror while the row sum stays under the (smaller) mid budget,
-    # so shapes between the two limits compile mid-less — the bench's
-    # 60448 eligibility anchor sits exactly there.
     return rows * LANES * 4 <= MID0_ROWSUM_LIMIT
 
 
@@ -1152,18 +1171,19 @@ def dispatch_blocks_128(blocks, block_maxsize: int = 1 << 14, prefixes=None):
     else:
         max_plen = 0
     maxlen = max(max(len(b) for b in blocks), 4)
-    # quantize up only while the bigger shape still fits the VMEM
-    # envelope the caller's eligibility check approved — near the
-    # eligibility edge the exact shape is the only one that compiles
-    # (scoped-vmem OOM at the next rung: 65536-rung rw 16656 fails by
-    # 729 KB where the ~61K exact shape compiles)
-    mq = quantize_maxlen(maxlen)
+    # quantize up the ladder, but never past the LZ4 worst-case comp
+    # bound for this block size (no valid stream is longer, so a rung
+    # past it only inflates the refill-scan cost ~ rw) and only while
+    # the bigger shape still fits the VMEM envelope the caller's
+    # eligibility check approved (the envelope is env-narrowable)
+    worst = block_maxsize + block_maxsize // 255 + 16
+    mq = min(quantize_maxlen(maxlen), max(worst, maxlen))
     if lanes_eligible(mq, block_maxsize, max_plen):
         maxlen = mq
     else:
         # between the last fitting rung and the eligibility edge: 4 KiB
         # granularity (a handful of shapes) instead of exact lengths
-        m4 = -(-maxlen // 4096) * 4096
+        m4 = min(-(-maxlen // 4096) * 4096, max(worst, maxlen))
         if lanes_eligible(m4, block_maxsize, max_plen):
             maxlen = m4
     rw, ro, pr = buffer_rows(maxlen, block_maxsize, max_plen)

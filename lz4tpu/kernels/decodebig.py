@@ -1130,6 +1130,14 @@ def _decodebig_jit(
             pltpu.SMEM((4,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
+        # explicit scoped-vmem stack claim: the XLA default budget is
+        # 16 MiB of v5e's 128 MiB and the remote-compile service's
+        # effective default drifted between sessions (see decode128)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(
+                _os.environ.get("LZ4TPU_DBIG_VMEM_LIMIT", str(96 << 20))
+            ),
+        ),
         interpret=_interpret(),
     )(words, n, prefix, plen)
 

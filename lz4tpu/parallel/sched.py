@@ -79,7 +79,12 @@ def model_rounds(comp_blocks, cb: int, block_maxsize: int) -> np.ndarray:
 def plan_batches(comp_blocks, block_maxsize: int):
     """Schedule: [(block_indices, cb), ...] — blocks sorted by cheapest
     modeled wall time (descending), grouped into 128-lane batches, each
-    batch routed to the chunk size with the lower modeled wall."""
+    batch routed to the chunk size with the lower modeled wall AMONG the
+    variants whose compile envelope admits the batch shape (the mid-0
+    scoped-vmem edge is variant-dependent: CB32 compiles ~0.85 MB of
+    rowsum past CB16's edge, so near-edge batches must ride CB32)."""
+    from ..kernels.decode128 import load_variant
+
     nb = len(comp_blocks)
     if nb == 0:
         return []
@@ -87,12 +92,21 @@ def plan_batches(comp_blocks, block_maxsize: int):
     cost = np.minimum.reduce(
         [rounds[cb] * ROUND_COST[cb] for cb in CBS]
     )
+    lens = np.array([len(c) for c in comp_blocks])
     order = np.argsort(-cost, kind="stable")
     plan = []
     for b0 in range(0, nb, LANES):
         idxs = order[b0 : b0 + LANES]
-        walls = {cb: rounds[cb][idxs].max() * ROUND_COST[cb] for cb in CBS}
-        cb = min(walls, key=walls.get)
+        maxlen = int(lens[idxs].max())
+        walls = {
+            cb: rounds[cb][idxs].max() * ROUND_COST[cb]
+            for cb in CBS
+            if load_variant(cb).lanes_eligible(maxlen, block_maxsize)
+        }
+        # the caller's eligibility gate admits a block only when SOME
+        # variant compiles it, so walls is never empty; the widest
+        # envelope (max CBS) is the backstop regardless
+        cb = min(walls, key=walls.get) if walls else max(CBS)
         plan.append((idxs.tolist(), cb))
     return plan
 

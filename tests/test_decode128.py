@@ -373,18 +373,28 @@ def test_decode128_hostile_corpus_safety():
 
 def test_dispatch_shape_ladder_respects_vmem_envelope():
     """dispatch_blocks_128 quantizes batch maxlen up a geometric ladder
-    for compile-universe hygiene, but must never quantize past the VMEM
-    eligibility envelope: near the edge the 65536 rung's scoped-vmem
-    footprint does not compile on v5e (measured: rw 16656 exceeds the
-    scoped limit by 729 KB where the exact ~61K shape compiles)."""
+    for compile-universe hygiene, and must never quantize past the VMEM
+    eligibility envelope.  With the explicit vmem_limit_bytes stack
+    claim (the historical ~16 MB edge was the XLA default scoped budget,
+    not hardware) every 64 KiB-block comp shape is eligible — incl. the
+    worst-case expansion rung — while big-block shapes stay decodebig's
+    domain.  The quantize-fallback logic remains live for env-narrowed
+    envelopes (LZ4TPU_D128_VMEM0)."""
     from lz4tpu.kernels import decode128 as d128
 
     bs = 1 << 16
-    # a length whose next rung (65536) is past the envelope
-    edge_len = 58541
-    assert not d128.lanes_eligible(d128.quantize_maxlen(edge_len), bs)
-    m4 = -(-edge_len // 4096) * 4096
-    assert d128.lanes_eligible(m4, bs)  # the 4 KiB fallback fits
+    # worst-case 64 KiB-block comp (incompressible + LZ4 expansion)
+    worst = bs + bs // 255 + 16
+    assert d128.lanes_eligible(d128.quantize_maxlen(worst), bs)
+    # the scheduler plans edge batches onto SOME eligible variant
+    from lz4tpu.parallel.sched import CBS, plan_batches
+
+    plan = plan_batches([b"\x00" * 58541] * 4, bs)
+    for idxs, cb in plan:
+        assert cb in CBS
+        assert d128.load_variant(cb).lanes_eligible(58541, bs)
+    # big blocks are decodebig's domain regardless of comp size
+    assert not d128.lanes_eligible(4096, 1 << 18)
     # small lengths ride the ladder
     assert d128.quantize_maxlen(20000) == 24576
     assert d128.quantize_maxlen(33000) == 49152
